@@ -17,3 +17,10 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 # Make the repo root importable regardless of where pytest is invoked from.
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The axon TPU plugin pre-sets jax_platforms to "axon,cpu", overriding the
+# environment variable — force CPU explicitly after import.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
