@@ -1,0 +1,266 @@
+"""The training driver: SGD + plateau-driven learning-rate decay.
+
+Replaces the dlib dnn_trainer semantics behind NetPimpl::TrainingNet
+(call sites at annonet_train_main.cpp:396-410,569-577,609):
+
+  * momentum SGD with weight decay (dlib defaults: momentum 0.9, wd 5e-4)
+  * a window of recent loss values; when both the plain and robust
+    steps-without-decrease counts exceed
+    ``iterations_without_progress_threshold``, the learning rate is
+    multiplied by ``learning_rate_shrink_factor`` and the window clears
+    (GetLearningRate then drives the stop condition at
+    annonet_train_main.cpp:569-571)
+  * a synchronization file written at most every ``sync_interval_seconds``
+    (SetSynchronizationFile(..., 10min), annonet_train_main.cpp:403) holding
+    the FULL training state, auto-resumed on construction
+  * BN running-stats window (SetAllBatchNormalizationRunningStatsWindowSizes)
+    mapped to an EMA momentum of 1 - 1/window
+
+TPU-first: the whole update (forward, loss, backward, SGD, BN-stats EMA) is
+ONE jitted function; uint8 crops and uint16 labels cross the host->device
+boundary, everything else stays on device. The pure step function is exposed
+as ``make_train_step`` so annonet_tpu.parallel can wrap it in shard_map for
+data parallelism without touching this class.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from annonet_tpu import serialization
+from annonet_tpu.models.segnet import (
+    SegNetConfig,
+    apply_train,
+    fold_batchnorm,
+    init_state,
+)
+from annonet_tpu.ops.loss import weighted_pixel_cross_entropy
+from annonet_tpu.train.plateau import (
+    count_steps_without_decrease,
+    count_steps_without_decrease_robust,
+)
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    """Knobs mirroring the NetPimpl::TrainingNet setters (SURVEY.md §2.2)."""
+
+    initial_learning_rate: float = 0.1  # SetLearningRate
+    learning_rate_shrink_factor: float = 0.1  # SetLearningRateShrinkFactor
+    min_learning_rate: float = 1e-6
+    iterations_without_progress_threshold: int = 4000  # rel_training_len*2000
+    previous_loss_values_dump_amount: int = 800  # rel_training_len*400
+    bn_stats_window: int = 200  # rel_training_len*100
+    momentum: float = 0.9
+    weight_decay: float = 0.0005
+    sync_file: Optional[str] = None
+    sync_interval_seconds: float = 600.0
+    verbose: bool = False
+
+
+def make_train_step(
+    model_config: SegNetConfig, trainer_config: TrainerConfig
+) -> Callable:
+    """Build the pure, jittable train-step function.
+
+    (params, bn_stats, velocity, lr, images, labels, weights)
+        -> (params, bn_stats, velocity, loss)
+
+    ``lr`` is a traced scalar so LR decay never triggers recompilation.
+    """
+    bn_momentum = 1.0 - 1.0 / max(2, trainer_config.bn_stats_window)
+    mu = trainer_config.momentum
+    wd = trainer_config.weight_decay
+
+    def loss_fn(params, bn_stats, images, labels, weights):
+        logits, new_stats = apply_train(
+            params, bn_stats, images, model_config, bn_momentum=bn_momentum
+        )
+        loss = weighted_pixel_cross_entropy(logits, labels, weights)
+        return loss, new_stats
+
+    def step(params, bn_stats, velocity, lr, images, labels, weights):
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, bn_stats, images, labels, weights
+        )
+
+        def upd(p, v, g):
+            # weight decay on conv kernels only (not BN affine / biases)
+            decay = wd * p if p.ndim == 4 else 0.0
+            v = mu * v - lr * (g + decay)
+            return p + v, v
+
+        flat_p, treedef = jax.tree_util.tree_flatten(params)
+        flat_v = treedef.flatten_up_to(velocity)
+        flat_g = treedef.flatten_up_to(grads)
+        new_p, new_v = [], []
+        for p, v, g in zip(flat_p, flat_v, flat_g):
+            np_, nv_ = upd(p, v, g)
+            new_p.append(np_)
+            new_v.append(nv_)
+        return (
+            jax.tree_util.tree_unflatten(treedef, new_p),
+            new_stats,
+            jax.tree_util.tree_unflatten(treedef, new_v),
+            loss,
+        )
+
+    return step
+
+
+class Trainer:
+    """Stateful wrapper: owns params/optimizer/LR schedule, checks plateaus,
+    writes the sync file, and exports the BN-folded runtime net."""
+
+    def __init__(
+        self,
+        model_config: SegNetConfig,
+        trainer_config: TrainerConfig = TrainerConfig(),
+        seed: int = 0,
+    ):
+        self.model_config = model_config
+        self.config = trainer_config
+        key = jax.random.PRNGKey(seed)
+        self.params, self.bn_stats = init_state(key, model_config)
+        self.velocity = jax.tree_util.tree_map(jnp.zeros_like, self.params)
+        self.learning_rate = trainer_config.initial_learning_rate
+        self.step_count = 0
+        self.previous_loss_values: list = []
+        self.steps_without_progress = 0
+        self._last_sync = time.monotonic()
+        self._step_fn = jax.jit(make_train_step(model_config, trainer_config))
+        self._loss_window_cap = (
+            trainer_config.iterations_without_progress_threshold
+            + trainer_config.previous_loss_values_dump_amount
+        )
+        if trainer_config.sync_file:
+            self._try_resume(trainer_config.sync_file)
+
+    # ----------------------------------------------------------- train
+
+    def train_step(
+        self,
+        images: np.ndarray,  # [N,H,W,C] uint8
+        labels: np.ndarray,  # [N,H,W] uint16 (IGNORE_LABEL allowed)
+        weights: np.ndarray,  # [N,H,W] float32
+    ) -> float:
+        """One minibatch update (the StartTraining analog,
+        annonet_train_main.cpp:609). Returns the minibatch loss."""
+        self.params, self.bn_stats, self.velocity, loss = self._step_fn(
+            self.params,
+            self.bn_stats,
+            self.velocity,
+            jnp.float32(self.learning_rate),
+            jnp.asarray(images),
+            jnp.asarray(labels.astype(np.int32)),
+            jnp.asarray(weights),
+        )
+        loss_value = float(loss)
+        self.step_count += 1
+        self._record_loss(loss_value)
+        self._maybe_sync()
+        return loss_value
+
+    def _record_loss(self, loss_value: float) -> None:
+        self.previous_loss_values.append(loss_value)
+        if len(self.previous_loss_values) > self._loss_window_cap:
+            del self.previous_loss_values[
+                : len(self.previous_loss_values) - self._loss_window_cap
+            ]
+        threshold = self.config.iterations_without_progress_threshold
+        self.steps_without_progress = count_steps_without_decrease(
+            self.previous_loss_values
+        )
+        if self.steps_without_progress > threshold:
+            robust = count_steps_without_decrease_robust(self.previous_loss_values)
+            if robust > threshold:
+                self.learning_rate *= self.config.learning_rate_shrink_factor
+                self.previous_loss_values.clear()
+                self.steps_without_progress = 0
+                if self.config.verbose:
+                    print(
+                        f"step {self.step_count}: learning rate shrunk to "
+                        f"{self.learning_rate:g}"
+                    )
+        if self.config.verbose and self.step_count % 100 == 0:
+            dump = self.previous_loss_values[
+                -self.config.previous_loss_values_dump_amount :
+            ]
+            avg = sum(dump) / max(1, len(dump))
+            print(
+                f"step {self.step_count}: learning rate {self.learning_rate:g}, "
+                f"average loss {avg:.6f}, steps without apparent progress "
+                f"{self.steps_without_progress}"
+            )
+
+    # ----------------------------------------------------------- export
+
+    def runtime_net(self):
+        """BN-folded inference params (the GetRuntimeNet analog)."""
+        return fold_batchnorm(self.params, self.bn_stats, self.model_config)
+
+    # ----------------------------------------------------------- sync
+
+    def _state_trees(self) -> Dict[str, Any]:
+        return {
+            "params": self.params,
+            "bn_stats": self.bn_stats,
+            "velocity": self.velocity,
+        }
+
+    def save_sync_file(self, path: Optional[str] = None) -> None:
+        path = path or self.config.sync_file
+        if not path:
+            return
+        meta = {
+            "learning_rate": self.learning_rate,
+            "step_count": self.step_count,
+            "previous_loss_values": self.previous_loss_values[-self._loss_window_cap:],
+            "model_config": self.model_config.to_dict(),
+        }
+        serialization.save_trainer_state(path, self._state_trees(), meta)
+        self._last_sync = time.monotonic()
+
+    def _maybe_sync(self) -> None:
+        if (
+            self.config.sync_file
+            and time.monotonic() - self._last_sync
+            >= self.config.sync_interval_seconds
+        ):
+            self.save_sync_file()
+
+    def _try_resume(self, path: str) -> None:
+        import os
+
+        if not os.path.exists(path):
+            return
+        try:
+            trees, meta = serialization.load_trainer_state(path)
+        except Exception as e:
+            raise RuntimeError(
+                f"cannot resume: synchronization file {path} is unreadable "
+                f"or corrupt ({e}); delete it to start fresh"
+            ) from e
+        if meta.get("model_config") != self.model_config.to_dict():
+            raise RuntimeError(
+                f"sync file {path} was written for a different model config; "
+                "delete it or match the configuration"
+            )
+        as_jnp = lambda tree: jax.tree_util.tree_map(jnp.asarray, tree)  # noqa: E731
+        self.params = as_jnp(trees["params"])
+        self.bn_stats = as_jnp(trees["bn_stats"])
+        self.velocity = as_jnp(trees["velocity"])
+        self.learning_rate = float(meta["learning_rate"])
+        self.step_count = int(meta["step_count"])
+        self.previous_loss_values = [float(v) for v in meta["previous_loss_values"]]
+        if self.config.verbose:
+            print(
+                f"resumed from {path} at step {self.step_count}, "
+                f"learning rate {self.learning_rate:g}"
+            )

@@ -1,0 +1,159 @@
+"""Tests for the plateau detector, loss, and the training driver."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from annonet_tpu.classes import IGNORE_LABEL
+from annonet_tpu.models import SegNetConfig, apply_runtime
+from annonet_tpu.ops.loss import weighted_pixel_cross_entropy
+from annonet_tpu.train import (
+    Trainer,
+    TrainerConfig,
+    count_steps_without_decrease,
+    count_steps_without_decrease_robust,
+)
+
+
+# ------------------------------------------------------------- plateau
+
+
+def test_decreasing_series_counts_zero():
+    losses = list(np.linspace(10.0, 1.0, 200) + np.random.default_rng(0).normal(0, 0.01, 200))
+    assert count_steps_without_decrease(losses) < 10
+
+
+def test_flat_series_counts_large_window():
+    # For a flat noisy series P(slope>0) per window is ~uniform, so the
+    # largest not-confidently-decreasing window is large but fluctuates;
+    # the trainer-level test below pins the actual LR-shrink contract.
+    rng = np.random.default_rng(1)
+    losses = list(1.0 + rng.normal(0, 0.05, 300))
+    assert count_steps_without_decrease(losses) >= 100
+
+
+def test_recent_plateau_after_decrease():
+    rng = np.random.default_rng(2)
+    decreasing = np.linspace(5.0, 1.0, 200)
+    flat = 1.0 + rng.normal(0, 0.01, 150)
+    losses = list(np.concatenate([decreasing, flat]))
+    count = count_steps_without_decrease(losses)
+    assert 140 <= count <= 260  # the flat tail dominates, not the old decrease
+
+
+def test_robust_ignores_spikes():
+    rng = np.random.default_rng(3)
+    losses = np.linspace(5.0, 1.0, 300) + rng.normal(0, 0.01, 300)
+    # a few huge spikes would fool the plain detector into "no decrease"
+    losses[::50] = 100.0
+    assert count_steps_without_decrease_robust(list(losses)) < 20
+
+
+def test_empty_and_tiny_series():
+    assert count_steps_without_decrease([]) == 0
+    assert count_steps_without_decrease([1.0]) == 0
+    assert count_steps_without_decrease([1.0, 2.0]) == 0
+
+
+# ------------------------------------------------------------- loss
+
+
+def test_loss_ignores_weight_zero_pixels():
+    logits = jnp.zeros((1, 2, 2, 3))
+    labels = jnp.array([[[0, 1], [2, 0]]], dtype=jnp.int32)
+    weights = jnp.array([[[1.0, 0.0], [1.0, 1.0]]])
+    loss = float(weighted_pixel_cross_entropy(logits, labels, weights))
+    # uniform logits: CE = log(3); 3 weighted pixels / 4 total
+    assert loss == pytest.approx(np.log(3) * 3 / 4, rel=1e-5)
+
+
+def test_loss_handles_ignore_label_without_nan():
+    logits = jnp.zeros((1, 1, 2, 3))
+    labels = jnp.array([[[0, IGNORE_LABEL]]], dtype=jnp.int32)
+    weights = jnp.array([[[1.0, 0.0]]])
+    loss = float(weighted_pixel_cross_entropy(logits, labels, weights))
+    assert np.isfinite(loss)
+
+
+# ------------------------------------------------------------- trainer
+
+
+def _toy_batch(n=4, dim=16, seed=0):
+    rng = np.random.default_rng(seed)
+    images = np.zeros((n, dim, dim, 3), np.uint8)
+    images[:, :, dim // 2 :] = 220
+    images += rng.integers(0, 16, images.shape).astype(np.uint8)
+    labels = np.zeros((n, dim, dim), np.uint16)
+    labels[:, :, dim // 2 :] = 1
+    weights = np.ones((n, dim, dim), np.float32)
+    return images, labels, weights
+
+
+def _small_cfgs(**kw):
+    mc = SegNetConfig(class_count=2, level_count=1, base_width=4, compute_dtype="float32")
+    tc = TrainerConfig(
+        initial_learning_rate=0.1,
+        iterations_without_progress_threshold=50,
+        previous_loss_values_dump_amount=10,
+        bn_stats_window=10,
+        **kw,
+    )
+    return mc, tc
+
+
+def test_trainer_loss_decreases_and_runtime_net_predicts():
+    mc, tc = _small_cfgs()
+    trainer = Trainer(mc, tc, seed=0)
+    images, labels, weights = _toy_batch()
+    losses = [trainer.train_step(images, labels, weights) for _ in range(40)]
+    assert losses[-1] < losses[0] * 0.5
+
+    runtime = trainer.runtime_net()
+    pred = np.asarray(
+        jnp.argmax(apply_runtime(runtime, jnp.asarray(images), mc), axis=-1)
+    )
+    assert (pred == labels).mean() > 0.9
+
+
+def test_learning_rate_shrinks_on_plateau():
+    mc, tc = _small_cfgs()
+    trainer = Trainer(mc, tc, seed=0)
+    # feed a synthetic flat loss history instead of real steps
+    rng = np.random.default_rng(0)
+    for v in 1.0 + rng.normal(0, 0.001, 60):
+        trainer._record_loss(float(v))
+    assert trainer.learning_rate == pytest.approx(0.1 * tc.learning_rate_shrink_factor)
+    # window cleared at the shrink; only post-shrink losses remain
+    assert len(trainer.previous_loss_values) < 15
+
+
+def test_sync_file_round_trip(tmp_path):
+    sync = str(tmp_path / "state.dat")
+    mc, tc = _small_cfgs(sync_file=sync)
+    trainer = Trainer(mc, tc, seed=0)
+    images, labels, weights = _toy_batch()
+    for _ in range(3):
+        trainer.train_step(images, labels, weights)
+    trainer.learning_rate = 0.025
+    trainer.save_sync_file()
+
+    resumed = Trainer(mc, tc, seed=123)  # different seed: must load, not re-init
+    assert resumed.step_count == 3
+    assert resumed.learning_rate == pytest.approx(0.025)
+    np.testing.assert_allclose(
+        np.asarray(resumed.params["head"]["w"]),
+        np.asarray(trainer.params["head"]["w"]),
+    )
+    # resumed trainer continues training
+    loss = resumed.train_step(images, labels, weights)
+    assert np.isfinite(loss)
+
+
+def test_sync_file_config_mismatch_raises(tmp_path):
+    sync = str(tmp_path / "state.dat")
+    mc, tc = _small_cfgs(sync_file=sync)
+    Trainer(mc, tc, seed=0).save_sync_file()
+    other_mc = SegNetConfig(class_count=3, level_count=1, base_width=4, compute_dtype="float32")
+    with pytest.raises(RuntimeError, match="different model config"):
+        Trainer(other_mc, tc, seed=0)
