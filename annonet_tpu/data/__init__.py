@@ -2,6 +2,7 @@
 augmentation, and the threaded input pipeline (reference L2 + pipeline parts
 of L4; see SURVEY.md §1-2)."""
 
+from annonet_tpu.data.cache import SharedLruCache
 from annonet_tpu.data.codec import (
     decode_rgba_label_image,
     index_label_image_to_rgba_label_image,
@@ -13,6 +14,14 @@ from annonet_tpu.data.dataset import (
     find_image_files,
     read_anno_classes_file,
 )
+from annonet_tpu.data.crop import (
+    CropOptions,
+    extract_crop,
+    random_rect_containing_point,
+    randomly_crop_sample,
+)
+from annonet_tpu.data.filters import ignore_classes, ignore_large_nonzero_regions
+from annonet_tpu.data.pipeline import Crop, CropPipeline, RegionFilterOptions
 from annonet_tpu.data.sample import (
     Sample,
     outpaint,
@@ -22,8 +31,18 @@ from annonet_tpu.data.sample import (
 )
 
 __all__ = [
+    "Crop",
+    "CropOptions",
+    "CropPipeline",
     "ImageFilenames",
+    "RegionFilterOptions",
     "Sample",
+    "SharedLruCache",
+    "extract_crop",
+    "ignore_classes",
+    "ignore_large_nonzero_regions",
+    "random_rect_containing_point",
+    "randomly_crop_sample",
     "decode_rgba_label_image",
     "find_image_files",
     "index_label_image_to_rgba_label_image",

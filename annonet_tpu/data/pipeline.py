@@ -1,0 +1,218 @@
+"""Threaded training-data pipeline: loader threads -> bounded queue -> batches.
+
+Replaces the reference's crop-producer machinery
+(annonet_train_main.cpp:517-553,583-607): N loader threads each loop picking
+a random image, fetching the decoded sample through the shared LRU cache,
+cutting a random crop, and enqueueing it into a bounded queue of depth
+2 * minibatch_size; the consumer dequeues until it has a full minibatch of
+good crops, raising on errors and deduping warnings.
+
+Differences by design (TPU-first):
+  * crops carry raw uint8 pixels and uint16 labels only — weighting and all
+    augmentations run batched on device inside the train step
+    (annonet_tpu.ops.augment / ops.weighting), not per-crop on the host
+  * ``next_minibatch`` returns C-contiguous stacked arrays ready for a
+    single 1-byte/pixel host->device transfer
+  * the region-size filter (--ignore-large-nonzero-regions-*) is applied in
+    the cache factory; the reference defines it but never calls it
+    (annonet_train_main.cpp:434 has no call site) — here the flags work
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import queue
+import threading
+from typing import Callable, List, Optional, Sequence, Set, Tuple
+
+import numpy as np
+
+from annonet_tpu.classes import AnnoClass
+from annonet_tpu.data.cache import SharedLruCache
+from annonet_tpu.data.crop import CropOptions, randomly_crop_sample
+from annonet_tpu.data.dataset import ImageFilenames
+from annonet_tpu.data.filters import ignore_classes, ignore_large_nonzero_regions
+from annonet_tpu.data.sample import Sample, read_sample
+
+
+@dataclasses.dataclass
+class Crop:
+    """One produced crop; mirrors the reference's crop struct
+    (annonet_train_main.cpp:61-71) with errors/warnings as data."""
+
+    image: Optional[np.ndarray] = None  # (dim, dim, C) uint8
+    labels: Optional[np.ndarray] = None  # (dim, dim) uint16
+    warning: str = ""
+    error: str = ""
+
+
+@dataclasses.dataclass
+class RegionFilterOptions:
+    """--ignore-large-nonzero-regions-{area,width,height} thresholds."""
+
+    receptive_field_side: int = 1
+    by_area: float = math.inf
+    by_width: float = math.inf
+    by_height: float = math.inf
+
+    @property
+    def active(self) -> bool:
+        return (
+            math.isfinite(self.by_area)
+            or math.isfinite(self.by_width)
+            or math.isfinite(self.by_height)
+        )
+
+
+class CropPipeline:
+    """Loader threads + bounded queue feeding fixed-size training minibatches."""
+
+    def __init__(
+        self,
+        image_files: Sequence[ImageFilenames],
+        anno_classes: Sequence[AnnoClass],
+        crop_options: CropOptions,
+        *,
+        initial_downscaling_factor: float = 1.0,
+        grayscale: bool = False,
+        classes_to_ignore: Sequence[int] = (),
+        region_filter: Optional[RegionFilterOptions] = None,
+        cached_image_count: int = 8,
+        thread_count: int = 4,
+        queue_depth: int = 200,
+        seed: int = 0,
+    ):
+        if not image_files:
+            raise ValueError("no image files to train on")
+        self._image_files = list(image_files)
+        self._queue: "queue.Queue[Crop]" = queue.Queue(maxsize=queue_depth)
+        self._stop = threading.Event()
+        self._options = crop_options
+
+        def load_full_sample(filenames: ImageFilenames) -> Sample:
+            sample = read_sample(
+                filenames,
+                anno_classes,
+                require_ground_truth=True,
+                downscaling_factor=initial_downscaling_factor,
+                grayscale=grayscale,
+            )
+            if not sample.error:
+                ignore_classes(sample, classes_to_ignore)
+                if region_filter is not None and region_filter.active:
+                    ignore_large_nonzero_regions(
+                        sample,
+                        region_filter.receptive_field_side,
+                        by_area=region_filter.by_area,
+                        by_width=region_filter.by_width,
+                        by_height=region_filter.by_height,
+                    )
+            return sample
+
+        self._cache: SharedLruCache[ImageFilenames, Sample] = SharedLruCache(
+            load_full_sample, cached_image_count
+        )
+        self._threads: List[threading.Thread] = []
+        for i in range(max(1, thread_count)):
+            t = threading.Thread(
+                target=self._worker, args=(seed + i,), daemon=True
+            )
+            t.start()
+            self._threads.append(t)
+
+    # ------------------------------------------------------------ producer
+
+    def _worker(self, seed: int) -> None:
+        rng = np.random.default_rng(seed)
+        while not self._stop.is_set():
+            crop = self._make_crop(rng)
+            # bounded put with timeout so shutdown never deadlocks on a full
+            # queue (the dlib::pipe analog of disable(), :623)
+            while not self._stop.is_set():
+                try:
+                    self._queue.put(crop, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
+
+    def _make_crop(self, rng: np.random.Generator) -> Crop:
+        crop = Crop()
+        index = int(rng.integers(0, len(self._image_files)))
+        filenames = self._image_files[index]
+        try:
+            sample = self._cache(filenames)
+        except Exception as e:  # noqa: BLE001 — errors travel as data
+            crop.error = str(e)
+            return crop
+        if sample.error:
+            crop.error = sample.error
+        elif not sample.labeled_points_by_class:
+            crop.warning = (
+                "Warning: no labeled points in "
+                + sample.image_filenames.label_filename
+            )
+        else:
+            try:
+                crop.image, crop.labels = randomly_crop_sample(
+                    sample, self._options, rng
+                )
+            except Exception as e:  # noqa: BLE001
+                crop.error = str(e)
+        return crop
+
+    # ------------------------------------------------------------ consumer
+
+    def next_minibatch(
+        self,
+        minibatch_size: int,
+        warn: Optional[Callable[[str], None]] = print,
+        warnings_already_printed: Optional[Set[str]] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Collect ``minibatch_size`` good crops.
+
+        Errors raise (annonet_train_main.cpp:594-596); warnings are passed to
+        ``warn`` once each (dedup via ``warnings_already_printed``,
+        :597-602). Returns (images [N,dim,dim,C] uint8, labels [N,dim,dim]
+        uint16), C-contiguous.
+        """
+        images: List[np.ndarray] = []
+        labels: List[np.ndarray] = []
+        while len(images) < minibatch_size:
+            crop = self._queue.get()
+            if crop.error:
+                raise RuntimeError(crop.error)
+            if crop.warning:
+                if warn is not None and (
+                    warnings_already_printed is None
+                    or crop.warning not in warnings_already_printed
+                ):
+                    warn(crop.warning)
+                    if warnings_already_printed is not None:
+                        warnings_already_printed.add(crop.warning)
+                continue
+            images.append(crop.image)
+            labels.append(crop.labels)
+        return (
+            np.ascontiguousarray(np.stack(images)),
+            np.ascontiguousarray(np.stack(labels)),
+        )
+
+    # ------------------------------------------------------------ shutdown
+
+    def close(self) -> None:
+        self._stop.set()
+        # drain so producers blocked on put() can observe the stop flag
+        try:
+            while True:
+                self._queue.get_nowait()
+        except queue.Empty:
+            pass
+        for t in self._threads:
+            t.join(timeout=5.0)
+
+    def __enter__(self) -> "CropPipeline":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()

@@ -240,13 +240,17 @@ def _normalize_input(x_uint8: jnp.ndarray, dtype) -> jnp.ndarray:
 
 
 def _conv(x, w, stride, dtype):
+    # Convs run wholly in the compute dtype (bf16 in/out by default): the TPU
+    # MXU accumulates bf16 products in f32 internally regardless, and keeping
+    # operand/cotangent dtypes uniform is required for the autodiff transpose
+    # (an f32 preferred_element_type would make the backward conv see an f32
+    # cotangent against bf16 operands, which lax rejects).
     return lax.conv_general_dilated(
         x.astype(dtype),
         w.astype(dtype),
         window_strides=(stride, stride),
         padding="SAME",
         dimension_numbers=_DN,
-        preferred_element_type=jnp.float32,
     )
 
 
@@ -257,12 +261,12 @@ def _conv_transpose(x, w, dtype):
         strides=(2, 2),
         padding="SAME",
         dimension_numbers=_DN,
-        preferred_element_type=jnp.float32,
     )
 
 
 def _bn_train(h, bn):
-    """Batch norm over (N,H,W); returns normalized h and (mean, var) used."""
+    """Batch norm over (N,H,W) with f32 statistics; returns (out, mean, var)."""
+    h = h.astype(jnp.float32)
     mean = jnp.mean(h, axis=(0, 1, 2))
     var = jnp.var(h, axis=(0, 1, 2))
     inv = lax.rsqrt(var + _BN_EPS)

@@ -40,7 +40,9 @@ from annonet_tpu.models.segnet import (
     fold_batchnorm,
     init_state,
 )
+from annonet_tpu.ops.augment import augment_batch
 from annonet_tpu.ops.loss import weighted_pixel_cross_entropy
+from annonet_tpu.ops.weighting import batched_label_weights
 from annonet_tpu.train.plateau import (
     count_steps_without_decrease,
     count_steps_without_decrease_robust,
@@ -114,6 +116,51 @@ def make_train_step(
     return step
 
 
+def make_fused_train_step(
+    model_config: SegNetConfig,
+    trainer_config: TrainerConfig,
+    crop_options,  # annonet_tpu.data.crop.CropOptions (duck-typed)
+) -> Callable:
+    """Build the fully fused train step: raw uint8 crops in, update out.
+
+    (params, bn_stats, velocity, lr, key, images_u8, labels_u16)
+        -> (params, bn_stats, velocity, loss)
+
+    This is the TPU-first composition of what the reference does per-crop on
+    loader threads (randomly_crop_image's set_weights + augmentations,
+    annonet_train_main.cpp:182-231) followed by StartTraining: augmentation,
+    loss weighting, normalization, forward, backward, and the SGD update all
+    trace into ONE XLA program, so the host only ships 1 byte/pixel.
+    """
+    inner = make_train_step(model_config, trainer_config)
+    co = crop_options
+
+    def step(params, bn_stats, velocity, lr, key, images, labels):
+        images_f, labels = augment_batch(
+            key,
+            images,
+            labels,
+            allow_flip_left_right=co.allow_flip_left_right,
+            allow_flip_upside_down=co.allow_flip_upside_down,
+            multiplicative_brightness_change_probability=(
+                co.multiplicative_brightness_change_probability
+            ),
+            multiplicative_brightness_change_sigma=(
+                co.multiplicative_brightness_change_sigma
+            ),
+            noise_level_stddev=co.noise_level_stddev,
+            allow_random_color_offset=co.allow_random_color_offset,
+        )
+        weights = batched_label_weights(
+            labels, co.class_weight, co.image_weight, model_config.class_count
+        )
+        return inner(
+            params, bn_stats, velocity, lr, images_f, labels, weights
+        )
+
+    return step
+
+
 class Trainer:
     """Stateful wrapper: owns params/optimizer/LR schedule, checks plateaus,
     writes the sync file, and exports the BN-folded runtime net."""
@@ -135,6 +182,8 @@ class Trainer:
         self.steps_without_progress = 0
         self._last_sync = time.monotonic()
         self._step_fn = jax.jit(make_train_step(model_config, trainer_config))
+        self._fused_step_fn = None
+        self._fused_key = None
         self._loss_window_cap = (
             trainer_config.iterations_without_progress_threshold
             + trainer_config.previous_loss_values_dump_amount
@@ -160,6 +209,40 @@ class Trainer:
             jnp.asarray(images),
             jnp.asarray(labels.astype(np.int32)),
             jnp.asarray(weights),
+        )
+        loss_value = float(loss)
+        self.step_count += 1
+        self._record_loss(loss_value)
+        self._maybe_sync()
+        return loss_value
+
+    def train_step_crops(
+        self,
+        images: np.ndarray,  # [N,H,W,C] uint8 raw crops
+        labels: np.ndarray,  # [N,H,W] uint16 (IGNORE_LABEL allowed)
+        crop_options,  # annonet_tpu.data.crop.CropOptions
+        seed: int = 0,
+    ) -> float:
+        """One minibatch update from RAW crops: augmentation + loss weighting
+        + forward/backward/SGD fused in one jitted call (the TPU-first
+        replacement for the reference's host-side per-crop work +
+        StartTraining)."""
+        if self._fused_step_fn is None:
+            self._fused_step_fn = jax.jit(
+                make_fused_train_step(
+                    self.model_config, self.config, crop_options
+                )
+            )
+            self._fused_key = jax.random.PRNGKey(seed ^ 0x5EED)
+        self._fused_key, step_key = jax.random.split(self._fused_key)
+        self.params, self.bn_stats, self.velocity, loss = self._fused_step_fn(
+            self.params,
+            self.bn_stats,
+            self.velocity,
+            jnp.float32(self.learning_rate),
+            step_key,
+            jnp.asarray(images),
+            jnp.asarray(labels.astype(np.int32)),
         )
         loss_value = float(loss)
         self.step_count += 1
