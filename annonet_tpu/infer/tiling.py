@@ -1,0 +1,138 @@
+"""Tile-grid planning for large-image inference.
+
+Replaces the reference's tiling submodule (tiling::get_tiles, used at
+annonet_infer.cpp:42; API reconstructed from call sites — the submodule is
+empty in the snapshot) with a TPU-first plan:
+
+  * the reference emits variable-sized tiles (full_rect/unique_rect pairs)
+    and forwards them ONE AT A TIME, blending on the host with per-pixel
+    loops (annonet_infer.cpp:46-165);
+  * here every tile has the SAME static shape, so the whole image becomes
+    one batched [n_tiles, T_h, T_w, C] forward under jit, and blending is a
+    device-side weighted scatter-add with a single shared ramp weight map.
+
+Geometry:
+  * tile side = recommended_input_dimension(min(max_tile, image_dim)) — the
+    stride-aligned expansion the reference applies per tile
+    (annonet_infer.cpp:49-66) happens once, globally;
+  * tiles are placed on a regular grid with stride (T - overlap); the last
+    row/column is clamped flush to the image edge, like a sliding window;
+  * overlap must be >= the receptive field (the caller passes
+    required_input_dimension, annonet_infer_main.cpp:426-427) so every
+    output pixel is computed by at least one tile with full context;
+  * the blend weight for a pixel is the product of two 1-D ramps of its
+    distance to the tile edge (min(1, (j+1)/(ov+1), (T-j)/(ov+1))): for
+    plain grid strides adjacent ramps sum to exactly 1 (the reference's
+    deterministic t-ramp, annonet_infer.cpp:102-114); everywhere else the
+    final division by the accumulated weight normalizes exactly.
+
+Tile counts are bucketed (rounded up to a multiple of the bucket size, with
+zero-weight dummy tiles) so XLA compiles one program per bucket rather than
+one per image size.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Tuple
+
+import numpy as np
+
+from annonet_tpu.models.segnet import SegNetConfig, recommended_input_dimension
+
+
+@dataclasses.dataclass(frozen=True)
+class TilingParameters:
+    """Mirrors tiling::parameters (annonet_infer_main.cpp:423-427)."""
+
+    max_tile_width: int = 1024
+    max_tile_height: int = 1024
+    overlap_x: int = 0
+    overlap_y: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class TilePlan:
+    """A static tiling of one (image_h, image_w) input."""
+
+    image_height: int
+    image_width: int
+    padded_height: int  # replicate-padded canvas the tiles live on
+    padded_width: int
+    tile_height: int
+    tile_width: int
+    overlap_x: int
+    overlap_y: int
+    tile_yx: Tuple[Tuple[int, int], ...]  # top-left corner of each real tile
+    bucketed_count: int  # len(tile_yx) rounded up to the bucket size
+
+    @property
+    def tile_count(self) -> int:
+        return len(self.tile_yx)
+
+
+def _positions(image_dim: int, tile_dim: int, overlap: int) -> List[int]:
+    """Grid offsets along one axis: stride (tile - overlap), last clamped
+    flush to the far edge."""
+    if tile_dim >= image_dim:
+        return [0]
+    stride = max(1, tile_dim - overlap)
+    positions = list(range(0, image_dim - tile_dim, stride))
+    positions.append(image_dim - tile_dim)
+    return positions
+
+
+def _round_up(value: int, multiple: int) -> int:
+    return ((value + multiple - 1) // multiple) * multiple
+
+
+def plan_tiles(
+    image_height: int,
+    image_width: int,
+    config: SegNetConfig,
+    params: TilingParameters,
+    tile_count_bucket: int = 8,
+) -> TilePlan:
+    """Plan the static tile grid for one image size."""
+    tile_w = recommended_input_dimension(
+        config, min(params.max_tile_width, image_width)
+    )
+    tile_h = recommended_input_dimension(
+        config, min(params.max_tile_height, image_height)
+    )
+
+    padded_w = max(tile_w, image_width)
+    padded_h = max(tile_h, image_height)
+
+    xs = _positions(padded_w, tile_w, params.overlap_x)
+    ys = _positions(padded_h, tile_h, params.overlap_y)
+    tile_yx = tuple((y, x) for y in ys for x in xs)
+
+    return TilePlan(
+        image_height=image_height,
+        image_width=image_width,
+        padded_height=padded_h,
+        padded_width=padded_w,
+        tile_height=tile_h,
+        tile_width=tile_w,
+        overlap_x=params.overlap_x,
+        overlap_y=params.overlap_y,
+        tile_yx=tile_yx,
+        bucketed_count=_round_up(max(1, len(tile_yx)), tile_count_bucket),
+    )
+
+
+def ramp_weights(tile_h: int, tile_w: int, overlap_y: int, overlap_x: int) -> np.ndarray:
+    """The shared [tile_h, tile_w] float32 blend-weight map.
+
+    Separable product of 1-D edge-distance ramps; the device analog of the
+    reference's get_t bilinear ramp (annonet_infer.cpp:102-114).
+    """
+
+    def ramp(n: int, ov: int) -> np.ndarray:
+        j = np.arange(n, dtype=np.float32)
+        return np.minimum(
+            1.0, np.minimum((j + 1.0) / (ov + 1.0), (n - j) / (ov + 1.0))
+        )
+
+    return ramp(tile_h, overlap_y)[:, None] * ramp(tile_w, overlap_x)[None, :]

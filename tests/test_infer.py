@@ -1,0 +1,238 @@
+"""Tiled-inference and evaluation tests, including the tiling golden test the
+reference lacks (SURVEY.md §4): multi-tile output must match single-tile
+output away from blend regions."""
+
+import numpy as np
+import jax
+import pytest
+
+from annonet_tpu.classes import IGNORE_LABEL, default_anno_classes
+from annonet_tpu.infer.core import TiledInferer, annonet_infer
+from annonet_tpu.infer.evaluation import (
+    format_confusion_matrix,
+    new_confusion_matrix,
+    update_confusion_matrix_per_pixel,
+    update_confusion_matrix_per_region,
+)
+from annonet_tpu.infer.tiling import TilingParameters, plan_tiles, ramp_weights
+from annonet_tpu.models.segnet import (
+    SegNetConfig,
+    fold_batchnorm,
+    init_state,
+    required_input_dimension,
+)
+
+
+def small_config(**kw):
+    defaults = dict(
+        class_count=3, level_count=1, base_width=4, compute_dtype="float32"
+    )
+    defaults.update(kw)
+    return SegNetConfig(**defaults)
+
+
+def runtime_net(config, seed=0):
+    params, stats = init_state(jax.random.PRNGKey(seed), config)
+    return fold_batchnorm(params, stats, config)
+
+
+# ---------------------------------------------------------------- tiling
+
+
+def test_plan_single_tile_small_image():
+    config = small_config()
+    plan = plan_tiles(20, 30, config, TilingParameters(64, 64, 4, 4))
+    assert plan.tile_count == 1
+    assert plan.tile_yx == ((0, 0),)
+    # canvas holds the whole image and is stride-aligned
+    assert plan.padded_width >= 30 and plan.padded_height >= 20
+    assert plan.tile_width % 2**config.level_count == 0
+
+
+def test_plan_grid_covers_image_with_overlap():
+    config = small_config()
+    params = TilingParameters(
+        max_tile_width=32, max_tile_height=32, overlap_x=8, overlap_y=8
+    )
+    plan = plan_tiles(100, 70, config, params)
+    assert plan.tile_count > 1
+    covered = np.zeros((plan.padded_height, plan.padded_width), bool)
+    for y, x in plan.tile_yx:
+        assert 0 <= y <= plan.padded_height - plan.tile_height
+        assert 0 <= x <= plan.padded_width - plan.tile_width
+        covered[y : y + plan.tile_height, x : x + plan.tile_width] = True
+    assert covered.all()
+    # adjacent tiles overlap at least the requested amount
+    xs = sorted({x for _, x in plan.tile_yx})
+    for a, b in zip(xs, xs[1:]):
+        assert b - a <= plan.tile_width - params.overlap_x
+
+
+def test_ramp_weights_partition_of_unity():
+    t, ov = 32, 8
+    ramp = ramp_weights(t, t, ov, ov)
+    stride = t - ov
+    # two adjacent tiles: ramps sum to exactly 1 across the overlap band
+    total = np.zeros(t + stride, np.float64)
+    total[:t] += ramp[t // 2]  # a middle row (1.0 in y)
+    total[stride:] += ramp[t // 2]
+    interior = total[ov : t + stride - ov]
+    np.testing.assert_allclose(interior, 1.0, rtol=1e-6)
+
+
+# ---------------------------------------------------------------- inference
+
+
+def test_single_vs_multi_tile_interior_match():
+    config = small_config()
+    params = runtime_net(config)
+    rng = np.random.default_rng(0)
+    image = rng.integers(0, 256, size=(96, 96, 3), dtype=np.uint8)
+
+    overlap = required_input_dimension(config)
+    single = TiledInferer(
+        params,
+        config,
+        TilingParameters(128, 128, overlap, overlap),
+    )
+    multi = TiledInferer(
+        params,
+        config,
+        TilingParameters(64, 64, overlap, overlap),
+    )
+    labels_single = annonet_infer(single, image)
+    labels_multi = annonet_infer(multi, image)
+    assert labels_single.shape == (96, 96)
+    # overall agreement must be near-total; blend bands may flip rare
+    # near-tie pixels
+    agree = (labels_single == labels_multi).mean()
+    assert agree > 0.99, f"only {agree:.4f} agreement between tilings"
+
+
+def test_gains_shift_argmax():
+    config = small_config()
+    params = runtime_net(config)
+    image = np.full((32, 32, 3), 128, dtype=np.uint8)
+    inferer = TiledInferer(params, config)
+    base = annonet_infer(inferer, image)
+    # huge gain on class 2 must win every pixel
+    boosted = annonet_infer(inferer, image, gains=[0.0, 0.0, 1e6])
+    assert (boosted == 2).all()
+    assert base.shape == boosted.shape
+
+
+def test_detection_level_blob_veto():
+    config = small_config()
+    params = runtime_net(config)
+    image = np.full((32, 32, 3), 128, dtype=np.uint8)
+    inferer = TiledInferer(params, config)
+    # raise class 1 everywhere via gain, then demand an enormous detection
+    # margin: every blob lacks seeds and is reset to background
+    labels = annonet_infer(
+        inferer,
+        image,
+        gains=[0.0, 1e6, 0.0],
+        detection_levels=[0.0, 1e9, 0.0],
+    )
+    assert (labels == 0).all()
+
+
+def test_grayscale_inference():
+    config = small_config(grayscale=True)
+    params = runtime_net(config)
+    image = np.random.default_rng(1).integers(
+        0, 256, size=(40, 40, 1), dtype=np.uint8
+    )
+    inferer = TiledInferer(params, config)
+    labels = annonet_infer(inferer, image)
+    assert labels.shape == (40, 40)
+
+
+def test_infer_rejects_wrong_channels():
+    config = small_config()
+    inferer = TiledInferer(runtime_net(config), config)
+    with pytest.raises(ValueError):
+        inferer.infer_arrays(np.zeros((16, 16, 1), np.uint8))
+
+
+# ---------------------------------------------------------------- evaluation
+
+
+def test_confusion_matrix_per_pixel():
+    cm = new_confusion_matrix(3)
+    points = {
+        0: np.array([[0, 0], [1, 0]]),  # (x, y)
+        1: np.array([[2, 2]]),
+    }
+    result = np.zeros((3, 3), dtype=np.uint16)
+    result[2, 2] = 1  # correct for class 1
+    result[0, 1] = 2  # point (1,0) predicted 2, gt 0
+    n = update_confusion_matrix_per_pixel(cm, points, result)
+    assert n == 3
+    assert cm[0][0] == 1 and cm[0][2] == 1 and cm[1][1] == 1
+
+
+def test_confusion_matrix_per_region_correct_detection():
+    cm = new_confusion_matrix(2)
+    gt = np.zeros((8, 8), dtype=np.uint16)
+    gt[2:4, 2:4] = 1
+    pred = gt.copy()
+    ys, xs = np.nonzero(gt == 1)
+    points = {
+        1: np.stack([xs, ys], axis=1),
+        0: np.array([[0, 0], [7, 7]]),
+    }
+    update_confusion_matrix_per_region(cm, points, gt, pred)
+    # gt pass: background blob votes 0->0; defect blob votes 1->1.
+    # result pass: same blobs again (two-way counts twice).
+    assert cm[1][1] == 2
+    assert cm[0][0] == 2
+    assert cm.sum() == 4
+
+
+def test_confusion_matrix_per_region_detection_bias():
+    """A tiny predicted defect inside a large gt defect blob counts as a
+    detection: background votes are discarded."""
+    cm = new_confusion_matrix(2)
+    gt = np.zeros((8, 8), dtype=np.uint16)
+    gt[1:7, 1:7] = 1  # large defect
+    pred = np.zeros((8, 8), dtype=np.uint16)
+    pred[3, 3] = 1  # only one pixel found
+    ys, xs = np.nonzero(gt == 1)
+    points = {1: np.stack([xs, ys], axis=1)}
+    update_confusion_matrix_per_region(cm, points, gt, pred)
+    # gt-blob pass: background votes discarded -> counted as detected (1,1).
+    # result-blob pass: the found pixel's blob votes (1,1) again, and the 35
+    # undetected points fall in the result's background region, whose
+    # prediction is background-only -> one (1,0).
+    # This two-way accounting is exactly the reference's
+    # (annonet_infer_main.cpp:246-271 runs vote_blob_class on both maps).
+    assert cm[1][1] == 2
+    assert cm[1][0] == 1
+
+
+def test_confusion_matrix_per_region_miss():
+    cm = new_confusion_matrix(2)
+    gt = np.zeros((8, 8), dtype=np.uint16)
+    gt[1:3, 1:3] = 1
+    pred = np.zeros((8, 8), dtype=np.uint16)  # nothing predicted
+    ys, xs = np.nonzero(gt == 1)
+    points = {1: np.stack([xs, ys], axis=1)}
+    update_confusion_matrix_per_region(cm, points, gt, pred)
+    # the miss is counted by BOTH passes (gt blob and result background blob)
+    assert cm[1][0] == 2
+    assert cm[1][1] == 0
+
+
+def test_format_confusion_matrix_smoke():
+    cm = new_confusion_matrix(3)
+    cm[0][0] = 90
+    cm[0][1] = 10
+    cm[1][1] = 50
+    cm[2][2] = 7
+    text = format_confusion_matrix(cm, default_anno_classes())
+    assert "predicted" in text and "recall" in text
+    assert "precision" in text and "accuracy" in text
+    assert "90" in text and "50" in text
+    # recall of class 0 = 90%
+    assert "90.00 %" in text
