@@ -1,0 +1,56 @@
+"""Shared CLI helpers: class-specific value parsing, device selection."""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+
+def parse_class_specific_value(string_from_command_line: str):
+    """Parse one "index:value" item.
+
+    Parity with parse_class_specific_value (annonet_infer_main.cpp:36-46),
+    including the error message.
+    """
+    colon_pos = string_from_command_line.find(":")
+    if colon_pos < 1 or colon_pos >= len(string_from_command_line) - 1:
+        raise ValueError(
+            "The gains must be supplied in the format index:gain (e.g., 1:-0.5)"
+        )
+    return (
+        int(string_from_command_line[:colon_pos]),
+        float(string_from_command_line[colon_pos + 1 :]),
+    )
+
+
+def parse_class_specific_values(
+    strings_from_command_line: Sequence[str], class_count: int
+) -> List[float]:
+    """Expand repeated "index:value" flags into a dense per-class vector.
+
+    Parity with parse_class_specific_values (annonet_infer_main.cpp:49-63).
+    """
+    values = [0.0] * class_count
+    for item in strings_from_command_line:
+        index, value = parse_class_specific_value(item)
+        if index >= class_count:
+            raise ValueError(
+                f"Can't define class-specific value for index {index} "
+                f"when there are only {class_count} classes"
+            )
+        values[index] = value
+    return values
+
+
+def select_device(device_index):
+    """--device N -> make jax device N the default (the TPU analog of
+    --primary-cuda-device -> dlib::cuda::set_device,
+    annonet_train_main.cpp:392-394). Returns the context manager."""
+    import jax
+
+    devices = jax.devices()
+    if device_index < 0 or device_index >= len(devices):
+        raise ValueError(
+            f"device index {device_index} out of range; "
+            f"{len(devices)} device(s) available"
+        )
+    return jax.default_device(devices[device_index])

@@ -1,0 +1,259 @@
+"""annonet_infer: run tiled inference over a directory of images.
+
+Flag parity with the reference (annonet_infer_main.cpp:309-337), including
+`-h` meaning --tile-max-height (help is --help only, as in cxxopts where -h
+was taken). The flow matches annonet_infer_main.cpp:283-532: deserialize the
+self-describing model, spawn full-image reader threads and result-image
+writer threads around the sequential per-image inference loop, accumulate
+per-pixel and per-region confusion matrices when ground truth exists, write
+<image>_result.png color masks upscaled to the original size, and print the
+timing report (total; average/max excluding the first, compile-warm-up,
+image).
+
+The default tile size is 1024 like the reference's accelerator (CUDA) build
+(annonet_infer_main.cpp:300-303); TPU HBM handles it comfortably and larger
+tiles amortize blending better — tune with -w/-h.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import queue
+import sys
+import threading
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="annonet_infer",
+        description="Do inference using trained semantic-segmentation networks",
+        add_help=False,
+    )
+    p.add_argument("--help", action="help")
+    p.add_argument("input_directory_positional", nargs="?", metavar="input-directory")
+    p.add_argument("-i", "--input-directory", dest="input_directory")
+    p.add_argument("-g", "--gain", action="append", default=[],
+                   help="Supply a class-specific gain, for example: 1:-0.5")
+    p.add_argument("-d", "--detection", action="append", default=[],
+                   help="Supply a class-specific detection level that _comes on top of gain_, for example: 1:1.5")
+    p.add_argument("-w", "--tile-max-width", type=int, default=1024)
+    p.add_argument("-h", "--tile-max-height", type=int, default=1024)
+    p.add_argument("--full-image-reader-thread-count", type=int,
+                   default=os.cpu_count() or 1)
+    p.add_argument("--result-image-writer-thread-count", type=int,
+                   default=os.cpu_count() or 1)
+    p.add_argument("--model", default="annonet.dnn",
+                   help="Model artifact path (reference name: annonet.dnn)")
+    p.add_argument("--device", "--primary-cuda-device", dest="device",
+                   type=int, default=None, help="Device (TPU core) index")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    input_directory = args.input_directory or args.input_directory_positional
+    if not input_directory:
+        print("You call this program like this: ")
+        print("annonet_infer /path/to/image/data")
+        print()
+        print("You will also need a trained 'annonet.dnn' file. ")
+        return 1
+    print(f"Input directory = {input_directory}")
+
+    import numpy as np
+
+    from annonet_tpu import serialization
+    from annonet_tpu.classes import parse_anno_classes
+    from annonet_tpu.cli.common import parse_class_specific_values, select_device
+    from annonet_tpu.data.codec import index_label_image_to_rgba_label_image
+    from annonet_tpu.data.dataset import find_image_files
+    from annonet_tpu.data.sample import read_sample, resize_label_image
+    from annonet_tpu.infer.core import TiledInferer, annonet_infer
+    from annonet_tpu.infer.evaluation import (
+        format_confusion_matrix,
+        new_confusion_matrix,
+        update_confusion_matrix_per_pixel,
+        update_confusion_matrix_per_region,
+    )
+    from annonet_tpu.infer.tiling import TilingParameters
+    from annonet_tpu.models.segnet import required_input_dimension
+
+    runtime_params, model_config, anno_classes_json, downscaling_factor = (
+        serialization.load_model(args.model)
+    )
+    print(f"Deserializing annonet, downscaling factor = {downscaling_factor:g}")
+    anno_classes = parse_anno_classes(anno_classes_json)
+    assert len(anno_classes) >= 2
+
+    try:
+        gains = parse_class_specific_values(args.gain, len(anno_classes))
+        detection_levels = parse_class_specific_values(
+            args.detection, len(anno_classes)
+        )
+    except ValueError as e:
+        print(e)
+        return 2
+
+    print("Using gains:", " ".join(
+        f"{i}:{g:g}" for i, g in enumerate(gains)))
+    print("Using detection levels:", " ".join(
+        f"{i}:{d:g}" for i, d in enumerate(detection_levels)))
+
+    device_ctx = None
+    if args.device is not None:
+        device_ctx = select_device(args.device)
+        device_ctx.__enter__()
+
+    min_input_dimension = required_input_dimension(model_config)
+    if args.tile_max_width < min_input_dimension or args.tile_max_height < min_input_dimension:
+        print(f"Tile size must be at least {min_input_dimension}")
+        return 2
+    tiling = TilingParameters(
+        max_tile_width=args.tile_max_width,
+        max_tile_height=args.tile_max_height,
+        overlap_x=min_input_dimension,
+        overlap_y=min_input_dimension,
+    )
+    inferer = TiledInferer(runtime_params, model_config, tiling)
+
+    files = find_image_files(input_directory, require_ground_truth=False)
+
+    # ---- reader threads: paths -> samples (annonet_infer_main.cpp:382-401)
+    read_requests: "queue.Queue" = queue.Queue()
+    for f in files:
+        read_requests.put(f)
+    reader_count = max(1, args.full_image_reader_thread_count)
+    read_results: "queue.Queue" = queue.Queue(maxsize=reader_count)
+
+    def reader():
+        while True:
+            try:
+                filenames = read_requests.get_nowait()
+            except queue.Empty:
+                return
+            read_results.put(
+                read_sample(
+                    filenames,
+                    anno_classes,
+                    require_ground_truth=False,
+                    downscaling_factor=downscaling_factor,
+                    grayscale=model_config.grayscale,
+                )
+            )
+
+    readers = [threading.Thread(target=reader, daemon=True)
+               for _ in range(reader_count)]
+    for t in readers:
+        t.start()
+
+    # ---- writer threads: results -> PNGs (annonet_infer_main.cpp:403-419)
+    writer_count = max(1, args.result_image_writer_thread_count)
+    write_requests: "queue.Queue" = queue.Queue(maxsize=writer_count)
+    write_results: "queue.Queue" = queue.Queue()
+
+    def writer():
+        from PIL import Image
+
+        while True:
+            item = write_requests.get()
+            if item is None:
+                return
+            filename, original_w, original_h, label_image = item
+            try:
+                label_image = resize_label_image(
+                    label_image, original_w, original_h
+                )
+                rgba = index_label_image_to_rgba_label_image(
+                    label_image, anno_classes
+                )
+                Image.fromarray(rgba, mode="RGBA").save(filename)
+                write_results.put(True)
+            except Exception as e:  # noqa: BLE001
+                write_results.put(e)
+
+    writers = [threading.Thread(target=writer, daemon=True)
+               for _ in range(writer_count)]
+    for t in writers:
+        t.start()
+
+    confusion_matrix_per_pixel = new_confusion_matrix(len(anno_classes))
+    confusion_matrix_per_region = new_confusion_matrix(len(anno_classes))
+    ground_truth_count = 0
+
+    t0 = time.monotonic()
+    total_inference = 0.0
+    total_inference_excl_first = 0.0
+    max_inference_excl_first = 0.0
+
+    for i in range(len(files)):
+        print(f"\rProcessing image {i + 1} of {len(files)}...",
+              end="", flush=True)
+        sample = read_results.get()
+        if sample.error:
+            raise RuntimeError(sample.error)
+
+        ti0 = time.monotonic()
+        result = annonet_infer(
+            inferer, sample.input_image, gains, detection_levels
+        )
+        ti1 = time.monotonic()
+        duration = ti1 - ti0
+        total_inference += duration
+        if i > 0:
+            total_inference_excl_first += duration
+            max_inference_excl_first = max(max_inference_excl_first, duration)
+
+        ground_truth_count += update_confusion_matrix_per_pixel(
+            confusion_matrix_per_pixel, sample.labeled_points_by_class, result
+        )
+        if sample.label_image is not None:
+            update_confusion_matrix_per_region(
+                confusion_matrix_per_region,
+                sample.labeled_points_by_class,
+                sample.label_image,
+                result,
+            )
+        write_requests.put(
+            (
+                sample.image_filenames.image_filename + "_result.png",
+                sample.original_width,
+                sample.original_height,
+                result,
+            )
+        )
+
+    t1 = time.monotonic()
+    print(f"\nAll {len(files)} images processed in {t1 - t0:.3f} seconds!"
+          f" (actual inference: {total_inference:.6f} seconds)")
+    if len(files) > 1:
+        print(
+            "Processing time excluding the first image: "
+            f"average = {total_inference_excl_first * 1000.0 / (len(files) - 1):.3f} ms, "
+            f"max = {max_inference_excl_first * 1000.0:.3f} ms"
+        )
+
+    for _ in range(len(files)):
+        ok = write_results.get()
+        if isinstance(ok, Exception):
+            raise ok
+    print("All result images written!")
+
+    for _ in writers:
+        write_requests.put(None)
+    for t in writers:
+        t.join(timeout=5.0)
+    for t in readers:
+        t.join(timeout=5.0)
+
+    if ground_truth_count:
+        print("\nConfusion matrix per pixel:")
+        print(format_confusion_matrix(confusion_matrix_per_pixel, anno_classes))
+        print("\nConfusion matrix per region (two-way):")
+        print(format_confusion_matrix(confusion_matrix_per_region, anno_classes))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

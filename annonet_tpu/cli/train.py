@@ -1,0 +1,284 @@
+"""annonet_train: train semantic-segmentation networks on anno data.
+
+Flag-for-flag CLI parity with the reference trainer
+(annonet_train_main.cpp:276-311): every runtime flag keeps its reference
+name and default. The reference's two compile-time knobs become runtime
+flags here (SURVEY.md §5):
+
+  --level-count     (was DLIB_DNN_PIMPL_WRAPPER_LEVEL_COUNT, appveyor.yml)
+  --grayscale       (was DLIB_DNN_PIMPL_WRAPPER_GRAYSCALE_INPUT)
+
+and --primary-cuda-device is carried over as an alias of --device (TPU
+core index).
+
+Outputs keep the reference contract: the self-describing deployable model
+``annonet.dnn`` (class JSON + combined downscaling factor + BN-folded
+inference net, annonet_train_main.cpp:557-565) saved every --save-interval
+minibatches and at exit, and the trainer synchronization state
+``annonet_trainer_state_file.dat`` written every 10 minutes and auto-resumed
+(annonet_train_main.cpp:403).
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="annonet_train",
+        description="Train semantic-segmentation networks using data generated in anno",
+    )
+    p.add_argument("input_directory_positional", nargs="?", metavar="input-directory")
+    p.add_argument("-i", "--input-directory", dest="input_directory")
+    p.add_argument("-d", "--initial-downscaling-factor", type=float, default=1.0,
+                   help="The initial downscaling factor (>= 1.0)")
+    p.add_argument("-f", "--further-downscaling-factor", type=float, default=1.0,
+                   help="The further downscaling factor (>= 1.0)")
+    p.add_argument("-u", "--allow-flip-upside-down", action="store_true",
+                   help="Randomly flip input images upside down")
+    p.add_argument("-l", "--allow-flip-left-right", action="store_true",
+                   help="Randomly flip input images horizontally")
+    p.add_argument("--multiplicative-brightness-change-probability",
+                   type=float, default=0.0)
+    p.add_argument("--multiplicative-brightness-change-sigma",
+                   type=float, default=0.1)
+    p.add_argument("-n", "--noise-level-stddev", type=float, default=0.0,
+                   help="Set the standard deviation of the noise to add")
+    p.add_argument("-o", "--allow-random-color-offset", action="store_true",
+                   help="Randomly apply color offsets")
+    p.add_argument("--ignore-class", type=int, action="append", default=[],
+                   help="Ignore specific classes by index")
+    p.add_argument("--ignore-large-nonzero-regions-by-area", type=float,
+                   default=math.inf)
+    p.add_argument("--ignore-large-nonzero-regions-by-width", type=float,
+                   default=math.inf)
+    p.add_argument("--ignore-large-nonzero-regions-by-height", type=float,
+                   default=math.inf)
+    p.add_argument("--class-weight", type=float, default=0.5,
+                   help="Try 0.0 for equally balanced pixels, and 1.0 for equally balanced classes")
+    p.add_argument("--image-weight", type=float, default=0.5,
+                   help="Try 0.0 for equally balanced pixels, and 1.0 for equally balanced images")
+    p.add_argument("-b", "--minibatch-size", type=int, default=100)
+    p.add_argument("--input-dimension-multiplier", type=float, default=3.0,
+                   help="Size of input patches, relative to minimum required")
+    p.add_argument("--net-width-scaler", type=float, default=1.0)
+    p.add_argument("--net-width-min-filter-count", type=int, default=1)
+    p.add_argument("--initial-learning-rate", type=float, default=0.1)
+    p.add_argument("--learning-rate-shrink-factor", type=float, default=0.1)
+    p.add_argument("--min-learning-rate", type=float, default=1e-6)
+    p.add_argument("--save-interval", type=int, default=1000,
+                   help="Save the resulting inference network every this many steps")
+    p.add_argument("-t", "--relative-training-length", type=float, default=2.0)
+    p.add_argument("--max-total-steps", type=int, default=None)
+    p.add_argument("-c", "--cached-image-count", type=int, default=8)
+    p.add_argument("--data-loader-thread-count", type=int,
+                   default=os.cpu_count() or 1)
+    p.add_argument("--no-empty-label-image-warning", action="store_true")
+    p.add_argument("--device", "--primary-cuda-device", dest="device",
+                   type=int, default=None, help="Device (TPU core) index")
+    # runtime versions of the reference's compile-time knobs
+    p.add_argument("--level-count", type=int, default=2,
+                   help="Downsampling level count (was DLIB_DNN_PIMPL_WRAPPER_LEVEL_COUNT)")
+    p.add_argument("--grayscale", action="store_true",
+                   help="Grayscale input (was DLIB_DNN_PIMPL_WRAPPER_GRAYSCALE_INPUT)")
+    p.add_argument("--output", default="annonet.dnn",
+                   help="Model artifact path (reference name: annonet.dnn)")
+    p.add_argument("--sync-file", default="annonet_trainer_state_file.dat")
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    input_directory = args.input_directory or args.input_directory_positional
+    if not input_directory:
+        print("To run this program you need data annotated using the anno program.")
+        print()
+        print("You call this program like this: ")
+        print("annonet_train /path/to/anno/data")
+        return 1
+
+    if args.initial_downscaling_factor <= 0.0 or args.further_downscaling_factor <= 0.0:
+        print("The downscaling factors have to be strictly positive.")
+        return 2
+
+    # echo configuration, parity with annonet_train_main.cpp:322-374
+    print(f"Input directory = {input_directory}")
+    print(f"Initial downscaling factor = {args.initial_downscaling_factor:g}")
+    print(f"Further downscaling factor = {args.further_downscaling_factor:g}")
+    print("Allow flipping input images upside down =",
+          "yes" if args.allow_flip_upside_down else "no")
+    print(f"Minibatch size = {args.minibatch_size}")
+    print(f"Net width scaler = {args.net_width_scaler:g}, "
+          f"min filter count = {args.net_width_min_filter_count}")
+    print(f"Initial learning rate = {args.initial_learning_rate:g}")
+    print(f"Learning rate shrink factor = {args.learning_rate_shrink_factor:g}")
+    print(f"Min learning rate = {args.min_learning_rate:g}")
+    print(f"Save interval = {args.save_interval}")
+    print(f"Relative training length = {args.relative_training_length:g}")
+    print(f"Cached image count = {args.cached_image_count}")
+    print(f"Data loader thread count = {args.data_loader_thread_count}")
+    if args.ignore_class:
+        print("Classes to ignore =", " ".join(str(c) for c in args.ignore_class))
+
+    # heavy imports after flag validation so --help stays fast
+    from annonet_tpu.classes import parse_anno_classes
+    from annonet_tpu.cli.common import select_device
+    from annonet_tpu.data.crop import CropOptions
+    from annonet_tpu.data.dataset import find_image_files, read_anno_classes_file
+    from annonet_tpu.data.pipeline import CropPipeline, RegionFilterOptions
+    from annonet_tpu.models.segnet import (
+        SegNetConfig,
+        recommended_input_dimension,
+        required_input_dimension,
+    )
+    from annonet_tpu.train.trainer import Trainer, TrainerConfig
+    from annonet_tpu import serialization
+
+    relative_training_length = max(0.01, args.relative_training_length)
+
+    model_config = SegNetConfig(
+        class_count=2,  # fixed up after parsing anno classes
+        level_count=args.level_count,
+        width_scaler=args.net_width_scaler,
+        min_filter_count=args.net_width_min_filter_count,
+        grayscale=args.grayscale,
+    )
+
+    required_dim = required_input_dimension(model_config)
+    print(f"Required input dimension = {required_dim}")
+    requested_dim = int(round(args.input_dimension_multiplier * required_dim))
+    print(f"Requested input dimension = {requested_dim}")
+    actual_dim = recommended_input_dimension(model_config, requested_dim)
+    print(f"Actual input dimension = {actual_dim}")
+
+    anno_classes_json = read_anno_classes_file(input_directory)
+    anno_classes = parse_anno_classes(anno_classes_json)
+    model_config = SegNetConfig(
+        class_count=len(anno_classes),
+        level_count=args.level_count,
+        width_scaler=args.net_width_scaler,
+        min_filter_count=args.net_width_min_filter_count,
+        grayscale=args.grayscale,
+    )
+
+    device_ctx = None
+    if args.device is not None:
+        device_ctx = select_device(args.device)
+        device_ctx.__enter__()
+
+    trainer_config = TrainerConfig(
+        initial_learning_rate=args.initial_learning_rate,
+        learning_rate_shrink_factor=args.learning_rate_shrink_factor,
+        min_learning_rate=args.min_learning_rate,
+        iterations_without_progress_threshold=int(
+            round(relative_training_length * 2000)
+        ),
+        previous_loss_values_dump_amount=int(
+            round(relative_training_length * 400)
+        ),
+        bn_stats_window=int(round(relative_training_length * 100)),
+        sync_file=args.sync_file,
+        sync_interval_seconds=600.0,
+        verbose=True,
+    )
+    trainer = Trainer(model_config, trainer_config, seed=args.seed)
+
+    print("\nSCANNING ANNO DATASET\n")
+    image_files = find_image_files(input_directory, require_ground_truth=True)
+    print(f"images in dataset: {len(image_files)}")
+    if not image_files:
+        print("Didn't find an anno dataset. ")
+        return 1
+
+    crop_options = CropOptions(
+        dim=actual_dim,
+        further_downscaling_factor=args.further_downscaling_factor,
+        class_weight=args.class_weight,
+        image_weight=args.image_weight,
+        allow_flip_left_right=args.allow_flip_left_right,
+        allow_flip_upside_down=args.allow_flip_upside_down,
+        multiplicative_brightness_change_probability=(
+            args.multiplicative_brightness_change_probability
+        ),
+        multiplicative_brightness_change_sigma=(
+            args.multiplicative_brightness_change_sigma
+        ),
+        noise_level_stddev=args.noise_level_stddev,
+        allow_random_color_offset=args.allow_random_color_offset,
+    )
+    region_filter = RegionFilterOptions(
+        receptive_field_side=required_dim,
+        by_area=args.ignore_large_nonzero_regions_by_area,
+        by_width=args.ignore_large_nonzero_regions_by_width,
+        by_height=args.ignore_large_nonzero_regions_by_height,
+    )
+
+    downscaling_total = (
+        args.initial_downscaling_factor * args.further_downscaling_factor
+    )
+
+    def save_inference_net():
+        print("saving network")
+        serialization.save_model(
+            args.output,
+            trainer.runtime_net(),
+            model_config,
+            anno_classes_json,
+            downscaling_factor=downscaling_total,
+        )
+
+    print("\nNow training...")
+    warnings_already_printed = set()
+    minibatch = 0
+    return_value = 0
+
+    with CropPipeline(
+        image_files,
+        anno_classes,
+        crop_options,
+        initial_downscaling_factor=args.initial_downscaling_factor,
+        grayscale=args.grayscale,
+        classes_to_ignore=args.ignore_class,
+        region_filter=region_filter,
+        cached_image_count=args.cached_image_count,
+        thread_count=max(1, args.data_loader_thread_count),
+        queue_depth=2 * args.minibatch_size,
+        seed=args.seed,
+    ) as pipe:
+        try:
+            while True:
+                if trainer.learning_rate < args.min_learning_rate:
+                    break
+                if (
+                    args.max_total_steps is not None
+                    and minibatch >= args.max_total_steps
+                ):
+                    break
+                images, labels = pipe.next_minibatch(
+                    args.minibatch_size,
+                    warn=None if args.no_empty_label_image_warning else print,
+                    warnings_already_printed=warnings_already_printed,
+                )
+                trainer.train_step_crops(
+                    images, labels, crop_options, seed=args.seed
+                )
+                if minibatch % args.save_interval == 0:
+                    save_inference_net()
+                minibatch += 1
+        except Exception as e:  # noqa: BLE001 — parity: print and exit 2
+            print(e)
+            return 2
+
+    if return_value == 0:
+        save_inference_net()
+        trainer.save_sync_file()
+    return return_value
+
+
+if __name__ == "__main__":
+    sys.exit(main())

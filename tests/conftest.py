@@ -24,3 +24,7 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: slower end-to-end tests")
+

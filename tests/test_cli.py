@@ -1,0 +1,134 @@
+"""CLI tests: the annonet_train / annonet_infer entry points run end-to-end
+on a synthetic dataset, flags keep reference names/defaults."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tests.test_end_to_end import write_synthetic_dataset
+
+
+def test_train_parser_defaults():
+    from annonet_tpu.cli.train import build_parser
+
+    args = build_parser().parse_args(["/data"])
+    assert args.input_directory_positional == "/data"
+    assert args.initial_downscaling_factor == 1.0
+    assert args.further_downscaling_factor == 1.0
+    assert args.class_weight == 0.5
+    assert args.image_weight == 0.5
+    assert args.minibatch_size == 100
+    assert args.input_dimension_multiplier == 3.0
+    assert args.net_width_scaler == 1.0
+    assert args.net_width_min_filter_count == 1
+    assert args.initial_learning_rate == 0.1
+    assert args.learning_rate_shrink_factor == 0.1
+    assert args.min_learning_rate == 1e-6
+    assert args.save_interval == 1000
+    assert args.relative_training_length == 2.0
+    assert args.cached_image_count == 8
+    # short flags
+    args = build_parser().parse_args(
+        ["-d", "2", "-f", "1.5", "-u", "-l", "-n", "3", "-o", "-b", "10",
+         "-t", "1.0", "-c", "4", "-i", "/x"]
+    )
+    assert args.initial_downscaling_factor == 2.0
+    assert args.further_downscaling_factor == 1.5
+    assert args.allow_flip_upside_down and args.allow_flip_left_right
+    assert args.noise_level_stddev == 3.0
+    assert args.allow_random_color_offset
+    assert args.minibatch_size == 10
+    assert args.relative_training_length == 1.0
+    assert args.cached_image_count == 4
+    assert args.input_directory == "/x"
+
+
+def test_infer_parser_defaults_and_h_flag():
+    from annonet_tpu.cli.infer import build_parser
+
+    args = build_parser().parse_args(["/data"])
+    assert args.tile_max_width == 1024
+    assert args.tile_max_height == 1024
+    assert args.gain == [] and args.detection == []
+    # -h means tile-max-height like the reference, NOT help
+    args = build_parser().parse_args(["-w", "512", "-h", "256", "/data"])
+    assert args.tile_max_width == 512
+    assert args.tile_max_height == 256
+    args = build_parser().parse_args(
+        ["-g", "1:-0.5", "-g", "2:0.25", "-d", "1:1.5", "/data"]
+    )
+    assert args.gain == ["1:-0.5", "2:0.25"]
+    assert args.detection == ["1:1.5"]
+
+
+def test_parse_class_specific_values():
+    from annonet_tpu.cli.common import parse_class_specific_values
+
+    assert parse_class_specific_values(["1:-0.5"], 3) == [0.0, -0.5, 0.0]
+    with pytest.raises(ValueError, match="index:gain"):
+        parse_class_specific_values(["nope"], 3)
+    with pytest.raises(ValueError, match="only 3 classes"):
+        parse_class_specific_values(["7:1.0"], 3)
+
+
+def test_train_requires_input_directory(capsys):
+    from annonet_tpu.cli.train import main
+
+    assert main([]) == 1
+    out = capsys.readouterr().out
+    assert "anno" in out
+
+
+@pytest.mark.slow
+def test_cli_train_then_infer_round_trip(tmp_path, capsys):
+    from annonet_tpu.cli.infer import main as infer_main
+    from annonet_tpu.cli.train import main as train_main
+
+    write_synthetic_dataset(tmp_path)
+    model_path = str(tmp_path / "annonet.dnn")
+    sync_path = str(tmp_path / "annonet_trainer_state_file.dat")
+
+    rc = train_main(
+        [
+            str(tmp_path),
+            "--max-total-steps", "25",
+            "-b", "4",
+            "--level-count", "1",
+            "--net-width-scaler", "0.5",
+            "--input-dimension-multiplier", "1.0",
+            "--initial-learning-rate", "0.05",
+            "--data-loader-thread-count", "2",
+            "--output", model_path,
+            "--sync-file", sync_path,
+        ]
+    )
+    assert rc == 0
+    assert os.path.exists(model_path)
+    assert os.path.exists(sync_path)
+    out = capsys.readouterr().out
+    assert "Required input dimension" in out
+    assert "images in dataset: 4" in out
+    assert "saving network" in out
+
+    rc = infer_main(
+        [
+            str(tmp_path),
+            "--model", model_path,
+            "-g", "1:0.1",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "All result images written!" in out
+    assert "Confusion matrix per pixel:" in out
+    assert "Confusion matrix per region (two-way):" in out
+    assert "accuracy" in out
+    # result PNGs exist and decode to palette colors
+    from PIL import Image
+
+    for i in range(4):
+        result_path = tmp_path / f"img{i}.png_result.png"
+        assert result_path.exists()
+        rgba = np.asarray(Image.open(result_path))
+        assert rgba.shape == (48, 48, 4)
