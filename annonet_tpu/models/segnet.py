@@ -264,11 +264,21 @@ def _conv_transpose(x, w, dtype):
     )
 
 
-def _bn_train(h, bn):
-    """Batch norm over (N,H,W) with f32 statistics; returns (out, mean, var)."""
+def _bn_train(h, bn, axis_name=None):
+    """Batch norm over (N,H,W) with f32 statistics; returns (out, mean, var).
+
+    With ``axis_name`` set (inside shard_map), the statistics are all-reduced
+    over that mesh axis — cross-replica ("sync") BN, so data-parallel
+    training computes EXACTLY the same function as single-device training.
+    The collectives move only 2*C floats per BN layer over ICI.
+    """
     h = h.astype(jnp.float32)
     mean = jnp.mean(h, axis=(0, 1, 2))
-    var = jnp.var(h, axis=(0, 1, 2))
+    mean_sq = jnp.mean(jnp.square(h), axis=(0, 1, 2))
+    if axis_name is not None:
+        mean = lax.pmean(mean, axis_name)
+        mean_sq = lax.pmean(mean_sq, axis_name)
+    var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
     inv = lax.rsqrt(var + _BN_EPS)
     out = (h - mean) * (inv * bn["gamma"]) + bn["beta"]
     return out, mean, var
@@ -287,12 +297,14 @@ def apply_train(
     x_uint8: jnp.ndarray,
     config: SegNetConfig,
     bn_momentum: float = 0.99,
+    axis_name=None,
 ) -> Tuple[jnp.ndarray, Params]:
     """Training forward pass: batch-stat BN, returns (logits f32, new stats).
 
     ``bn_momentum`` plays the role of the reference's BN running-stats window
     (SetAllBatchNormalizationRunningStatsWindowSizes,
-    annonet_train_main.cpp:410): momentum = 1 - 1/window.
+    annonet_train_main.cpp:410): momentum = 1 - 1/window. ``axis_name``
+    enables cross-replica BN statistics under shard_map (see _bn_train).
     """
     _check_input(x_uint8, config)
     dtype = jnp.dtype(config.compute_dtype)
@@ -306,7 +318,7 @@ def apply_train(
                 h = _conv_transpose(x, p[conv_name], dtype)
             else:
                 h = _conv(x, p[conv_name], stride, dtype)
-            h, mean, var = _bn_train(h, p[name])
+            h, mean, var = _bn_train(h, p[name], axis_name)
             s[name] = _bn_update(s[name], mean, var, bn_momentum)
             x = jnp.maximum(h, 0.0).astype(dtype)
         return x

@@ -1,0 +1,206 @@
+"""Data-parallel training: shard_map over a device mesh with gradient psum.
+
+The TPU-native scale-out of the reference's single-device trainer
+(SURVEY.md §2.3): the minibatch is sharded over the mesh "batch" axis, each
+device runs the fused augment + weight + forward/backward step on its shard,
+gradients/losses are all-reduced over ICI (lax.pmean), and the identical SGD
+update keeps parameters replicated without any explicit broadcast.
+
+Batch normalization is CROSS-REPLICA ("sync BN"): the per-layer batch
+statistics are all-reduced over the mesh axis inside the forward pass
+(apply_train's axis_name), so the data-parallel step computes exactly the
+same function — and the same gradients — as the single-device step on the
+full batch. The extra collectives move only 2*C floats per BN layer.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from annonet_tpu.models.segnet import SegNetConfig, apply_train
+from annonet_tpu.ops.augment import augment_batch
+from annonet_tpu.ops.loss import weighted_pixel_cross_entropy
+from annonet_tpu.ops.weighting import batched_label_weights
+from annonet_tpu.train.trainer import Trainer, TrainerConfig
+
+
+def make_dp_train_step(
+    model_config: SegNetConfig,
+    trainer_config: TrainerConfig,
+    crop_options,  # annonet_tpu.data.crop.CropOptions
+    mesh: Mesh,
+    axis: str = "batch",
+) -> Callable:
+    """Build the jitted data-parallel train step.
+
+    (params, bn_stats, velocity, lr, key, images, labels)
+        -> (params, bn_stats, velocity, loss)
+
+    ``images``/``labels`` are global arrays whose leading (batch) dimension
+    is sharded over ``axis``; everything else is replicated. The per-device
+    body is identical to the single-device fused step plus three pmeans
+    (grads, loss, BN stats).
+    """
+    bn_momentum = 1.0 - 1.0 / max(2, trainer_config.bn_stats_window)
+    mu = trainer_config.momentum
+    wd = trainer_config.weight_decay
+    co = crop_options
+
+    def loss_fn(params, bn_stats, images, labels, weights):
+        logits, new_stats = apply_train(
+            params,
+            bn_stats,
+            images,
+            model_config,
+            bn_momentum=bn_momentum,
+            axis_name=axis,  # sync BN over the mesh
+        )
+        loss = weighted_pixel_cross_entropy(logits, labels, weights)
+        # all-reduce the loss BEFORE differentiation: with sync BN the loss
+        # is coupled across devices, so grad-then-pmean would mis-route the
+        # cross-device cotangents; grad of the pmean'd scalar yields the
+        # exact global-batch gradient, replicated, with no extra collective
+        # (the psum rides the BN transposes over ICI)
+        loss = lax.pmean(loss, axis)
+        return loss, new_stats
+
+    def local_step(params, bn_stats, velocity, lr, key, images, labels):
+        # decorrelate augmentation randomness across devices
+        key = jax.random.fold_in(key, lax.axis_index(axis))
+        images_f, labels = augment_batch(
+            key,
+            images,
+            labels,
+            allow_flip_left_right=co.allow_flip_left_right,
+            allow_flip_upside_down=co.allow_flip_upside_down,
+            multiplicative_brightness_change_probability=(
+                co.multiplicative_brightness_change_probability
+            ),
+            multiplicative_brightness_change_sigma=(
+                co.multiplicative_brightness_change_sigma
+            ),
+            noise_level_stddev=co.noise_level_stddev,
+            allow_random_color_offset=co.allow_random_color_offset,
+        )
+        weights = batched_label_weights(
+            labels, co.class_weight, co.image_weight, model_config.class_count
+        )
+        # loss/stats/grads come out replicated: the loss is pmean'd inside
+        # loss_fn and the BN stats are pmean'd inside apply_train
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, bn_stats, images_f, labels, weights
+        )
+
+        def upd(p, v, g):
+            decay = wd * p if p.ndim == 4 else 0.0
+            v = mu * v - lr * (g + decay)
+            return p + v, v
+
+        flat_p, treedef = jax.tree_util.tree_flatten(params)
+        flat_v = treedef.flatten_up_to(velocity)
+        flat_g = treedef.flatten_up_to(grads)
+        new_pv = [upd(p, v, g) for p, v, g in zip(flat_p, flat_v, flat_g)]
+        new_params = jax.tree_util.tree_unflatten(
+            treedef, [p for p, _ in new_pv]
+        )
+        new_velocity = jax.tree_util.tree_unflatten(
+            treedef, [v for _, v in new_pv]
+        )
+        return new_params, new_stats, new_velocity, loss
+
+    replicated = P()
+    batch_sharded = P(axis)
+    sharded = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(
+            replicated,  # params
+            replicated,  # bn_stats
+            replicated,  # velocity
+            replicated,  # lr
+            replicated,  # key
+            batch_sharded,  # images
+            batch_sharded,  # labels
+        ),
+        out_specs=(replicated, replicated, replicated, replicated),
+    )
+    return jax.jit(sharded)
+
+
+class DataParallelTrainer(Trainer):
+    """Trainer whose raw-crop step runs data-parallel over a mesh.
+
+    Same plateau/LR/sync behavior as Trainer; only the device step differs.
+    The minibatch size must divide by the mesh's batch-axis size (the CLI
+    pads the final partial batch by repetition if needed).
+    """
+
+    def __init__(
+        self,
+        model_config: SegNetConfig,
+        trainer_config: TrainerConfig = TrainerConfig(),
+        seed: int = 0,
+        mesh: Optional[Mesh] = None,
+        axis: str = "batch",
+    ):
+        super().__init__(model_config, trainer_config, seed=seed)
+        if mesh is None:
+            from annonet_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(axis_names=(axis,))
+        self.mesh = mesh
+        self.axis = axis
+        self._dp_step_fn = None
+
+    @property
+    def device_count(self) -> int:
+        return int(self.mesh.shape[self.axis])
+
+    def train_step_crops(
+        self,
+        images: np.ndarray,
+        labels: np.ndarray,
+        crop_options,
+        seed: int = 0,
+    ) -> float:
+        n = self.device_count
+        if images.shape[0] % n:
+            raise ValueError(
+                f"minibatch size {images.shape[0]} must be divisible by the "
+                f"mesh batch-axis size {n}"
+            )
+        if self._dp_step_fn is None:
+            self._dp_step_fn = make_dp_train_step(
+                self.model_config, self.config, crop_options, self.mesh,
+                self.axis,
+            )
+            self._fused_key = jax.random.PRNGKey(seed ^ 0x5EED)
+        self._fused_key, step_key = jax.random.split(self._fused_key)
+
+        batch_sharding = NamedSharding(self.mesh, P(self.axis))
+        images_dev = jax.device_put(np.asarray(images), batch_sharding)
+        labels_dev = jax.device_put(
+            np.asarray(labels).astype(np.int32), batch_sharding
+        )
+        self.params, self.bn_stats, self.velocity, loss = self._dp_step_fn(
+            self.params,
+            self.bn_stats,
+            self.velocity,
+            jnp.float32(self.learning_rate),
+            step_key,
+            images_dev,
+            labels_dev,
+        )
+        loss_value = float(loss)
+        self.step_count += 1
+        self._record_loss(loss_value)
+        self._maybe_sync()
+        return loss_value

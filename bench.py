@@ -1,0 +1,95 @@
+"""Benchmark: tiled-inference throughput (Mpx/s/chip) on the flagship net.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is measured against the driver-set north star of
+200 Mpx/s/chip (BASELINE.json "north_star"; the reference publishes no
+numbers of its own — BASELINE.md).
+
+The scenario mirrors the reference's headline loop (annonet_infer per image,
+annonet_infer_main.cpp:466-480): a large RGB image is tiled, every tile is
+forwarded, the per-class outputs are overlap-blended and argmaxed into a
+label map — including the host->device image transfer and the device->host
+label readback each iteration.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+BASELINE_MPX_PER_S = 200.0
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--image-size", type=int, default=4096)
+    parser.add_argument("--tile-size", type=int, default=1024)
+    parser.add_argument("--iters", type=int, default=5)
+    parser.add_argument(
+        "--quick", action="store_true",
+        help="small sizes for CPU smoke-testing",
+    )
+    args = parser.parse_args()
+    if args.quick:
+        args.image_size = min(args.image_size, 512)
+        args.tile_size = min(args.tile_size, 256)
+        args.iters = min(args.iters, 2)
+
+    import jax
+    import numpy as np
+
+    from annonet_tpu.infer.core import TiledInferer, annonet_infer
+    from annonet_tpu.infer.tiling import TilingParameters
+    from annonet_tpu.models.segnet import (
+        SegNetConfig,
+        fold_batchnorm,
+        init_state,
+        required_input_dimension,
+    )
+
+    config = SegNetConfig(class_count=3, level_count=3, base_width=16)
+    params, bn_stats = init_state(jax.random.PRNGKey(0), config)
+    runtime_params = fold_batchnorm(params, bn_stats, config)
+
+    overlap = required_input_dimension(config)
+    tiling = TilingParameters(
+        max_tile_width=args.tile_size,
+        max_tile_height=args.tile_size,
+        overlap_x=overlap,
+        overlap_y=overlap,
+    )
+    inferer = TiledInferer(runtime_params, config, tiling)
+
+    rng = np.random.default_rng(0)
+    image = rng.integers(
+        0, 256, size=(args.image_size, args.image_size, 3), dtype=np.uint8
+    )
+
+    # warm-up (compile), like the reference's excluded first image
+    annonet_infer(inferer, image)
+
+    t0 = time.monotonic()
+    for _ in range(args.iters):
+        labels = annonet_infer(inferer, image)
+    elapsed = time.monotonic() - t0
+    assert labels.shape == image.shape[:2]
+
+    megapixels = args.image_size * args.image_size * args.iters / 1e6
+    mpx_per_s = megapixels / elapsed
+
+    print(
+        json.dumps(
+            {
+                "metric": "tiled_inference_throughput",
+                "value": round(mpx_per_s, 3),
+                "unit": "Mpx/s/chip",
+                "vs_baseline": round(mpx_per_s / BASELINE_MPX_PER_S, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
