@@ -60,6 +60,8 @@ def _tiled_forward(
     tile_h: int,
     tile_w: int,
     forward_chunk: int,
+    mesh=None,
+    mesh_axis: str = "batch",
 ):
     n = tile_yx.shape[0]
     hp, wp, c = padded_image.shape
@@ -72,12 +74,28 @@ def _tiled_forward(
 
     tiles = jax.vmap(get_tile)(tile_yx)  # [n, th, tw, C]
 
-    chunk = min(forward_chunk, n)
-    assert n % chunk == 0, "bucketed tile count must divide the chunk size"
-    tiles = tiles.reshape(n // chunk, chunk, tile_h, tile_w, c)
-    logits = lax.map(
-        lambda batch: apply_runtime(params, batch, config), tiles
-    )  # [n/chunk, chunk, th, tw, K]
+    if mesh is not None:
+        # tile-parallel inference (the spatial analog of context/sequence
+        # parallelism, SURVEY.md §2.3): shard the tile batch over the mesh;
+        # GSPMD partitions the batched convs, one all-gather brings the
+        # logits back for blending
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sharded = NamedSharding(mesh, P(mesh_axis))
+        tiles = lax.with_sharding_constraint(tiles, sharded)
+        logits = apply_runtime(params, tiles, config)
+        logits = lax.with_sharding_constraint(
+            logits, NamedSharding(mesh, P())
+        )
+    else:
+        # single chip: chunk the batch so VMEM/HBM hold one chunk of
+        # activations at a time while the MXU stays on large batched convs
+        chunk = min(forward_chunk, n)
+        assert n % chunk == 0, "bucketed tile count must divide the chunk size"
+        tiles = tiles.reshape(n // chunk, chunk, tile_h, tile_w, c)
+        logits = lax.map(
+            lambda batch: apply_runtime(params, batch, config), tiles
+        )  # [n/chunk, chunk, th, tw, K]
     logits = logits.reshape(n, tile_h, tile_w, k)
 
     acc = jnp.zeros((hp, wp, k), jnp.float32)
@@ -124,6 +142,8 @@ class TiledInferer:
         tiling: Optional[TilingParameters] = None,
         forward_chunk: int = 8,
         tile_count_bucket: int = 8,
+        mesh=None,
+        mesh_axis: str = "batch",
     ):
         self.params = jax.tree_util.tree_map(jnp.asarray, runtime_params)
         self.config = config
@@ -135,6 +155,15 @@ class TiledInferer:
         self.tiling = tiling
         self.forward_chunk = max(1, forward_chunk)
         self.tile_count_bucket = max(1, tile_count_bucket)
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
+        if mesh is not None:
+            # tile batches must divide evenly over the mesh
+            n_dev = int(mesh.shape[mesh_axis])
+            lcm = self.tile_count_bucket
+            while lcm % n_dev:
+                lcm += self.tile_count_bucket
+            self.tile_count_bucket = lcm
         self._compiled: Dict[Tuple, object] = {}
 
     # ------------------------------------------------------------- planning
@@ -168,6 +197,8 @@ class TiledInferer:
                     tile_h=plan.tile_height,
                     tile_w=plan.tile_width,
                     forward_chunk=chunk,
+                    mesh=self.mesh,
+                    mesh_axis=self.mesh_axis,
                 )
             )
             self._compiled[key] = fn

@@ -88,6 +88,27 @@ def test_dp_step_trains():
     assert dp.step_count == 10
 
 
+def test_tile_parallel_inference_matches_single_device():
+    from annonet_tpu.infer.core import TiledInferer, annonet_infer
+    from annonet_tpu.infer.tiling import TilingParameters
+    from annonet_tpu.models.segnet import fold_batchnorm, init_state
+
+    mc = SegNetConfig(
+        class_count=3, level_count=1, base_width=4, compute_dtype="float32"
+    )
+    params, stats = init_state(jax.random.PRNGKey(0), mc)
+    runtime = fold_batchnorm(params, stats, mc)
+    rng = np.random.default_rng(2)
+    image = rng.integers(0, 256, size=(96, 96, 3), dtype=np.uint8)
+    tiling = TilingParameters(48, 48, 8, 8)
+
+    single = TiledInferer(runtime, mc, tiling)
+    sharded = TiledInferer(runtime, mc, tiling, mesh=make_mesh(8))
+    labels_single = annonet_infer(single, image)
+    labels_sharded = annonet_infer(sharded, image)
+    np.testing.assert_array_equal(labels_single, labels_sharded)
+
+
 def test_dp_rejects_indivisible_batch():
     mc = SegNetConfig(
         class_count=2, level_count=1, base_width=4, compute_dtype="float32"
