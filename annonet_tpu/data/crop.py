@@ -80,6 +80,17 @@ def extract_crop(
     """
     h, w = label_image.shape
     left, top, right, bottom = rect_ltrb
+
+    if input_image.dtype == np.uint8 and label_image.dtype == np.uint16:
+        from annonet_tpu.native import extract_crop_native
+
+        native = extract_crop_native(
+            input_image, label_image, top, left,
+            bottom - top + 1, right - left + 1,
+        )
+        if native is not None:
+            return native
+
     ys = np.arange(top, bottom + 1)
     xs = np.arange(left, right + 1)
     ys_c = np.clip(ys, 0, h - 1)

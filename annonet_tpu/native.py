@@ -1,0 +1,142 @@
+"""Loader for the native host-runtime module (native/annonet_native.cpp).
+
+Compiles the C++ source on first use with g++ (cached as a .so next to a
+source hash), binds it via ctypes, and exposes typed wrappers. Every caller
+has a pure-Python fallback, so a missing toolchain degrades performance, not
+capability. Set ANNONET_TPU_NO_NATIVE=1 to force the fallbacks.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import sys
+import tempfile
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+_SOURCE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "native",
+    "annonet_native.cpp",
+)
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_load_failed = False
+
+
+def _build_and_load() -> Optional[ctypes.CDLL]:
+    if not os.path.isfile(_SOURCE):
+        return None
+    with open(_SOURCE, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    cache_dir = os.path.join(
+        tempfile.gettempdir(), f"annonet_tpu_native_{digest}"
+    )
+    so_path = os.path.join(cache_dir, "libannonet_native.so")
+    if not os.path.isfile(so_path):
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = so_path + f".build.{os.getpid()}"
+        cmd = [
+            "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+            "-o", tmp, _SOURCE,
+        ]
+        try:
+            subprocess.run(
+                cmd, check=True, capture_output=True, timeout=120
+            )
+            os.replace(tmp, so_path)
+        except (subprocess.SubprocessError, OSError) as e:
+            print(
+                f"annonet_tpu: native build failed ({e}); "
+                "using Python fallbacks",
+                file=sys.stderr,
+            )
+            return None
+    try:
+        lib = ctypes.CDLL(so_path)
+    except OSError:
+        return None
+
+    lib.annonet_label_connected_blobs.restype = ctypes.c_int32
+    lib.annonet_label_connected_blobs.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p,
+    ]
+    lib.annonet_extract_crop.restype = None
+    lib.annonet_extract_crop.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    return lib
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """The loaded native library, or None if unavailable/disabled."""
+    global _lib, _load_failed
+    if os.environ.get("ANNONET_TPU_NO_NATIVE"):
+        return None
+    if _lib is not None or _load_failed:
+        return _lib
+    with _lock:
+        if _lib is None and not _load_failed:
+            _lib = _build_and_load()
+            _load_failed = _lib is None
+    return _lib
+
+
+def label_connected_blobs_native(
+    labels: np.ndarray, zero_is_background: bool, ignore_is_background: bool
+) -> Optional[Tuple[np.ndarray, int]]:
+    """Native CCL; None when the native module is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    labels = np.ascontiguousarray(labels, dtype=np.uint16)
+    h, w = labels.shape
+    out = np.empty((h, w), dtype=np.int32)
+    count = lib.annonet_label_connected_blobs(
+        labels.ctypes.data, h, w,
+        1 if zero_is_background else 0,
+        1 if ignore_is_background else 0,
+        out.ctypes.data,
+    )
+    return out, int(count)
+
+
+def extract_crop_native(
+    image: np.ndarray,  # (H, W, C) uint8
+    labels: Optional[np.ndarray],  # (H, W) uint16 or None
+    top: int,
+    left: int,
+    crop_h: int,
+    crop_w: int,
+) -> Optional[Tuple[np.ndarray, Optional[np.ndarray]]]:
+    """Native crop + replicate/ignore padding; None when unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    image = np.ascontiguousarray(image, dtype=np.uint8)
+    h, w, ch = image.shape
+    out_image = np.empty((crop_h, crop_w, ch), dtype=np.uint8)
+    out_labels = None
+    labels_ptr = None
+    out_labels_ptr = None
+    if labels is not None:
+        labels = np.ascontiguousarray(labels, dtype=np.uint16)
+        out_labels = np.empty((crop_h, crop_w), dtype=np.uint16)
+        labels_ptr = labels.ctypes.data
+        out_labels_ptr = out_labels.ctypes.data
+    lib.annonet_extract_crop(
+        image.ctypes.data, labels_ptr, h, w, ch,
+        top, left, crop_h, crop_w,
+        out_image.ctypes.data, out_labels_ptr,
+    )
+    return out_image, out_labels

@@ -15,9 +15,9 @@ annonet_infer_main.cpp:217-218). Semantics reproduced:
     ``zero_and_ignored_pixels_are_background`` (0 or IGNORE_LABEL,
     annonet.h:26-37)
 
-The flood-fill itself runs in C (scipy.ndimage two-pass labeling) per
-distinct value, which is also how a future native module would slot in
-behind this exact function signature.
+The flood-fill runs in the native C++ module when available (one two-pass
+union-find sweep over all values at once, native/annonet_native.cpp) and
+falls back to scipy.ndimage per-value labeling otherwise.
 """
 
 from __future__ import annotations
@@ -44,6 +44,16 @@ def label_connected_blobs(
     can size per-blob vectors directly).
     """
     labels = np.asarray(label_image)
+
+    if labels.dtype == np.uint16:
+        from annonet_tpu.native import label_connected_blobs_native
+
+        native_result = label_connected_blobs_native(
+            labels, zero_is_background, ignore_is_background
+        )
+        if native_result is not None:
+            return native_result
+
     background = np.zeros(labels.shape, dtype=bool)
     if zero_is_background:
         background |= labels == 0

@@ -1,0 +1,167 @@
+// annonet_tpu native host runtime (C++17, plain C ABI for ctypes).
+//
+// TPU-native replacement for the host-side native code paths of the
+// reference (which got them from dlib): connected-component labeling
+// (dlib::label_connected_blobs call sites: /root/reference/
+// annonet_train_main.cpp:450, annonet_infer.cpp:217,
+// annonet_infer_main.cpp:217-218) and crop extraction with replicate /
+// ignore padding (extract_image_chip + outpaint,
+// annonet_train_main.cpp:160-177). The device compute path is JAX/XLA; this
+// module keeps the *host* side of the pipeline native too.
+//
+// Build: g++ -O3 -march=native -shared -fPIC -o libannonet_native.so
+//        annonet_native.cpp   (driven by annonet_tpu/native.py)
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+inline int32_t uf_find(std::vector<int32_t>& parent, int32_t x) {
+    while (parent[x] != x) {
+        parent[x] = parent[parent[x]];  // path halving
+        x = parent[x];
+    }
+    return x;
+}
+
+inline void uf_union(std::vector<int32_t>& parent, int32_t a, int32_t b) {
+    a = uf_find(parent, a);
+    b = uf_find(parent, b);
+    if (a < b) parent[b] = a; else if (b < a) parent[a] = b;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Label equal-valued 8-connected blobs of a uint16 label image.
+// Background pixels (value 0 if bg_zero, value 65535 if bg_ignore) get blob
+// id 0; returns the blob count = max id + 1 (dlib convention).
+// Two-pass raster union-find; single sweep over ALL values at once (the
+// Python/scipy fallback loops per distinct value).
+int32_t annonet_label_connected_blobs(
+    const uint16_t* labels,
+    int64_t h,
+    int64_t w,
+    int32_t bg_zero,
+    int32_t bg_ignore,
+    int32_t* out  // [h*w] provisional then final blob ids
+) {
+    const int64_t n = h * w;
+    std::vector<int32_t> parent;
+    parent.reserve(1024);
+    parent.push_back(0);  // id 0 = background
+
+    auto is_background = [&](uint16_t v) -> bool {
+        return (bg_zero && v == 0) || (bg_ignore && v == 0xFFFF);
+    };
+
+    for (int64_t r = 0; r < h; ++r) {
+        const uint16_t* row = labels + r * w;
+        const uint16_t* up = row - w;
+        int32_t* orow = out + r * w;
+        int32_t* oup = orow - w;
+        for (int64_t c = 0; c < w; ++c) {
+            const uint16_t v = row[c];
+            if (is_background(v)) {
+                orow[c] = 0;
+                continue;
+            }
+            int32_t label = 0;
+            // scan the four already-visited 8-neighbors with equal value
+            if (c > 0 && row[c - 1] == v) label = orow[c - 1];
+            if (r > 0) {
+                if (up[c] == v) {
+                    if (label) uf_union(parent, label, oup[c]);
+                    else label = oup[c];
+                }
+                if (c > 0 && up[c - 1] == v) {
+                    if (label) uf_union(parent, label, oup[c - 1]);
+                    else label = oup[c - 1];
+                }
+                if (c + 1 < w && up[c + 1] == v) {
+                    if (label) uf_union(parent, label, oup[c + 1]);
+                    else label = oup[c + 1];
+                }
+            }
+            if (!label) {
+                label = static_cast<int32_t>(parent.size());
+                parent.push_back(label);
+            }
+            orow[c] = label;
+        }
+    }
+
+    // flatten + renumber compactly (background stays 0)
+    std::vector<int32_t> remap(parent.size(), 0);
+    int32_t next_id = 1;
+    for (size_t i = 1; i < parent.size(); ++i) {
+        const int32_t root = uf_find(parent, static_cast<int32_t>(i));
+        if (remap[root] == 0) remap[root] = next_id++;
+        remap[i] = remap[root];
+    }
+    for (int64_t i = 0; i < n; ++i) {
+        out[i] = remap[out[i]];
+    }
+    return next_id;  // count = max label + 1
+}
+
+// Extract a crop rect [top..top+crop_h) x [left..left+crop_w) from an
+// (h, w, c) uint8 image with replicate padding outside the image, and from
+// an (h, w) uint16 label image with IGNORE (65535) outside.
+// Equivalent to extract_image_chip + outpaint + set_to_unknown_outside
+// (annonet_train_main.cpp:149-179) in one pass.
+void annonet_extract_crop(
+    const uint8_t* image,   // [h, w, ch]
+    const uint16_t* labels, // [h, w] (may be null)
+    int64_t h,
+    int64_t w,
+    int64_t ch,
+    int64_t top,
+    int64_t left,
+    int64_t crop_h,
+    int64_t crop_w,
+    uint8_t* out_image,     // [crop_h, crop_w, ch]
+    uint16_t* out_labels    // [crop_h, crop_w] (may be null)
+) {
+    for (int64_t r = 0; r < crop_h; ++r) {
+        int64_t sy = top + r;
+        const bool row_outside = sy < 0 || sy >= h;
+        if (sy < 0) sy = 0;
+        if (sy >= h) sy = h - 1;
+        const uint8_t* irow = image + sy * w * ch;
+        const uint16_t* lrow = labels ? labels + sy * w : nullptr;
+        uint8_t* orow = out_image + r * crop_w * ch;
+        uint16_t* olrow = out_labels ? out_labels + r * crop_w : nullptr;
+
+        // fast path: fully inside horizontally
+        if (left >= 0 && left + crop_w <= w) {
+            std::memcpy(orow, irow + left * ch,
+                        static_cast<size_t>(crop_w * ch));
+            if (olrow) {
+                if (row_outside) {
+                    for (int64_t c = 0; c < crop_w; ++c) olrow[c] = 0xFFFF;
+                } else {
+                    std::memcpy(olrow, lrow + left,
+                                static_cast<size_t>(crop_w) * sizeof(uint16_t));
+                }
+            }
+            continue;
+        }
+        for (int64_t c = 0; c < crop_w; ++c) {
+            int64_t sx = left + c;
+            const bool outside = row_outside || sx < 0 || sx >= w;
+            if (sx < 0) sx = 0;
+            if (sx >= w) sx = w - 1;
+            std::memcpy(orow + c * ch, irow + sx * ch,
+                        static_cast<size_t>(ch));
+            if (olrow) olrow[c] = outside ? 0xFFFF : lrow[sx];
+        }
+    }
+}
+
+int32_t annonet_native_abi_version() { return 1; }
+
+}  // extern "C"
