@@ -60,6 +60,7 @@ def _tiled_forward(
     tile_h: int,
     tile_w: int,
     forward_chunk: int,
+    with_detection: bool,
     mesh=None,
     mesh_axis: str = "batch",
 ):
@@ -116,6 +117,11 @@ def _tiled_forward(
     blended = acc / jnp.maximum(wsum, 1e-12)  # [Hp, Wp, K]
 
     labels = jnp.argmax(blended + gains, axis=-1).astype(jnp.int32)
+    # small class counts travel as uint8: host readback is 4x lighter
+    out_dtype = jnp.uint8 if k <= 255 else jnp.int32
+
+    if not with_detection:
+        return labels.astype(out_dtype)
 
     # detection seeds compare gain-free blended logits (annonet_infer.cpp:205-211)
     clean_output = blended[..., 0]
@@ -124,7 +130,7 @@ def _tiled_forward(
     seeds = (labels > 0) & (
         label_output - clean_output > label_level - detection_levels[0]
     )
-    return labels, seeds
+    return labels.astype(out_dtype), seeds
 
 
 class TiledInferer:
@@ -177,13 +183,14 @@ class TiledInferer:
             tile_count_bucket=self.tile_count_bucket,
         )
 
-    def _get_compiled(self, plan: TilePlan):
+    def _get_compiled(self, plan: TilePlan, with_detection: bool):
         key = (
             plan.padded_height,
             plan.padded_width,
             plan.tile_height,
             plan.tile_width,
             plan.bucketed_count,
+            with_detection,
         )
         fn = self._compiled.get(key)
         if fn is None:
@@ -197,6 +204,7 @@ class TiledInferer:
                     tile_h=plan.tile_height,
                     tile_w=plan.tile_width,
                     forward_chunk=chunk,
+                    with_detection=with_detection,
                     mesh=self.mesh,
                     mesh_axis=self.mesh_axis,
                 )
@@ -211,8 +219,14 @@ class TiledInferer:
         image: np.ndarray,  # (H, W, C) uint8
         gains: Optional[Sequence[float]] = None,
         detection_levels: Optional[Sequence[float]] = None,
-    ) -> Tuple[np.ndarray, np.ndarray]:
-        """Raw device pass: returns (labels int32 [H,W], seeds bool [H,W])."""
+        device_output: bool = False,
+    ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+        """Raw device pass: returns (labels [H,W], seeds [H,W] or None).
+
+        Seeds are produced only when any detection level is positive. With
+        ``device_output=True`` the (padded) results stay on device — for
+        benchmarking and pipelines that keep consuming on-device.
+        """
         h, w = image.shape[:2]
         if image.ndim != 3 or image.shape[2] != self.config.in_channels:
             raise ValueError(
@@ -229,6 +243,8 @@ class TiledInferer:
         )
         if gains_arr.shape != (k,) or det_arr.shape != (k,):
             raise ValueError(f"gains/detection levels must have length {k}")
+
+        with_detection = bool((det_arr > 0.0).any())
 
         plan = self.plan(h, w)
         # replicate-pad to the tile canvas (outpaint parity, annonet_infer.cpp:71-75)
@@ -248,8 +264,8 @@ class TiledInferer:
             plan.tile_height, plan.tile_width, plan.overlap_y, plan.overlap_x
         )
 
-        fn = self._get_compiled(plan)
-        labels, seeds = fn(
+        fn = self._get_compiled(plan, with_detection)
+        out = fn(
             self.params,
             jnp.asarray(padded),
             jnp.asarray(yx),
@@ -258,8 +274,12 @@ class TiledInferer:
             jnp.asarray(det_arr),
             jnp.asarray(ramp),
         )
-        labels = np.asarray(labels)[:h, :w]
-        seeds = np.asarray(seeds)[:h, :w]
+        labels, seeds = out if with_detection else (out, None)
+        if device_output:
+            return labels, seeds
+        labels = np.asarray(labels)[:h, :w].astype(np.int32)
+        if seeds is not None:
+            seeds = np.asarray(seeds)[:h, :w]
         return labels, seeds
 
 
@@ -278,10 +298,7 @@ def annonet_infer(
     """
     labels, seeds = inferer.infer_arrays(input_image, gains, detection_levels)
 
-    use_detection = detection_levels is not None and any(
-        v > 0.0 for v in detection_levels
-    )
-    if use_detection:
+    if seeds is not None:
         blobs, _count = label_connected_blobs(labels, zero_is_background=True)
         detected = np.unique(blobs[seeds]) if seeds.any() else np.empty(0, np.int32)
         keep = np.isin(blobs, detected)
