@@ -49,14 +49,15 @@ from annonet_tpu.ops.blobs import label_connected_blobs
 
 def _tiled_forward(
     params,
-    padded_image: jnp.ndarray,  # [Hp, Wp, C] uint8
-    tile_yx: jnp.ndarray,  # [n, 2] int32
-    tile_valid: jnp.ndarray,  # [n] float32 (0 for bucket-padding dummies)
+    image: jnp.ndarray,  # [H, W, C] uint8 (unpadded)
     gains: jnp.ndarray,  # [K] float32
     detection_levels: jnp.ndarray,  # [K] float32
     ramp: jnp.ndarray,  # [th, tw] float32
     *,
     config: SegNetConfig,
+    padded_h: int,
+    padded_w: int,
+    tile_yx: Tuple[Tuple[int, int], ...],  # STATIC tile positions
     tile_h: int,
     tile_w: int,
     forward_chunk: int,
@@ -64,16 +65,29 @@ def _tiled_forward(
     mesh=None,
     mesh_axis: str = "batch",
 ):
-    n = tile_yx.shape[0]
-    hp, wp, c = padded_image.shape
+    # Tile positions are a deterministic function of the compile key (padded
+    # canvas + tile shape + overlap), so they are baked in as constants:
+    # the gather and the blend below use STATIC slices XLA can fuse and
+    # schedule without dynamic-update-slice copies, and no bucket-padding
+    # dummy tiles are ever forwarded.
+    n = len(tile_yx)
+    h, w, c = image.shape
+    hp, wp = padded_h, padded_w
     k = config.class_count
 
-    def get_tile(yx):
-        return lax.dynamic_slice(
-            padded_image, (yx[0], yx[1], 0), (tile_h, tile_w, c)
-        )
+    # replicate-pad on device (outpaint parity, annonet_infer.cpp:71-75)
+    padded_image = jnp.pad(
+        image, ((0, hp - h), (0, wp - w), (0, 0)), mode="edge"
+    )
 
-    tiles = jax.vmap(get_tile)(tile_yx)  # [n, th, tw, C]
+    tiles = jnp.stack(
+        [
+            lax.slice(
+                padded_image, (y, x, 0), (y + tile_h, x + tile_w, c)
+            )
+            for (y, x) in tile_yx
+        ]
+    )  # [n, th, tw, C]
 
     if mesh is not None:
         # tile-parallel inference (the spatial analog of context/sequence
@@ -88,35 +102,32 @@ def _tiled_forward(
         logits = lax.with_sharding_constraint(
             logits, NamedSharding(mesh, P())
         )
-    else:
-        # single chip: chunk the batch so VMEM/HBM hold one chunk of
-        # activations at a time while the MXU stays on large batched convs
-        chunk = min(forward_chunk, n)
-        assert n % chunk == 0, "bucketed tile count must divide the chunk size"
-        tiles = tiles.reshape(n // chunk, chunk, tile_h, tile_w, c)
+    elif n > forward_chunk and n % forward_chunk == 0:
+        # chunk the batch so HBM holds one chunk of activations at a time
+        # while the MXU stays on large batched convs
+        tiles = tiles.reshape(n // forward_chunk, forward_chunk, tile_h, tile_w, c)
         logits = lax.map(
             lambda batch: apply_runtime(params, batch, config), tiles
         )  # [n/chunk, chunk, th, tw, K]
+    else:
+        logits = apply_runtime(params, tiles, config)
     logits = logits.reshape(n, tile_h, tile_w, k)
 
-    acc = jnp.zeros((hp, wp, k), jnp.float32)
-    wsum = jnp.zeros((hp, wp, 1), jnp.float32)
+    # blend in CHANNEL-FIRST layout: with K classes in the trailing (lane)
+    # dimension the VPU would run at K/128 lane utilization; as [K, H, W]
+    # planes the W dimension fills the lanes (annonet_infer.cpp keeps
+    # per-class planes too, for the host loops — here it's for the VPU)
+    weighted = jnp.transpose(logits, (0, 3, 1, 2)) * ramp[None, None]
+    acc = jnp.zeros((k, hp, wp), jnp.float32)
+    wsum = jnp.zeros((hp, wp), jnp.float32)
+    for i, (y, x) in enumerate(tile_yx):
+        acc = acc.at[:, y : y + tile_h, x : x + tile_w].add(weighted[i])
+        wsum = wsum.at[y : y + tile_h, x : x + tile_w].add(ramp)
+    blended = acc / jnp.maximum(wsum, 1e-12)[None]  # [K, Hp, Wp]
 
-    def body(carry, inputs):
-        acc, wsum = carry
-        tile_logits, yx, valid = inputs
-        w = (ramp * valid)[..., None]  # [th, tw, 1]
-        start = (yx[0], yx[1], 0)
-        acc_patch = lax.dynamic_slice(acc, start, (tile_h, tile_w, k))
-        acc = lax.dynamic_update_slice(acc, acc_patch + w * tile_logits, start)
-        ws_patch = lax.dynamic_slice(wsum, start, (tile_h, tile_w, 1))
-        wsum = lax.dynamic_update_slice(wsum, ws_patch + w, start)
-        return (acc, wsum), None
-
-    (acc, wsum), _ = lax.scan(body, (acc, wsum), (logits, tile_yx, tile_valid))
-    blended = acc / jnp.maximum(wsum, 1e-12)  # [Hp, Wp, K]
-
-    labels = jnp.argmax(blended + gains, axis=-1).astype(jnp.int32)
+    labels = jnp.argmax(
+        blended + gains[:, None, None], axis=0
+    ).astype(jnp.int32)
     # small class counts travel as uint8: host readback is 4x lighter
     out_dtype = jnp.uint8 if k <= 255 else jnp.int32
 
@@ -124,8 +135,8 @@ def _tiled_forward(
         return labels.astype(out_dtype)
 
     # detection seeds compare gain-free blended logits (annonet_infer.cpp:205-211)
-    clean_output = blended[..., 0]
-    label_output = jnp.take_along_axis(blended, labels[..., None], axis=-1)[..., 0]
+    clean_output = blended[0]
+    label_output = jnp.take_along_axis(blended, labels[None], axis=0)[0]
     label_level = detection_levels[labels]
     seeds = (labels > 0) & (
         label_output - clean_output > label_level - detection_levels[0]
@@ -184,23 +195,21 @@ class TiledInferer:
         )
 
     def _get_compiled(self, plan: TilePlan, with_detection: bool):
-        key = (
-            plan.padded_height,
-            plan.padded_width,
-            plan.tile_height,
-            plan.tile_width,
-            plan.bucketed_count,
-            with_detection,
-        )
+        # the tile layout is a pure function of the plan, so positions are
+        # compile-time constants
+        key = (plan, with_detection)
         fn = self._compiled.get(key)
         if fn is None:
             chunk = self.forward_chunk
-            while plan.bucketed_count % chunk:
+            while plan.tile_count % chunk:
                 chunk -= 1
             fn = jax.jit(
                 partial(
                     _tiled_forward,
                     config=self.config,
+                    padded_h=plan.padded_height,
+                    padded_w=plan.padded_width,
+                    tile_yx=plan.tile_yx,
                     tile_h=plan.tile_height,
                     tile_w=plan.tile_width,
                     forward_chunk=chunk,
@@ -247,19 +256,6 @@ class TiledInferer:
         with_detection = bool((det_arr > 0.0).any())
 
         plan = self.plan(h, w)
-        # replicate-pad to the tile canvas (outpaint parity, annonet_infer.cpp:71-75)
-        padded = np.pad(
-            image,
-            ((0, plan.padded_height - h), (0, plan.padded_width - w), (0, 0)),
-            mode="edge",
-        )
-
-        yx = np.zeros((plan.bucketed_count, 2), np.int32)
-        valid = np.zeros((plan.bucketed_count,), np.float32)
-        for i, (y, x) in enumerate(plan.tile_yx):
-            yx[i] = (y, x)
-            valid[i] = 1.0
-
         ramp = ramp_weights(
             plan.tile_height, plan.tile_width, plan.overlap_y, plan.overlap_x
         )
@@ -267,9 +263,7 @@ class TiledInferer:
         fn = self._get_compiled(plan, with_detection)
         out = fn(
             self.params,
-            jnp.asarray(padded),
-            jnp.asarray(yx),
-            jnp.asarray(valid),
+            jnp.asarray(image),
             jnp.asarray(gains_arr),
             jnp.asarray(det_arr),
             jnp.asarray(ramp),

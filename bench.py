@@ -8,11 +8,17 @@ numbers of its own — BASELINE.md).
 The scenario mirrors the reference's headline loop (annonet_infer per image,
 annonet_infer_main.cpp:466-480): a large RGB image is tiled, every tile is
 forwarded, the per-class outputs are overlap-blended and argmaxed into a
-label map. The host->device image upload is included each iteration; the
-label map stays ON DEVICE (block_until_ready) — the dev harness reaches the
-chip through a tunnel whose ~1 MB/s download path is an artifact of the
-harness, not of the chip or any production host interface, so reading the
-labels back would benchmark the tunnel instead of the TPU.
+label map on device.
+
+Timing methodology (required on this dev harness, where the chip sits
+behind a tunnel): jax.block_until_ready does NOT actually block on the
+axon platform and bulk downloads crawl at ~1 MB/s, so neither
+block-until-ready loops nor full-label readbacks measure the chip. Instead
+N iterations are enqueued back-to-back (they serialize on the single
+device) and ONE tiny scalar that depends on the final label map is read
+back; the separately-measured scalar round-trip latency is subtracted.
+Calibration: the same scheme reproduces ~187 TFLOP/s on an 8192^3 bf16
+matmul chain (v5e peak ~197), so the subtraction is sound.
 """
 
 from __future__ import annotations
@@ -65,20 +71,34 @@ def main() -> None:
     )
     inferer = TiledInferer(runtime_params, config, tiling)
 
+    import jax.numpy as jnp
+
     rng = np.random.default_rng(0)
     image = rng.integers(
         0, 256, size=(args.image_size, args.image_size, 3), dtype=np.uint8
     )
 
+    def sync_scalar(arr) -> float:
+        """Force completion of everything queued before arr."""
+        return float(jnp.max(arr).astype(jnp.int32))
+
     # warm-up (compile), like the reference's excluded first image
     labels, _ = inferer.infer_arrays(image, device_output=True)
-    jax.block_until_ready(labels)
+    sync_scalar(labels)
+
+    # measure the scalar-readback round trip to subtract it
+    trivial = jax.jit(lambda a: a[0, 0].astype(jnp.int32))
+    float(trivial(labels))
+    t0 = time.monotonic()
+    for _ in range(3):
+        float(trivial(labels))
+    rtt = (time.monotonic() - t0) / 3
 
     t0 = time.monotonic()
     for _ in range(args.iters):
         labels, _ = inferer.infer_arrays(image, device_output=True)
-        jax.block_until_ready(labels)
-    elapsed = time.monotonic() - t0
+    sync_scalar(labels)
+    elapsed = max(1e-9, time.monotonic() - t0 - rtt)
     assert labels.shape[0] >= image.shape[0]
 
     megapixels = args.image_size * args.image_size * args.iters / 1e6
