@@ -48,6 +48,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Model artifact path (reference name: annonet.dnn)")
     p.add_argument("--device", "--primary-cuda-device", dest="device",
                    type=int, default=None, help="Device (TPU core) index")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="Capture a jax.profiler trace of the inference loop")
     return p
 
 
@@ -178,6 +180,10 @@ def main(argv=None) -> int:
     for t in writers:
         t.start()
 
+    from annonet_tpu.utils import profiler_trace, set_low_priority
+
+    set_low_priority()  # annonet_infer_main.cpp:375
+
     confusion_matrix_per_pixel = new_confusion_matrix(len(anno_classes))
     confusion_matrix_per_region = new_confusion_matrix(len(anno_classes))
     ground_truth_count = 0
@@ -187,6 +193,8 @@ def main(argv=None) -> int:
     total_inference_excl_first = 0.0
     max_inference_excl_first = 0.0
 
+    profile_ctx = profiler_trace(args.profile)
+    profile_ctx.__enter__()
     for i in range(len(files)):
         print(f"\rProcessing image {i + 1} of {len(files)}...",
               end="", flush=True)
@@ -224,6 +232,7 @@ def main(argv=None) -> int:
             )
         )
 
+    profile_ctx.__exit__(None, None, None)
     t1 = time.monotonic()
     print(f"\nAll {len(files)} images processed in {t1 - t0:.3f} seconds!"
           f" (actual inference: {total_inference:.6f} seconds)")

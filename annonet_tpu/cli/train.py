@@ -89,6 +89,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Model artifact path (reference name: annonet.dnn)")
     p.add_argument("--sync-file", default="annonet_trainer_state_file.dat")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="Capture a jax.profiler trace of the training loop")
     return p
 
 
@@ -233,6 +235,9 @@ def main(argv=None) -> int:
         )
 
     print("\nNow training...")
+    from annonet_tpu.utils import profiler_trace, set_low_priority
+
+    set_low_priority()  # annonet_train_main.cpp:514
     warnings_already_printed = set()
     minibatch = 0
     return_value = 0
@@ -251,25 +256,26 @@ def main(argv=None) -> int:
         seed=args.seed,
     ) as pipe:
         try:
-            while True:
-                if trainer.learning_rate < args.min_learning_rate:
-                    break
-                if (
-                    args.max_total_steps is not None
-                    and minibatch >= args.max_total_steps
-                ):
-                    break
-                images, labels = pipe.next_minibatch(
-                    args.minibatch_size,
-                    warn=None if args.no_empty_label_image_warning else print,
-                    warnings_already_printed=warnings_already_printed,
-                )
-                trainer.train_step_crops(
-                    images, labels, crop_options, seed=args.seed
-                )
-                if minibatch % args.save_interval == 0:
-                    save_inference_net()
-                minibatch += 1
+            with profiler_trace(args.profile):
+                while True:
+                    if trainer.learning_rate < args.min_learning_rate:
+                        break
+                    if (
+                        args.max_total_steps is not None
+                        and minibatch >= args.max_total_steps
+                    ):
+                        break
+                    images, labels = pipe.next_minibatch(
+                        args.minibatch_size,
+                        warn=None if args.no_empty_label_image_warning else print,
+                        warnings_already_printed=warnings_already_printed,
+                    )
+                    trainer.train_step_crops(
+                        images, labels, crop_options, seed=args.seed
+                    )
+                    if minibatch % args.save_interval == 0:
+                        save_inference_net()
+                    minibatch += 1
         except Exception as e:  # noqa: BLE001 — parity: print and exit 2
             print(e)
             return 2
