@@ -91,6 +91,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="Capture a jax.profiler trace of the training loop")
+    p.add_argument("--remat", action="store_true",
+                   help="Rematerialize activations in the backward pass "
+                        "(fits larger minibatches; ~1/3 more compute)")
     return p
 
 
@@ -184,6 +187,7 @@ def main(argv=None) -> int:
             round(relative_training_length * 400)
         ),
         bn_stats_window=int(round(relative_training_length * 100)),
+        remat=args.remat,
         sync_file=args.sync_file,
         sync_interval_seconds=600.0,
         verbose=True,

@@ -298,6 +298,7 @@ def apply_train(
     config: SegNetConfig,
     bn_momentum: float = 0.99,
     axis_name=None,
+    remat: bool = False,
 ) -> Tuple[jnp.ndarray, Params]:
     """Training forward pass: batch-stat BN, returns (logits f32, new stats).
 
@@ -305,22 +306,31 @@ def apply_train(
     (SetAllBatchNormalizationRunningStatsWindowSizes,
     annonet_train_main.cpp:410): momentum = 1 - 1/window. ``axis_name``
     enables cross-replica BN statistics under shard_map (see _bn_train).
+    ``remat`` rematerializes each conv+BN+ReLU unit in the backward pass
+    (jax.checkpoint), trading ~1/3 more FLOPs for activation memory — this
+    is what lets the batch-size autotuner reach large minibatches.
     """
     _check_input(x_uint8, config)
     dtype = jnp.dtype(config.compute_dtype)
     L = config.level_count
     new_stats: Params = {k: dict(v) for k, v in bn_stats.items()}
 
+    def unit(x, p, bn, name, stride):
+        if name == "bnu":
+            h = _conv_transpose(x, p, dtype)
+        else:
+            h = _conv(x, p, stride, dtype)
+        h, mean, var = _bn_train(h, bn, axis_name)
+        return jnp.maximum(h, 0.0).astype(dtype), mean, var
+
+    if remat:
+        unit = jax.checkpoint(unit, static_argnums=(3, 4))
+
     def block(x, p, s, names, strides):
         for name, stride in zip(names, strides):
             conv_name = "up" if name == "bnu" else name.replace("bn", "conv")
-            if name == "bnu":
-                h = _conv_transpose(x, p[conv_name], dtype)
-            else:
-                h = _conv(x, p[conv_name], stride, dtype)
-            h, mean, var = _bn_train(h, p[name], axis_name)
+            x, mean, var = unit(x, p[conv_name], p[name], name, stride)
             s[name] = _bn_update(s[name], mean, var, bn_momentum)
-            x = jnp.maximum(h, 0.0).astype(dtype)
         return x
 
     x = _normalize_input(x_uint8, dtype)

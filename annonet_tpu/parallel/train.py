@@ -62,6 +62,7 @@ def make_dp_train_step(
             model_config,
             bn_momentum=bn_momentum,
             axis_name=axis,  # sync BN over the mesh
+            remat=trainer_config.remat,
         )
         loss = weighted_pixel_cross_entropy(logits, labels, weights)
         # all-reduce the loss BEFORE differentiation: with sync BN the loss

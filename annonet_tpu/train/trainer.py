@@ -61,6 +61,7 @@ class TrainerConfig:
     bn_stats_window: int = 200  # rel_training_len*100
     momentum: float = 0.9
     weight_decay: float = 0.0005
+    remat: bool = False  # rematerialize conv units in backward (memory saver)
     sync_file: Optional[str] = None
     sync_interval_seconds: float = 600.0
     verbose: bool = False
@@ -82,7 +83,12 @@ def make_train_step(
 
     def loss_fn(params, bn_stats, images, labels, weights):
         logits, new_stats = apply_train(
-            params, bn_stats, images, model_config, bn_momentum=bn_momentum
+            params,
+            bn_stats,
+            images,
+            model_config,
+            bn_momentum=bn_momentum,
+            remat=trainer_config.remat,
         )
         loss = weighted_pixel_cross_entropy(logits, labels, weights)
         return loss, new_stats

@@ -1,0 +1,62 @@
+"""Batch-size autotuner search logic (find_max_mini-batch_size.cmd port)."""
+
+from annonet_tpu.cli import autotune
+
+
+def searcher(max_working):
+    """Simulate a device where sizes <= max_working pass."""
+    calls = []
+
+    def fake_probe(size, args):
+        calls.append(size)
+        return size <= max_working
+
+    return fake_probe, calls
+
+
+def test_search_finds_exact_boundary(monkeypatch):
+    for boundary in [1, 7, 100, 137, 400, 1000]:
+        fake_probe, calls = searcher(boundary)
+        monkeypatch.setattr(autotune, "probe", fake_probe)
+        found = autotune.find_max_minibatch_size([], start=100)
+        assert found == boundary, (boundary, found, calls)
+
+
+def test_search_raises_when_nothing_works(monkeypatch):
+    fake_probe, _ = searcher(0)
+    monkeypatch.setattr(autotune, "probe", fake_probe)
+    import pytest
+
+    with pytest.raises(RuntimeError):
+        autotune.find_max_minibatch_size([], start=100)
+
+
+def test_remat_matches_no_remat():
+    """Remat must not change the computed update, only the schedule."""
+    import jax
+    import numpy as np
+
+    from annonet_tpu.data.crop import CropOptions
+    from annonet_tpu.models.segnet import SegNetConfig
+    from annonet_tpu.train.trainer import Trainer, TrainerConfig
+
+    mc = SegNetConfig(
+        class_count=2, level_count=1, base_width=4, compute_dtype="float32"
+    )
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 256, size=(2, 16, 16, 3), dtype=np.uint8)
+    labels = rng.integers(0, 2, size=(2, 16, 16)).astype(np.uint16)
+    opts = CropOptions(dim=16)
+
+    plain = Trainer(mc, TrainerConfig(initial_learning_rate=0.01), seed=0)
+    remat = Trainer(
+        mc, TrainerConfig(initial_learning_rate=0.01, remat=True), seed=0
+    )
+    loss_plain = plain.train_step_crops(images, labels, opts)
+    loss_remat = remat.train_step_crops(images, labels, opts)
+    assert np.isclose(loss_plain, loss_remat, rtol=1e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(plain.params),
+        jax.tree_util.tree_leaves(remat.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
