@@ -132,3 +132,45 @@ def test_cli_train_then_infer_round_trip(tmp_path, capsys):
         assert result_path.exists()
         rgba = np.asarray(Image.open(result_path))
         assert rgba.shape == (48, 48, 4)
+
+
+@pytest.mark.slow
+def test_cli_downscaling_factor_round_trip(tmp_path, capsys):
+    """The downscaling factor persisted at train time is applied at
+    inference and results are upscaled back to the original size
+    (annonet_train_main.cpp:564, annonet_infer_main.cpp:398,413)."""
+    from annonet_tpu.cli.infer import main as infer_main
+    from annonet_tpu.cli.train import main as train_main
+
+    write_synthetic_dataset(tmp_path, n_images=2, size=64)
+    model_path = str(tmp_path / "annonet.dnn")
+
+    rc = train_main(
+        [
+            str(tmp_path),
+            "-d", "2",
+            "--max-total-steps", "3",
+            "-b", "2",
+            "--level-count", "1",
+            "--net-width-scaler", "0.25",
+            "--input-dimension-multiplier", "1.0",
+            "--data-loader-thread-count", "1",
+            "--output", model_path,
+            "--sync-file", str(tmp_path / "sync.dat"),
+        ]
+    )
+    assert rc == 0
+
+    from annonet_tpu import serialization
+
+    _, _, _, factor = serialization.load_model(model_path)
+    assert factor == 2.0
+
+    rc = infer_main([str(tmp_path), "--model", model_path])
+    assert rc == 0
+    capsys.readouterr()
+
+    from PIL import Image
+
+    rgba = np.asarray(Image.open(tmp_path / "img0.png_result.png"))
+    assert rgba.shape == (64, 64, 4)  # upscaled back to original size
