@@ -41,6 +41,7 @@ from annonet_tpu.models.segnet import (
 from annonet_tpu.infer.tiling import (
     TilePlan,
     TilingParameters,
+    inverse_weight_sum,
     plan_tiles,
     ramp_weights,
 )
@@ -53,6 +54,7 @@ def _tiled_forward(
     gains: jnp.ndarray,  # [K] float32
     detection_levels: jnp.ndarray,  # [K] float32
     ramp: jnp.ndarray,  # [th, tw] float32
+    inv_wsum: jnp.ndarray,  # [Hp, Wp] float32 (per-plan constant)
     *,
     config: SegNetConfig,
     padded_h: int,
@@ -116,14 +118,13 @@ def _tiled_forward(
     # blend in CHANNEL-FIRST layout: with K classes in the trailing (lane)
     # dimension the VPU would run at K/128 lane utilization; as [K, H, W]
     # planes the W dimension fills the lanes (annonet_infer.cpp keeps
-    # per-class planes too, for the host loops — here it's for the VPU)
+    # per-class planes too, for the host loops — here it's for the VPU).
+    # The denominator (inv_wsum) is a per-plan constant computed on host.
     weighted = jnp.transpose(logits, (0, 3, 1, 2)) * ramp[None, None]
     acc = jnp.zeros((k, hp, wp), jnp.float32)
-    wsum = jnp.zeros((hp, wp), jnp.float32)
     for i, (y, x) in enumerate(tile_yx):
         acc = acc.at[:, y : y + tile_h, x : x + tile_w].add(weighted[i])
-        wsum = wsum.at[y : y + tile_h, x : x + tile_w].add(ramp)
-    blended = acc / jnp.maximum(wsum, 1e-12)[None]  # [K, Hp, Wp]
+    blended = acc * inv_wsum[None]  # [K, Hp, Wp]
 
     labels = jnp.argmax(
         blended + gains[:, None, None], axis=0
@@ -182,6 +183,7 @@ class TiledInferer:
                 lcm += self.tile_count_bucket
             self.tile_count_bucket = lcm
         self._compiled: Dict[Tuple, object] = {}
+        self._plan_constants: Dict[TilePlan, Tuple] = {}
 
     # ------------------------------------------------------------- planning
 
@@ -256,9 +258,20 @@ class TiledInferer:
         with_detection = bool((det_arr > 0.0).any())
 
         plan = self.plan(h, w)
-        ramp = ramp_weights(
-            plan.tile_height, plan.tile_width, plan.overlap_y, plan.overlap_x
-        )
+        constants = self._plan_constants.get(plan)
+        if constants is None:
+            ramp = jnp.asarray(
+                ramp_weights(
+                    plan.tile_height,
+                    plan.tile_width,
+                    plan.overlap_y,
+                    plan.overlap_x,
+                )
+            )
+            inv_wsum = jnp.asarray(inverse_weight_sum(plan))
+            constants = (ramp, inv_wsum)
+            self._plan_constants[plan] = constants
+        ramp, inv_wsum = constants
 
         fn = self._get_compiled(plan, with_detection)
         out = fn(
@@ -266,7 +279,8 @@ class TiledInferer:
             jnp.asarray(image),
             jnp.asarray(gains_arr),
             jnp.asarray(det_arr),
-            jnp.asarray(ramp),
+            ramp,
+            inv_wsum,
         )
         labels, seeds = out if with_detection else (out, None)
         if device_output:

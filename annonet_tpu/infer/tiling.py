@@ -136,3 +136,20 @@ def ramp_weights(tile_h: int, tile_w: int, overlap_y: int, overlap_x: int) -> np
         )
 
     return ramp(tile_h, overlap_y)[:, None] * ramp(tile_w, overlap_x)[None, :]
+
+
+def inverse_weight_sum(plan: TilePlan) -> np.ndarray:
+    """Precomputed 1 / sum-of-ramps over the padded canvas.
+
+    The blend denominator depends only on the tile layout, not on the image
+    content, so it is computed ONCE per plan on the host instead of being
+    accumulated on device for every image (saves one full-canvas
+    read-modify-write chain per inference).
+    """
+    ramp = ramp_weights(
+        plan.tile_height, plan.tile_width, plan.overlap_y, plan.overlap_x
+    )
+    wsum = np.zeros((plan.padded_height, plan.padded_width), np.float64)
+    for y, x in plan.tile_yx:
+        wsum[y : y + plan.tile_height, x : x + plan.tile_width] += ramp
+    return (1.0 / np.maximum(wsum, 1e-12)).astype(np.float32)
