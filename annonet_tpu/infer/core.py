@@ -64,6 +64,7 @@ def _tiled_forward(
     tile_w: int,
     forward_chunk: int,
     with_detection: bool,
+    use_pallas_blend: bool = False,
     mesh=None,
     mesh_axis: str = "batch",
 ):
@@ -120,10 +121,23 @@ def _tiled_forward(
     # planes the W dimension fills the lanes (annonet_infer.cpp keeps
     # per-class planes too, for the host loops — here it's for the VPU).
     # The denominator (inv_wsum) is a per-plan constant computed on host.
-    weighted = jnp.transpose(logits, (0, 3, 1, 2)) * ramp[None, None]
-    acc = jnp.zeros((k, hp, wp), jnp.float32)
-    for i, (y, x) in enumerate(tile_yx):
-        acc = acc.at[:, y : y + tile_h, x : x + tile_w].add(weighted[i])
+    logits_cf = jnp.transpose(logits, (0, 3, 1, 2))
+    if use_pallas_blend:
+        from annonet_tpu.ops.pallas_blend import blend_accumulate
+
+        acc = blend_accumulate(
+            logits_cf,
+            jnp.asarray(np.array(tile_yx, np.int32)),
+            ramp,
+            padded_h=hp,
+            padded_w=wp,
+            interpret=jax.default_backend() != "tpu",
+        )
+    else:
+        weighted = logits_cf * ramp[None, None]
+        acc = jnp.zeros((k, hp, wp), jnp.float32)
+        for i, (y, x) in enumerate(tile_yx):
+            acc = acc.at[:, y : y + tile_h, x : x + tile_w].add(weighted[i])
     blended = acc * inv_wsum[None]  # [K, Hp, Wp]
 
     labels = jnp.argmax(
@@ -160,6 +174,7 @@ class TiledInferer:
         tiling: Optional[TilingParameters] = None,
         forward_chunk: int = 8,
         tile_count_bucket: int = 8,
+        use_pallas_blend: bool = False,
         mesh=None,
         mesh_axis: str = "batch",
     ):
@@ -173,6 +188,7 @@ class TiledInferer:
         self.tiling = tiling
         self.forward_chunk = max(1, forward_chunk)
         self.tile_count_bucket = max(1, tile_count_bucket)
+        self.use_pallas_blend = use_pallas_blend
         self.mesh = mesh
         self.mesh_axis = mesh_axis
         if mesh is not None:
@@ -216,6 +232,7 @@ class TiledInferer:
                     tile_w=plan.tile_width,
                     forward_chunk=chunk,
                     with_detection=with_detection,
+                    use_pallas_blend=self.use_pallas_blend,
                     mesh=self.mesh,
                     mesh_axis=self.mesh_axis,
                 )

@@ -109,6 +109,19 @@ def test_single_vs_multi_tile_interior_match():
     assert agree > 0.99, f"only {agree:.4f} agreement between tilings"
 
 
+def test_pallas_blend_path_matches_default():
+    config = small_config()
+    params = runtime_net(config)
+    rng = np.random.default_rng(5)
+    image = rng.integers(0, 256, size=(80, 96, 3), dtype=np.uint8)
+    tiling = TilingParameters(48, 48, 8, 8)
+    default = TiledInferer(params, config, tiling)
+    pallas = TiledInferer(params, config, tiling, use_pallas_blend=True)
+    np.testing.assert_array_equal(
+        annonet_infer(default, image), annonet_infer(pallas, image)
+    )
+
+
 def test_gains_shift_argmax():
     config = small_config()
     params = runtime_net(config)
