@@ -94,6 +94,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--remat", action="store_true",
                    help="Rematerialize activations in the backward pass "
                         "(fits larger minibatches; ~1/3 more compute)")
+    p.add_argument("--loss-sync-interval", type=int, default=8,
+                   help="Read device losses back every N steps (1 = block "
+                        "per step like the reference; larger overlaps host "
+                        "data prep with device compute)")
     return p
 
 
@@ -188,6 +192,7 @@ def main(argv=None) -> int:
         ),
         bn_stats_window=int(round(relative_training_length * 100)),
         remat=args.remat,
+        loss_sync_interval=max(1, args.loss_sync_interval),
         sync_file=args.sync_file,
         sync_interval_seconds=600.0,
         verbose=True,

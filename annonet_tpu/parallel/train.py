@@ -200,8 +200,4 @@ class DataParallelTrainer(Trainer):
             images_dev,
             labels_dev,
         )
-        loss_value = float(loss)
-        self.step_count += 1
-        self._record_loss(loss_value)
-        self._maybe_sync()
-        return loss_value
+        return self._finish_step(loss)

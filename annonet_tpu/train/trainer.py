@@ -62,6 +62,11 @@ class TrainerConfig:
     momentum: float = 0.9
     weight_decay: float = 0.0005
     remat: bool = False  # rematerialize conv units in backward (memory saver)
+    # Device losses are read back in batches of this size: with 1 every step
+    # blocks on the device (reference-like); larger values let the host
+    # prepare the next minibatches while steps are in flight, at the cost of
+    # the plateau detector seeing losses up to that many steps late.
+    loss_sync_interval: int = 1
     sync_file: Optional[str] = None
     sync_interval_seconds: float = 600.0
     verbose: bool = False
@@ -185,6 +190,7 @@ class Trainer:
         self.learning_rate = trainer_config.initial_learning_rate
         self.step_count = 0
         self.previous_loss_values: list = []
+        self._pending_losses: list = []
         self.steps_without_progress = 0
         self._last_sync = time.monotonic()
         self._step_fn = jax.jit(make_train_step(model_config, trainer_config))
@@ -216,11 +222,7 @@ class Trainer:
             jnp.asarray(labels.astype(np.int32)),
             jnp.asarray(weights),
         )
-        loss_value = float(loss)
-        self.step_count += 1
-        self._record_loss(loss_value)
-        self._maybe_sync()
-        return loss_value
+        return self._finish_step(loss)
 
     def train_step_crops(
         self,
@@ -250,11 +252,33 @@ class Trainer:
             jnp.asarray(images),
             jnp.asarray(labels.astype(np.int32)),
         )
-        loss_value = float(loss)
+        return self._finish_step(loss)
+
+    def _finish_step(self, loss) -> Optional[float]:
+        """Book-keep one dispatched step. Returns the loss as a float when
+        loss_sync_interval == 1 (blocking, reference behavior); with larger
+        intervals losses are pulled in batches and None is returned."""
         self.step_count += 1
-        self._record_loss(loss_value)
+        if self.config.loss_sync_interval <= 1:
+            loss_value = float(loss)
+            self._record_loss(loss_value)
+            self._maybe_sync()
+            return loss_value
+        self._pending_losses.append(loss)
+        if len(self._pending_losses) >= self.config.loss_sync_interval:
+            self.flush_losses()
+        return None
+
+    def flush_losses(self) -> None:
+        """Pull all pending device losses to the host and run the plateau
+        logic on them, in order."""
+        if not self._pending_losses:
+            return
+        values = np.asarray(jnp.stack(self._pending_losses)).tolist()
+        self._pending_losses = []
+        for value in values:
+            self._record_loss(float(value))
         self._maybe_sync()
-        return loss_value
 
     def _record_loss(self, loss_value: float) -> None:
         self.previous_loss_values.append(loss_value)
@@ -304,6 +328,7 @@ class Trainer:
         }
 
     def save_sync_file(self, path: Optional[str] = None) -> None:
+        self.flush_losses()
         path = path or self.config.sync_file
         if not path:
             return

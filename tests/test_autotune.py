@@ -31,6 +31,41 @@ def test_search_raises_when_nothing_works(monkeypatch):
         autotune.find_max_minibatch_size([], start=100)
 
 
+def test_deferred_loss_sync_matches_blocking():
+    """loss_sync_interval > 1 must record the same losses, just later."""
+    import numpy as np
+
+    from annonet_tpu.data.crop import CropOptions
+    from annonet_tpu.models.segnet import SegNetConfig
+    from annonet_tpu.train.trainer import Trainer, TrainerConfig
+
+    mc = SegNetConfig(
+        class_count=2, level_count=1, base_width=4, compute_dtype="float32"
+    )
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 256, size=(2, 16, 16, 3), dtype=np.uint8)
+    labels = rng.integers(0, 2, size=(2, 16, 16)).astype(np.uint16)
+    opts = CropOptions(dim=16)
+
+    blocking = Trainer(mc, TrainerConfig(initial_learning_rate=0.01), seed=0)
+    deferred = Trainer(
+        mc,
+        TrainerConfig(initial_learning_rate=0.01, loss_sync_interval=4),
+        seed=0,
+    )
+    block_losses = [
+        blocking.train_step_crops(images, labels, opts) for _ in range(6)
+    ]
+    for _ in range(6):
+        assert deferred.train_step_crops(images, labels, opts) is None
+    # 4 flushed automatically; flush the rest
+    deferred.flush_losses()
+    np.testing.assert_allclose(
+        deferred.previous_loss_values, block_losses, rtol=1e-6
+    )
+    assert deferred.step_count == blocking.step_count == 6
+
+
 def test_remat_matches_no_remat():
     """Remat must not change the computed update, only the schedule."""
     import jax
