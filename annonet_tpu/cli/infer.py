@@ -50,6 +50,10 @@ def build_parser() -> argparse.ArgumentParser:
                    type=int, default=None, help="Device (TPU core) index")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="Capture a jax.profiler trace of the inference loop")
+    p.add_argument("--pipeline-depth", type=int, default=2,
+                   help="Images in flight on the device: the next image is "
+                        "dispatched before the current result is read back "
+                        "(1 = fully sequential like the reference)")
     return p
 
 
@@ -72,7 +76,7 @@ def main(argv=None) -> int:
     from annonet_tpu.data.codec import index_label_image_to_rgba_label_image
     from annonet_tpu.data.dataset import find_image_files
     from annonet_tpu.data.sample import read_sample, resize_label_image
-    from annonet_tpu.infer.core import TiledInferer, annonet_infer
+    from annonet_tpu.infer.core import TiledInferer, detection_veto
     from annonet_tpu.infer.evaluation import (
         format_confusion_matrix,
         new_confusion_matrix,
@@ -195,21 +199,41 @@ def main(argv=None) -> int:
 
     profile_ctx = profiler_trace(args.profile)
     profile_ctx.__enter__()
-    for i in range(len(files)):
-        print(f"\rProcessing image {i + 1} of {len(files)}...",
-              end="", flush=True)
+
+    # The device pipeline: the next image's tiled forward is dispatched
+    # before the previous image's labels are read back, so device compute
+    # overlaps the host's readback/blob-veto/confusion work. Depth 1
+    # reproduces the reference's strictly sequential loop
+    # (annonet_infer_main.cpp:440-494).
+    import collections
+
+    in_flight = collections.deque()
+    pipeline_depth = max(1, args.pipeline_depth)
+    completed = 0
+
+    def dispatch_one():
         sample = read_results.get()
         if sample.error:
             raise RuntimeError(sample.error)
-
-        ti0 = time.monotonic()
-        result = annonet_infer(
-            inferer, sample.input_image, gains, detection_levels
+        t_start = time.monotonic()
+        labels_dev, seeds_dev = inferer.infer_arrays(
+            sample.input_image, gains, detection_levels, device_output=True
         )
-        ti1 = time.monotonic()
-        duration = ti1 - ti0
+        in_flight.append((sample, labels_dev, seeds_dev, t_start))
+
+    def complete_one(index):
+        nonlocal total_inference, total_inference_excl_first
+        nonlocal max_inference_excl_first, ground_truth_count
+        sample, labels_dev, seeds_dev, t_start = in_flight.popleft()
+        h, w = sample.input_image.shape[:2]
+        labels = np.asarray(labels_dev)[:h, :w].astype(np.int32)
+        seeds = (
+            np.asarray(seeds_dev)[:h, :w] if seeds_dev is not None else None
+        )
+        result = detection_veto(labels, seeds)
+        duration = time.monotonic() - t_start
         total_inference += duration
-        if i > 0:
+        if index > 0:
             total_inference_excl_first += duration
             max_inference_excl_first = max(max_inference_excl_first, duration)
 
@@ -231,6 +255,17 @@ def main(argv=None) -> int:
                 result,
             )
         )
+
+    for i in range(len(files)):
+        print(f"\rProcessing image {i + 1} of {len(files)}...",
+              end="", flush=True)
+        dispatch_one()
+        if len(in_flight) >= pipeline_depth:
+            complete_one(completed)
+            completed += 1
+    while in_flight:
+        complete_one(completed)
+        completed += 1
 
     profile_ctx.__exit__(None, None, None)
     t1 = time.monotonic()

@@ -41,10 +41,15 @@ from annonet_tpu.models.segnet import (
 from annonet_tpu.infer.tiling import (
     TilePlan,
     TilingParameters,
+    bucket_dim,
     inverse_weight_sum,
     plan_tiles,
     ramp_weights,
 )
+
+# images are padded up to compile buckets before tracing, so nearby image
+# sizes share compiled programs (see tiling.bucket_dim)
+_CANVAS_BUCKET = 128
 from annonet_tpu.ops.blobs import label_connected_blobs
 
 
@@ -210,12 +215,22 @@ class TiledInferer:
             self.config,
             self.tiling,
             tile_count_bucket=self.tile_count_bucket,
+            canvas_bucket=_CANVAS_BUCKET,
         )
 
     def _get_compiled(self, plan: TilePlan, with_detection: bool):
-        # the tile layout is a pure function of the plan, so positions are
-        # compile-time constants
-        key = (plan, with_detection)
+        # the tile layout is a pure function of the canvas/tile geometry, so
+        # positions are compile-time constants; the key deliberately
+        # excludes the raw image size — inputs arrive bucket-padded, so all
+        # images sharing a bucket share one compiled program
+        key = (
+            plan.padded_height,
+            plan.padded_width,
+            plan.tile_height,
+            plan.tile_width,
+            plan.tile_yx,
+            with_detection,
+        )
         fn = self._compiled.get(key)
         if fn is None:
             chunk = self.forward_chunk
@@ -275,6 +290,15 @@ class TiledInferer:
         with_detection = bool((det_arr > 0.0).any())
 
         plan = self.plan(h, w)
+        # host-side replicate pad up to the canvas bucket (<= bucket-1 rows/
+        # cols); the device pads the remainder for the small-image case.
+        # All images in a bucket then trace with the same input shape.
+        h_b = min(bucket_dim(h, _CANVAS_BUCKET), plan.padded_height)
+        w_b = min(bucket_dim(w, _CANVAS_BUCKET), plan.padded_width)
+        if (h_b, w_b) != (h, w):
+            image = np.pad(
+                image, ((0, h_b - h), (0, w_b - w), (0, 0)), mode="edge"
+            )
         constants = self._plan_constants.get(plan)
         if constants is None:
             ramp = jnp.asarray(
@@ -322,11 +346,16 @@ def annonet_infer(
     reset to background (:217-238).
     """
     labels, seeds = inferer.infer_arrays(input_image, gains, detection_levels)
+    return detection_veto(labels, seeds)
 
+
+def detection_veto(labels: np.ndarray, seeds: Optional[np.ndarray]) -> np.ndarray:
+    """Host post-pass: reset non-background blobs without a detection seed
+    (annonet_infer.cpp:217-238). No-op when seeds is None (no detection
+    levels active). Returns the final uint16 label map."""
     if seeds is not None:
         blobs, _count = label_connected_blobs(labels, zero_is_background=True)
         detected = np.unique(blobs[seeds]) if seeds.any() else np.empty(0, np.int32)
         keep = np.isin(blobs, detected)
         labels = np.where((blobs > 0) & ~keep, 0, labels)
-
     return labels.astype(np.uint16)

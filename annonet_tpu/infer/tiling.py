@@ -86,23 +86,42 @@ def _round_up(value: int, multiple: int) -> int:
     return ((value + multiple - 1) // multiple) * multiple
 
 
+def bucket_dim(dim: int, bucket: int) -> int:
+    """Round an image dimension up to its compile bucket: fine (32)
+    granularity for small images, ``bucket`` granularity for large ones, so
+    mixed-size directories share a handful of compiled programs without
+    inflating tiny inputs."""
+    if dim <= bucket:
+        return _round_up(dim, 32)
+    return _round_up(dim, bucket)
+
+
 def plan_tiles(
     image_height: int,
     image_width: int,
     config: SegNetConfig,
     params: TilingParameters,
     tile_count_bucket: int = 8,
+    canvas_bucket: int = 128,
 ) -> TilePlan:
-    """Plan the static tile grid for one image size."""
+    """Plan the static tile grid for one image size.
+
+    The padded canvas is rounded up to compile buckets (see bucket_dim) so
+    that a directory of slightly-varying image sizes shares compiled
+    programs (each distinct canvas is one XLA compilation; the extra rows/
+    columns are replicate padding discarded after the crop back to H x W).
+    """
+    bucketed_w = bucket_dim(image_width, canvas_bucket)
+    bucketed_h = bucket_dim(image_height, canvas_bucket)
     tile_w = recommended_input_dimension(
-        config, min(params.max_tile_width, image_width)
+        config, min(params.max_tile_width, bucketed_w)
     )
     tile_h = recommended_input_dimension(
-        config, min(params.max_tile_height, image_height)
+        config, min(params.max_tile_height, bucketed_h)
     )
 
-    padded_w = max(tile_w, image_width)
-    padded_h = max(tile_h, image_height)
+    padded_w = max(tile_w, bucketed_w)
+    padded_h = max(tile_h, bucketed_h)
 
     xs = _positions(padded_w, tile_w, params.overlap_x)
     ys = _positions(padded_h, tile_h, params.overlap_y)
