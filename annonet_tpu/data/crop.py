@@ -20,7 +20,7 @@ loops on.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -20,7 +20,6 @@ from typing import Dict, Optional
 
 import numpy as np
 
-from annonet_tpu.classes import AnnoClass, IGNORE_LABEL
 from annonet_tpu.data.codec import decode_rgba_label_image, labeled_points_by_class
 from annonet_tpu.data.dataset import ImageFilenames
 

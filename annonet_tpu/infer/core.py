@@ -24,7 +24,6 @@ recompiles.
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 from typing import Dict, Optional, Sequence, Tuple
 

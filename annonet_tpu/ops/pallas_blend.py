@@ -19,7 +19,6 @@ layout with the same (n, tile, canvas) geometry.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ full batch. The extra collectives move only 2*C floats per BN layer.
 
 from __future__ import annotations
 
-from functools import partial
+
 from typing import Callable, Optional
 
 import jax

@@ -25,7 +25,6 @@ restarted run resumes exactly.
 
 from __future__ import annotations
 
-import io
 import json
 import os
 import tempfile
