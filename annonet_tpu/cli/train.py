@@ -80,6 +80,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-empty-label-image-warning", action="store_true")
     p.add_argument("--device", "--primary-cuda-device", dest="device",
                    type=int, default=None, help="Device (TPU core) index")
+    p.add_argument("--mesh", type=int, default=None, metavar="N",
+                   help="Train data-parallel over an N-device "
+                        "jax.sharding.Mesh (sync-BN DP; minibatch is "
+                        "rounded up to a multiple of N)")
     # runtime versions of the reference's compile-time knobs
     p.add_argument("--level-count", type=int, default=2,
                    help="Downsampling level count (was DLIB_DNN_PIMPL_WRAPPER_LEVEL_COUNT)")
@@ -197,7 +201,21 @@ def main(argv=None) -> int:
         sync_interval_seconds=600.0,
         verbose=True,
     )
-    trainer = Trainer(model_config, trainer_config, seed=args.seed)
+    minibatch_size = args.minibatch_size
+    if args.mesh:
+        from annonet_tpu.parallel.mesh import make_mesh
+        from annonet_tpu.parallel.train import DataParallelTrainer
+
+        mesh = make_mesh(args.mesh)
+        if minibatch_size % args.mesh:
+            minibatch_size += args.mesh - minibatch_size % args.mesh
+            print(f"Minibatch size rounded up to {minibatch_size} "
+                  f"(multiple of the {args.mesh}-device mesh)")
+        trainer = DataParallelTrainer(
+            model_config, trainer_config, seed=args.seed, mesh=mesh
+        )
+    else:
+        trainer = Trainer(model_config, trainer_config, seed=args.seed)
 
     print("\nSCANNING ANNO DATASET\n")
     image_files = find_image_files(input_directory, require_ground_truth=True)
@@ -275,7 +293,7 @@ def main(argv=None) -> int:
                     ):
                         break
                     images, labels = pipe.next_minibatch(
-                        args.minibatch_size,
+                        minibatch_size,
                         warn=None if args.no_empty_label_image_warning else print,
                         warnings_already_printed=warnings_already_printed,
                     )

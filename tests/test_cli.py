@@ -135,6 +135,33 @@ def test_cli_train_then_infer_round_trip(tmp_path, capsys):
 
 
 @pytest.mark.slow
+def test_cli_train_with_mesh(tmp_path, capsys):
+    """--mesh N trains data-parallel on the virtual 8-device CPU mesh."""
+    from annonet_tpu.cli.train import main as train_main
+
+    write_synthetic_dataset(tmp_path, n_images=2, size=32)
+    model_path = str(tmp_path / "annonet.dnn")
+    rc = train_main(
+        [
+            str(tmp_path),
+            "--mesh", "8",
+            "--max-total-steps", "2",
+            "-b", "9",  # rounds up to 16
+            "--level-count", "1",
+            "--net-width-scaler", "0.25",
+            "--input-dimension-multiplier", "1.0",
+            "--data-loader-thread-count", "1",
+            "--output", model_path,
+            "--sync-file", str(tmp_path / "sync.dat"),
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "rounded up to 16" in out
+    assert os.path.exists(model_path)
+
+
+@pytest.mark.slow
 def test_cli_downscaling_factor_round_trip(tmp_path, capsys):
     """The downscaling factor persisted at train time is applied at
     inference and results are upscaled back to the original size
