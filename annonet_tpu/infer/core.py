@@ -177,7 +177,6 @@ class TiledInferer:
         config: SegNetConfig,
         tiling: Optional[TilingParameters] = None,
         forward_chunk: int = 8,
-        tile_count_bucket: int = 8,
         use_pallas_blend: bool = False,
         mesh=None,
         mesh_axis: str = "batch",
@@ -191,17 +190,9 @@ class TiledInferer:
             raise ValueError("tile overlap must be non-negative")
         self.tiling = tiling
         self.forward_chunk = max(1, forward_chunk)
-        self.tile_count_bucket = max(1, tile_count_bucket)
         self.use_pallas_blend = use_pallas_blend
         self.mesh = mesh
         self.mesh_axis = mesh_axis
-        if mesh is not None:
-            # tile batches must divide evenly over the mesh
-            n_dev = int(mesh.shape[mesh_axis])
-            lcm = self.tile_count_bucket
-            while lcm % n_dev:
-                lcm += self.tile_count_bucket
-            self.tile_count_bucket = lcm
         self._compiled: Dict[Tuple, object] = {}
         self._plan_constants: Dict[TilePlan, Tuple] = {}
 
@@ -213,7 +204,6 @@ class TiledInferer:
             image_width,
             self.config,
             self.tiling,
-            tile_count_bucket=self.tile_count_bucket,
             canvas_bucket=_CANVAS_BUCKET,
         )
 

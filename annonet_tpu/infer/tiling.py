@@ -26,9 +26,10 @@ Geometry:
     deterministic t-ramp, annonet_infer.cpp:102-114); everywhere else the
     final division by the accumulated weight normalizes exactly.
 
-Tile counts are bucketed (rounded up to a multiple of the bucket size, with
-zero-weight dummy tiles) so XLA compiles one program per bucket rather than
-one per image size.
+Canvas sizes round up to compile buckets (bucket_dim) so nearby image sizes
+share compiled programs; tile positions are then compile-time constants and
+the blend denominator is a per-layout host-computed constant
+(inverse_weight_sum).
 """
 
 from __future__ import annotations
@@ -63,8 +64,7 @@ class TilePlan:
     tile_width: int
     overlap_x: int
     overlap_y: int
-    tile_yx: Tuple[Tuple[int, int], ...]  # top-left corner of each real tile
-    bucketed_count: int  # len(tile_yx) rounded up to the bucket size
+    tile_yx: Tuple[Tuple[int, int], ...]  # top-left corner of each tile
 
     @property
     def tile_count(self) -> int:
@@ -101,7 +101,6 @@ def plan_tiles(
     image_width: int,
     config: SegNetConfig,
     params: TilingParameters,
-    tile_count_bucket: int = 8,
     canvas_bucket: int = 128,
 ) -> TilePlan:
     """Plan the static tile grid for one image size.
@@ -137,7 +136,6 @@ def plan_tiles(
         overlap_x=params.overlap_x,
         overlap_y=params.overlap_y,
         tile_yx=tile_yx,
-        bucketed_count=_round_up(max(1, len(tile_yx)), tile_count_bucket),
     )
 
 

@@ -102,7 +102,7 @@ def main():
         TilingParameters(1024, 1024, overlap, overlap),
     )
     plan = inferer.plan(4096, 4096)
-    print(f"plan: {plan.tile_count} tiles (bucketed {plan.bucketed_count}), "
+    print(f"plan: {plan.tile_count} tiles, "
           f"tile {plan.tile_height}x{plan.tile_width}, overlap {overlap}")
     annonet_infer(inferer, image)  # warmup
     t0 = time.monotonic()
