@@ -160,7 +160,7 @@ def main(argv=None) -> int:
     write_results: "queue.Queue" = queue.Queue()
 
     def writer():
-        from PIL import Image
+        from annonet_tpu.data.sample import save_png_rgba
 
         while True:
             item = write_requests.get()
@@ -174,7 +174,7 @@ def main(argv=None) -> int:
                 rgba = index_label_image_to_rgba_label_image(
                     label_image, anno_classes
                 )
-                Image.fromarray(rgba, mode="RGBA").save(filename)
+                save_png_rgba(filename, rgba)
                 write_results.put(True)
             except Exception as e:  # noqa: BLE001
                 write_results.put(e)

@@ -146,24 +146,52 @@ def outpaint(image: np.ndarray, inside_ltrb) -> np.ndarray:
 
 
 def load_image(path: str, grayscale: bool) -> np.ndarray:
-    """Load an image file as (H, W, 1) or (H, W, 3) uint8."""
-    from PIL import Image
+    """Load an image file as (H, W, 1) or (H, W, 3) uint8.
 
-    with Image.open(path) as im:
-        im = im.convert("L" if grayscale else "RGB")
-        arr = np.asarray(im, dtype=np.uint8)
-    if grayscale:
-        arr = arr[..., None]
+    Decoding runs in the native C++ module (libpng/libjpeg, GIL released;
+    replaces dlib::load_image at annonet.cpp:150) with a PIL fallback. The
+    grayscale conversion uses PIL's exact ITU-R 601-2 fixed-point math in
+    both paths.
+    """
+    from annonet_tpu.native import decode_image_native
+
+    arr = decode_image_native(path, 1 if grayscale else 3)
+    if arr is None:
+        from PIL import Image
+
+        with Image.open(path) as im:
+            im = im.convert("L" if grayscale else "RGB")
+            arr = np.asarray(im, dtype=np.uint8)
+        if grayscale:
+            arr = arr[..., None]
     return arr
 
 
 def load_rgba(path: str) -> np.ndarray:
-    """Load a mask file as (H, W, 4) uint8 RGBA."""
+    """Load a mask file as (H, W, 4) uint8 RGBA (native decode, PIL fallback)."""
+    from annonet_tpu.native import decode_image_native
+
+    arr = decode_image_native(path, 4)
+    if arr is not None:
+        return arr
     from PIL import Image
 
     with Image.open(path) as im:
         im = im.convert("RGBA")
         return np.asarray(im, dtype=np.uint8)
+
+
+def save_png_rgba(path: str, rgba: np.ndarray) -> None:
+    """Write (H, W, 4) RGBA uint8 as PNG (native encode, PIL fallback).
+
+    Replaces dlib::save_png (annonet_infer_main.cpp:415)."""
+    from annonet_tpu.native import encode_png_rgba_native
+
+    if encode_png_rgba_native(path, rgba):
+        return
+    from PIL import Image
+
+    Image.fromarray(np.asarray(rgba, dtype=np.uint8), mode="RGBA").save(path)
 
 
 def read_sample(

@@ -19,11 +19,11 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-_SOURCE = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "native",
-    "annonet_native.cpp",
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native"
 )
+_SOURCE = os.path.join(_NATIVE_DIR, "annonet_native.cpp")
+_IMAGE_IO_SOURCE = os.path.join(_NATIVE_DIR, "annonet_image_io.cpp")
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
@@ -33,8 +33,11 @@ _load_failed = False
 def _build_and_load() -> Optional[ctypes.CDLL]:
     if not os.path.isfile(_SOURCE):
         return None
-    with open(_SOURCE, "rb") as f:
-        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    digest_input = open(_SOURCE, "rb").read()
+    have_image_io = os.path.isfile(_IMAGE_IO_SOURCE)
+    if have_image_io:
+        digest_input += open(_IMAGE_IO_SOURCE, "rb").read()
+    digest = hashlib.sha256(digest_input).hexdigest()[:16]
     cache_dir = os.path.join(
         tempfile.gettempdir(), f"annonet_tpu_native_{digest}"
     )
@@ -42,19 +45,27 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
     if not os.path.isfile(so_path):
         os.makedirs(cache_dir, exist_ok=True)
         tmp = so_path + f".build.{os.getpid()}"
-        cmd = [
-            "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-            "-o", tmp, _SOURCE,
-        ]
-        try:
-            subprocess.run(
-                cmd, check=True, capture_output=True, timeout=120
+        base = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", tmp]
+        attempts = []
+        if have_image_io:
+            attempts.append(
+                base + [_SOURCE, _IMAGE_IO_SOURCE, "-lpng", "-ljpeg"]
             )
-            os.replace(tmp, so_path)
-        except (subprocess.SubprocessError, OSError) as e:
+        attempts.append(base + [_SOURCE])  # fallback: no image I/O
+        built = False
+        for cmd in attempts:
+            try:
+                subprocess.run(
+                    cmd, check=True, capture_output=True, timeout=120
+                )
+                os.replace(tmp, so_path)
+                built = True
+                break
+            except (subprocess.SubprocessError, OSError):
+                continue
+        if not built:
             print(
-                f"annonet_tpu: native build failed ({e}); "
-                "using Python fallbacks",
+                "annonet_tpu: native build failed; using Python fallbacks",
                 file=sys.stderr,
             )
             return None
@@ -75,6 +86,20 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_void_p, ctypes.c_void_p,
     ]
+    if hasattr(lib, "annonet_decode_image"):
+        lib.annonet_decode_image.restype = ctypes.c_int32
+        lib.annonet_decode_image.argtypes = [
+            ctypes.c_char_p, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.annonet_free_buffer.restype = None
+        lib.annonet_free_buffer.argtypes = [ctypes.c_void_p]
+        lib.annonet_encode_png_rgba.restype = ctypes.c_int32
+        lib.annonet_encode_png_rgba.argtypes = [
+            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ]
     return lib
 
 
@@ -140,3 +165,47 @@ def extract_crop_native(
         out_image.ctypes.data, out_labels_ptr,
     )
     return out_image, out_labels
+
+
+def decode_image_native(path: str, channels: int) -> Optional[np.ndarray]:
+    """Native PNG/JPEG decode to (H, W, channels) uint8; None when the
+    image-I/O module is unavailable. Raises OSError on decode failure."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "annonet_decode_image"):
+        return None
+    data = ctypes.c_void_p()
+    h = ctypes.c_int64()
+    w = ctypes.c_int64()
+    rc = lib.annonet_decode_image(
+        path.encode("utf-8"), channels,
+        ctypes.byref(data), ctypes.byref(h), ctypes.byref(w),
+    )
+    if rc == 1:
+        raise FileNotFoundError(f"cannot open image file: {path}")
+    if rc != 0:
+        raise OSError(f"cannot decode image file (code {rc}): {path}")
+    try:
+        n = h.value * w.value * channels
+        buf = (ctypes.c_uint8 * n).from_address(data.value)
+        arr = np.frombuffer(buf, dtype=np.uint8).reshape(
+            h.value, w.value, channels
+        ).copy()
+    finally:
+        lib.annonet_free_buffer(data)
+    return arr
+
+
+def encode_png_rgba_native(path: str, rgba: np.ndarray) -> bool:
+    """Native RGBA PNG encode; False when unavailable. Raises on failure."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "annonet_encode_png_rgba"):
+        return False
+    rgba = np.ascontiguousarray(rgba, dtype=np.uint8)
+    if rgba.ndim != 3 or rgba.shape[2] != 4:
+        raise ValueError("expected (H, W, 4) RGBA data")
+    rc = lib.annonet_encode_png_rgba(
+        path.encode("utf-8"), rgba.ctypes.data, rgba.shape[0], rgba.shape[1]
+    )
+    if rc != 0:
+        raise OSError(f"cannot write PNG (code {rc}): {path}")
+    return True

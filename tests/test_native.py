@@ -63,6 +63,71 @@ def test_extract_crop_matches_python_fallback():
         np.testing.assert_array_equal(native_lab, py_lab)
 
 
+requires_image_io = pytest.mark.skipif(
+    native.get_lib() is None
+    or not hasattr(native.get_lib(), "annonet_decode_image"),
+    reason="native image I/O unavailable",
+)
+
+
+@requires_image_io
+def test_native_decode_matches_pil(tmp_path):
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    rgba = rng.integers(0, 256, size=(21, 17, 4), dtype=np.uint8)
+    png_path = str(tmp_path / "x.png")
+    Image.fromarray(rgba, mode="RGBA").save(png_path)
+    # RGBA round trip is exact
+    np.testing.assert_array_equal(
+        native.decode_image_native(png_path, 4), rgba
+    )
+    # RGB: alpha dropped
+    np.testing.assert_array_equal(
+        native.decode_image_native(png_path, 3), rgba[..., :3]
+    )
+    # grayscale matches PIL's L conversion exactly
+    pil_gray = np.asarray(
+        Image.fromarray(rgba[..., :3], mode="RGB").convert("L")
+    )
+    np.testing.assert_array_equal(
+        native.decode_image_native(png_path, 1)[..., 0], pil_gray
+    )
+
+    # JPEG decode agrees with PIL (same libjpeg underneath)
+    rgb = rng.integers(0, 256, size=(32, 48, 3), dtype=np.uint8)
+    jpg_path = str(tmp_path / "y.jpg")
+    Image.fromarray(rgb, mode="RGB").save(jpg_path, quality=90)
+    pil_rgb = np.asarray(Image.open(jpg_path).convert("RGB"))
+    native_rgb = native.decode_image_native(jpg_path, 3)
+    assert native_rgb.shape == pil_rgb.shape
+    assert np.abs(
+        native_rgb.astype(int) - pil_rgb.astype(int)
+    ).max() <= 1  # decoder rounding may differ by 1 LSB
+
+
+@requires_image_io
+def test_native_png_encode_round_trip(tmp_path):
+    from PIL import Image
+
+    rng = np.random.default_rng(1)
+    rgba = rng.integers(0, 256, size=(15, 23, 4), dtype=np.uint8)
+    path = str(tmp_path / "out.png")
+    assert native.encode_png_rgba_native(path, rgba)
+    back = np.asarray(Image.open(path))
+    np.testing.assert_array_equal(back, rgba)
+
+
+@requires_image_io
+def test_native_decode_errors(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        native.decode_image_native(str(tmp_path / "missing.png"), 3)
+    bad = tmp_path / "bad.png"
+    bad.write_bytes(b"\x89PNG\r\n\x1a\nnot really a png")
+    with pytest.raises(OSError):
+        native.decode_image_native(str(bad), 3)
+
+
 @requires_native
 def test_ccl_ignore_not_background_forms_blobs():
     labels = np.full((3, 3), IGNORE_LABEL, dtype=np.uint16)
