@@ -63,6 +63,13 @@ def resize_image_bilinear(image: np.ndarray, target_w: int, target_h: int) -> np
     if (src_h, src_w) == (target_h, target_w):
         return image.copy()
 
+    if image.dtype == np.uint8:
+        from annonet_tpu.native import resize_bilinear_native
+
+        native = resize_bilinear_native(image, target_w, target_h)
+        if native is not None:
+            return native
+
     in_dtype = image.dtype
     img = image.astype(np.float32)
     squeeze = False

@@ -86,6 +86,11 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_void_p, ctypes.c_void_p,
     ]
+    lib.annonet_resize_bilinear_u8.restype = None
+    lib.annonet_resize_bilinear_u8.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+    ]
     if hasattr(lib, "annonet_decode_image"):
         lib.annonet_decode_image.restype = ctypes.c_int32
         lib.annonet_decode_image.argtypes = [
@@ -165,6 +170,25 @@ def extract_crop_native(
         out_image.ctypes.data, out_labels_ptr,
     )
     return out_image, out_labels
+
+
+def resize_bilinear_native(
+    image: np.ndarray, target_w: int, target_h: int
+) -> Optional[np.ndarray]:
+    """Native bilinear uint8 resize; None when unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    image = np.ascontiguousarray(image, dtype=np.uint8)
+    squeeze = image.ndim == 2
+    if squeeze:
+        image = image[..., None]
+    h, w, ch = image.shape
+    out = np.empty((target_h, target_w, ch), dtype=np.uint8)
+    lib.annonet_resize_bilinear_u8(
+        image.ctypes.data, h, w, ch, out.ctypes.data, target_h, target_w
+    )
+    return out[..., 0] if squeeze else out
 
 
 def decode_image_native(path: str, channels: int) -> Optional[np.ndarray]:

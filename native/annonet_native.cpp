@@ -12,6 +12,7 @@
 // Build: g++ -O3 -march=native -shared -fPIC -o libannonet_native.so
 //        annonet_native.cpp   (driven by annonet_tpu/native.py)
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -163,5 +164,61 @@ void annonet_extract_crop(
 }
 
 int32_t annonet_native_abi_version() { return 1; }
+
+}  // extern "C"
+
+extern "C" {
+
+// Bilinear resize of (sh, sw, ch) uint8 -> (dh, dw, ch), half-pixel centers
+// with edge clamping — the native replacement for the loader's
+// resize_image_bilinear (dlib::resize_image call site /root/reference/
+// annonet.cpp:153). Float32 weights to match the NumPy fallback closely.
+void annonet_resize_bilinear_u8(
+    const uint8_t* src,
+    int64_t sh,
+    int64_t sw,
+    int64_t ch,
+    uint8_t* dst,
+    int64_t dh,
+    int64_t dw
+) {
+    std::vector<int64_t> x0(dw), x1(dw);
+    std::vector<float> wx(dw);
+    const double scale_x = static_cast<double>(sw) / dw;
+    for (int64_t j = 0; j < dw; ++j) {
+        const double xs = (j + 0.5) * scale_x - 0.5;
+        int64_t f = static_cast<int64_t>(std::floor(xs));
+        wx[j] = static_cast<float>(xs - f);
+        x0[j] = f < 0 ? 0 : (f >= sw ? sw - 1 : f);
+        int64_t g = f + 1;
+        x1[j] = g < 0 ? 0 : (g >= sw ? sw - 1 : g);
+    }
+    const double scale_y = static_cast<double>(sh) / dh;
+    for (int64_t i = 0; i < dh; ++i) {
+        const double ys = (i + 0.5) * scale_y - 0.5;
+        int64_t f = static_cast<int64_t>(std::floor(ys));
+        const float vy = static_cast<float>(ys - f);
+        const int64_t y0 = f < 0 ? 0 : (f >= sh ? sh - 1 : f);
+        const int64_t y1 = (f + 1) < 0 ? 0 : ((f + 1) >= sh ? sh - 1 : f + 1);
+        const uint8_t* r0 = src + y0 * sw * ch;
+        const uint8_t* r1 = src + y1 * sw * ch;
+        uint8_t* out = dst + i * dw * ch;
+        for (int64_t j = 0; j < dw; ++j) {
+            const float vx = wx[j];
+            const uint8_t* a = r0 + x0[j] * ch;
+            const uint8_t* b = r0 + x1[j] * ch;
+            const uint8_t* c = r1 + x0[j] * ch;
+            const uint8_t* d = r1 + x1[j] * ch;
+            uint8_t* px = out + j * ch;
+            for (int64_t k = 0; k < ch; ++k) {
+                const float top = a[k] * (1.0f - vx) + b[k] * vx;
+                const float bot = c[k] * (1.0f - vx) + d[k] * vx;
+                float v = top * (1.0f - vy) + bot * vy;
+                v = std::nearbyint(v);
+                px[k] = v <= 0.0f ? 0 : (v >= 255.0f ? 255 : static_cast<uint8_t>(v));
+            }
+        }
+    }
+}
 
 }  // extern "C"

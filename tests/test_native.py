@@ -129,6 +129,31 @@ def test_native_decode_errors(tmp_path):
 
 
 @requires_native
+def test_native_resize_matches_numpy_fallback():
+    rng = np.random.default_rng(2)
+    from annonet_tpu.data import sample as sample_mod
+
+    for shape, target in [((31, 45, 3), (17, 23)), ((64, 64, 1), (96, 128)),
+                          ((10, 10), (7, 5))]:
+        image = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        native_out = sample_mod.resize_image_bilinear(
+            image, target[1], target[0]
+        )
+        os.environ["ANNONET_TPU_NO_NATIVE"] = "1"
+        try:
+            py_out = sample_mod.resize_image_bilinear(
+                image, target[1], target[0]
+            )
+        finally:
+            del os.environ["ANNONET_TPU_NO_NATIVE"]
+        assert native_out.shape == py_out.shape
+        # float rounding at the .5 boundary may differ by 1 LSB
+        assert np.abs(
+            native_out.astype(int) - py_out.astype(int)
+        ).max() <= 1
+
+
+@requires_native
 def test_ccl_ignore_not_background_forms_blobs():
     labels = np.full((3, 3), IGNORE_LABEL, dtype=np.uint16)
     blobs, count = native.label_connected_blobs_native(labels, True, False)
