@@ -120,29 +120,36 @@ def _tiled_forward(
         logits = apply_runtime(params, tiles, config)
     logits = logits.reshape(n, tile_h, tile_w, k)
 
-    # blend in CHANNEL-FIRST layout: with K classes in the trailing (lane)
-    # dimension the VPU would run at K/128 lane utilization; as [K, H, W]
-    # planes the W dimension fills the lanes (annonet_infer.cpp keeps
-    # per-class planes too, for the host loops — here it's for the VPU).
-    # The denominator (inv_wsum) is a per-plan constant computed on host.
-    logits_cf = jnp.transpose(logits, (0, 3, 1, 2))
+    # blend PER CLASS PLANE: every tensor in the blend keeps its two
+    # spatial dims minor (clean (8,128) tiling), never letting the tiny
+    # class/tile dims fall into the lane/sublane positions — a bulk
+    # transpose to [n,K,th,tw] here lets XLA pick layouts that pad the
+    # (n,K) pair up to (8,128) with 40x memory blowups. The per-class
+    # planes also mirror the reference's own representation
+    # (annonet_infer.cpp:86-89). inv_wsum is a per-plan host constant.
     if use_pallas_blend:
         from annonet_tpu.ops.pallas_blend import blend_accumulate
 
         acc = blend_accumulate(
-            logits_cf,
+            jnp.transpose(logits, (0, 3, 1, 2)),
             jnp.asarray(np.array(tile_yx, np.int32)),
             ramp,
             padded_h=hp,
             padded_w=wp,
             interpret=jax.default_backend() != "tpu",
         )
+        blended = acc * inv_wsum[None]  # [K, Hp, Wp]
     else:
-        weighted = logits_cf * ramp[None, None]
-        acc = jnp.zeros((k, hp, wp), jnp.float32)
-        for i, (y, x) in enumerate(tile_yx):
-            acc = acc.at[:, y : y + tile_h, x : x + tile_w].add(weighted[i])
-    blended = acc * inv_wsum[None]  # [K, Hp, Wp]
+        planes = []
+        for c in range(k):
+            weighted_c = logits[..., c] * ramp[None]  # [n, th, tw]
+            acc_c = jnp.zeros((hp, wp), jnp.float32)
+            for i, (y, x) in enumerate(tile_yx):
+                acc_c = acc_c.at[y : y + tile_h, x : x + tile_w].add(
+                    weighted_c[i]
+                )
+            planes.append(acc_c * inv_wsum)
+        blended = jnp.stack(planes)  # [K, Hp, Wp]
 
     labels = jnp.argmax(
         blended + gains[:, None, None], axis=0
@@ -176,7 +183,7 @@ class TiledInferer:
         runtime_params,
         config: SegNetConfig,
         tiling: Optional[TilingParameters] = None,
-        forward_chunk: int = 8,
+        forward_chunk: Optional[int] = None,
         use_pallas_blend: bool = False,
         mesh=None,
         mesh_axis: str = "batch",
@@ -189,7 +196,10 @@ class TiledInferer:
         if tiling.overlap_x < 0 or tiling.overlap_y < 0:
             raise ValueError("tile overlap must be non-negative")
         self.tiling = tiling
-        self.forward_chunk = max(1, forward_chunk)
+        # None = auto: forward the whole tile batch in one XLA call unless
+        # the activation estimate exceeds the HBM budget (measured: chunked
+        # lax.map costs ~2x the single batched call)
+        self.forward_chunk = forward_chunk
         self.use_pallas_blend = use_pallas_blend
         self.mesh = mesh
         self.mesh_axis = mesh_axis
@@ -222,8 +232,19 @@ class TiledInferer:
         )
         fn = self._compiled.get(key)
         if fn is None:
-            chunk = self.forward_chunk
-            while plan.tile_count % chunk:
+            n = plan.tile_count
+            if self.forward_chunk is not None:
+                chunk = max(1, self.forward_chunk)
+            else:
+                # ~bytes of live activations per tile pixel at the stem
+                # width (bf16, generous multiplier for skips/temporaries)
+                per_px = max(1, self.config.width(0)) * 16
+                budget = 8 << 30
+                max_tiles = max(
+                    1, budget // (per_px * plan.tile_height * plan.tile_width)
+                )
+                chunk = min(n, max_tiles)
+            while n % chunk:
                 chunk -= 1
             fn = jax.jit(
                 partial(

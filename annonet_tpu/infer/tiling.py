@@ -72,14 +72,31 @@ class TilePlan:
 
 
 def _positions(image_dim: int, tile_dim: int, overlap: int) -> List[int]:
-    """Grid offsets along one axis: stride (tile - overlap), last clamped
-    flush to the far edge."""
+    """Grid offsets along one axis: the minimum number of tiles that covers
+    the canvas with >= overlap shared pixels, spread EVENLY.
+
+    A naive fixed-stride grid with a clamped last tile can nearly duplicate
+    the final column (e.g. canvas 4224, tile 2048, stride 1986 -> last two
+    tiles overlap by 1858 px); even spreading keeps the per-pair overlap
+    uniform and minimal, which directly cuts redundant forward FLOPs.
+    Positions snap down to multiples of 8 (TPU sublane alignment; snapping
+    down only increases overlap, never opens gaps).
+    """
     if tile_dim >= image_dim:
         return [0]
-    stride = max(1, tile_dim - overlap)
-    positions = list(range(0, image_dim - tile_dim, stride))
-    positions.append(image_dim - tile_dim)
-    return positions
+    span = image_dim - tile_dim
+    max_stride = max(1, tile_dim - overlap)
+    count = -(-span // max_stride) + 1  # ceil division
+    raw = [min(round(i * span / (count - 1)), span) for i in range(count)]
+    # snap interior positions down to sublane multiples when that cannot
+    # break the overlap guarantee
+    snapped = [
+        p if i in (0, count - 1) else p - p % 8 for i, p in enumerate(raw)
+    ]
+    gaps_ok = all(
+        b - a <= max_stride for a, b in zip(snapped, snapped[1:])
+    )
+    return snapped if gaps_ok else raw
 
 
 def _round_up(value: int, multiple: int) -> int:
@@ -94,6 +111,35 @@ def bucket_dim(dim: int, bucket: int) -> int:
     if dim <= bucket:
         return _round_up(dim, 32)
     return _round_up(dim, bucket)
+
+
+def _even_tile_dim(
+    canvas: int, max_tile: int, overlap: int, config: SegNetConfig
+) -> int:
+    """The smallest stride-aligned tile size that covers ``canvas`` with the
+    same number of tiles a max-size tile would need.
+
+    Using max-size tiles with a clamped tail wastes forward FLOPs on deep
+    tail overlaps; shrinking all tiles to the even size keeps the tile
+    count while minimizing total tile area (the reference instead expands
+    each variable tile to its own aligned size, annonet_infer.cpp:49-66 —
+    impossible here because one static shape serves the whole batch).
+    """
+    tile_max = recommended_input_dimension(config, min(max_tile, canvas))
+    if tile_max >= canvas:
+        return recommended_input_dimension(config, canvas)
+    count = -(-(canvas - overlap) // (tile_max - overlap))
+    while True:
+        even = -(-(canvas - overlap) // count) + overlap
+        tile = recommended_input_dimension(config, even)
+        if tile > 128:
+            # lane-align large tiles: non-multiple-of-128 spatial dims cost
+            # padded layouts through the whole conv stack
+            tile = _round_up(tile, 128)
+        tile = min(tile, tile_max)
+        if (count - 1) * (tile - overlap) + tile >= canvas:
+            return tile
+        count += 1
 
 
 def plan_tiles(
@@ -112,11 +158,11 @@ def plan_tiles(
     """
     bucketed_w = bucket_dim(image_width, canvas_bucket)
     bucketed_h = bucket_dim(image_height, canvas_bucket)
-    tile_w = recommended_input_dimension(
-        config, min(params.max_tile_width, bucketed_w)
+    tile_w = _even_tile_dim(
+        bucketed_w, params.max_tile_width, params.overlap_x, config
     )
-    tile_h = recommended_input_dimension(
-        config, min(params.max_tile_height, bucketed_h)
+    tile_h = _even_tile_dim(
+        bucketed_h, params.max_tile_height, params.overlap_y, config
     )
 
     padded_w = max(tile_w, bucketed_w)
