@@ -239,12 +239,26 @@ def _normalize_input(x_uint8: jnp.ndarray, dtype) -> jnp.ndarray:
     return (x_uint8.astype(jnp.float32) * (1.0 / 255.0) - 0.5).astype(dtype)
 
 
-def _conv(x, w, stride, dtype):
+def _conv(x, w, stride, dtype, allow_fold=False):
     # Convs run wholly in the compute dtype (bf16 in/out by default): the TPU
     # MXU accumulates bf16 products in f32 internally regardless, and keeping
     # operand/cotangent dtypes uniform is required for the autodiff transpose
     # (an f32 preferred_element_type would make the backward conv see an f32
     # cotangent against bf16 operands, which lax rejects).
+    #
+    # Stride-1 3x3 convs with small channel counts go through the
+    # width-folded path (ops/folded_conv.py): XLA's per-tap lowering runs
+    # the MXU at cin/128 x cout/128 utilization (~1.6% for 16 channels);
+    # folding 8 width pixels into channels makes K=N=128 — measured 1.5-2x
+    # per layer on v5e.
+    kh, kw = w.shape[0], w.shape[1]
+    if allow_fold and stride == 1 and kh == 3 and kw == 3:
+        from annonet_tpu.ops.folded_conv import conv3x3_folded, fold_width_kernel, pick_fold
+
+        fold = pick_fold(int(x.shape[2]), int(w.shape[2]))
+        if fold > 1:
+            wf = fold_width_kernel(w.astype(dtype), fold)
+            return conv3x3_folded(x.astype(dtype), wf, fold)
     return lax.conv_general_dilated(
         x.astype(dtype),
         w.astype(dtype),
@@ -399,6 +413,9 @@ def apply_runtime(
     L = config.level_count
 
     def cbr(x, p, stride):
+        # allow_fold stays off: folded convs win 1.5-2x in isolation but in
+        # the fused tiled program the fold/unfold reshapes make XLA insert
+        # relayout copies between neighbors (measured 182 -> 85 Mpx/s e2e)
         h = _conv(x, p["w"], stride, dtype) + p["b"]
         return jnp.maximum(h, 0.0).astype(dtype)
 
