@@ -68,6 +68,7 @@ def _tiled_forward(
     tile_w: int,
     forward_chunk: int,
     with_detection: bool,
+    folded=None,  # (fold0, spec): params is then the folded array tuple
     use_pallas_blend: bool = False,
     mesh=None,
     mesh_axis: str = "batch",
@@ -96,6 +97,19 @@ def _tiled_forward(
         ]
     )  # [n, th, tw, C]
 
+    if folded is not None:
+        # fully width-folded net: every conv runs at MXU-native channel
+        # counts (models/folded_runtime.py; measured ~1.8x over the plain
+        # conv stack on v5e)
+        from annonet_tpu.models.folded_runtime import apply_folded_split
+
+        fold0, spec = folded
+        run_net = lambda batch: apply_folded_split(  # noqa: E731
+            params, batch, config, fold0=fold0, spec=spec
+        )
+    else:
+        run_net = lambda batch: apply_runtime(params, batch, config)  # noqa: E731
+
     if mesh is not None:
         # tile-parallel inference (the spatial analog of context/sequence
         # parallelism, SURVEY.md §2.3): shard the tile batch over the mesh;
@@ -105,7 +119,7 @@ def _tiled_forward(
 
         sharded = NamedSharding(mesh, P(mesh_axis))
         tiles = lax.with_sharding_constraint(tiles, sharded)
-        logits = apply_runtime(params, tiles, config)
+        logits = run_net(tiles)
         logits = lax.with_sharding_constraint(
             logits, NamedSharding(mesh, P())
         )
@@ -113,11 +127,9 @@ def _tiled_forward(
         # chunk the batch so HBM holds one chunk of activations at a time
         # while the MXU stays on large batched convs
         tiles = tiles.reshape(n // forward_chunk, forward_chunk, tile_h, tile_w, c)
-        logits = lax.map(
-            lambda batch: apply_runtime(params, batch, config), tiles
-        )  # [n/chunk, chunk, th, tw, K]
+        logits = lax.map(run_net, tiles)  # [n/chunk, chunk, th, tw, K]
     else:
-        logits = apply_runtime(params, tiles, config)
+        logits = run_net(tiles)
     logits = logits.reshape(n, tile_h, tile_w, k)
 
     # blend PER CLASS PLANE: every tensor in the blend keeps its two
@@ -184,12 +196,15 @@ class TiledInferer:
         config: SegNetConfig,
         tiling: Optional[TilingParameters] = None,
         forward_chunk: Optional[int] = None,
+        use_folded_net: bool = True,
         use_pallas_blend: bool = False,
         mesh=None,
         mesh_axis: str = "batch",
     ):
         self.params = jax.tree_util.tree_map(jnp.asarray, runtime_params)
         self.config = config
+        self.use_folded_net = use_folded_net
+        self._folded_cache: Dict[int, Tuple] = {}
         if tiling is None:
             overlap = required_input_dimension(config)
             tiling = TilingParameters(overlap_x=overlap, overlap_y=overlap)
@@ -222,6 +237,11 @@ class TiledInferer:
         # positions are compile-time constants; the key deliberately
         # excludes the raw image size — inputs arrive bucket-padded, so all
         # images sharing a bucket share one compiled program
+        fold0 = 0
+        if self.use_folded_net:
+            from annonet_tpu.models.folded_runtime import folding_supported
+
+            fold0 = folding_supported(self.config, plan.tile_width)
         key = (
             plan.padded_height,
             plan.padded_width,
@@ -229,6 +249,7 @@ class TiledInferer:
             plan.tile_width,
             plan.tile_yx,
             with_detection,
+            fold0,
         )
         fn = self._compiled.get(key)
         if fn is None:
@@ -246,6 +267,9 @@ class TiledInferer:
                 chunk = min(n, max_tiles)
             while n % chunk:
                 chunk -= 1
+            folded = None
+            if fold0:
+                folded = self._get_folded(fold0)[0]
             fn = jax.jit(
                 partial(
                     _tiled_forward,
@@ -257,13 +281,29 @@ class TiledInferer:
                     tile_w=plan.tile_width,
                     forward_chunk=chunk,
                     with_detection=with_detection,
+                    folded=folded,
                     use_pallas_blend=self.use_pallas_blend,
                     mesh=self.mesh,
                     mesh_axis=self.mesh_axis,
                 )
             )
             self._compiled[key] = fn
-        return fn
+        return fn, fold0
+
+    def _get_folded(self, fold0: int):
+        """(static (fold0, spec), device array tuple) for the folded net."""
+        cached = self._folded_cache.get(fold0)
+        if cached is None:
+            from annonet_tpu.models.folded_runtime import (
+                fold_runtime_params,
+                split_folded,
+            )
+
+            fparams = fold_runtime_params(self.params, self.config, fold0)
+            static, arrays = split_folded(fparams)
+            cached = (static, arrays)
+            self._folded_cache[fold0] = cached
+        return cached
 
     # ------------------------------------------------------------- inference
 
@@ -324,9 +364,12 @@ class TiledInferer:
             self._plan_constants[plan] = constants
         ramp, inv_wsum = constants
 
-        fn = self._get_compiled(plan, with_detection)
+        fn, fold0 = self._get_compiled(plan, with_detection)
+        exec_params = (
+            self._get_folded(fold0)[1] if fold0 else self.params
+        )
         out = fn(
-            self.params,
+            exec_params,
             jnp.asarray(image),
             jnp.asarray(gains_arr),
             jnp.asarray(det_arr),

@@ -1,0 +1,348 @@
+"""Fully width-folded inference network: every conv at MXU-native shapes.
+
+The model family's channel counts (3..128, dlib's default widths) leave the
+128x128 MXU nearly idle: XLA lowers a 3x3/16-channel conv as per-tap K=16
+matmuls (~1.6% utilization; one such conv over 20 Mpx measured 21 ms on
+v5e). Folding F width-adjacent pixels into the channel dimension fixes the
+shapes, but folding/unfolding around individual convs makes XLA insert
+relayout copies that eat the win (measured).
+
+So this module folds the WHOLE runtime net once: the input image is
+reshaped (free, channel-minor NHWC) to width blocks at fold F0, and every
+layer consumes and produces folded activations — the fold factor halves
+through each stride-2 encoder stage and doubles through each 2x upsample,
+so the folded channel count stays 128-256 everywhere:
+
+  layer           real ch   fold   folded ch (K -> N)
+  stem conv0      3 -> 16    8      24 -> 128
+  stem conv1     16 -> 16    8     128 -> 128
+  enc-i s2 conv  c -> 2c    f->f/2 128 -> 128
+  enc-i s1 conv  2c -> 2c   f/2    128 -> 128
+  dec-i up       2c -> c    f->2f  128 -> 128
+  dec-i conv     2c -> c    2f     256 -> 128
+  head 1x1       16 -> K     8     128 -> 8K
+
+All geometry transformations (stride-2 taps, transpose-conv upsampling,
+skip concatenation order) are baked into block-structured kernels built
+ONCE on the host from the BN-folded runtime params (fold_runtime_params),
+so the device program is a plain chain of dense convs + bias/ReLU.
+Equivalence with models.segnet.apply_runtime is exact (same ops, reordered)
+and covered by tests.
+
+Reference parity: this is purely an execution-layout transform of the same
+function computed by NetPimpl::RuntimeNet::Forward (annonet_infer.cpp:77).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from annonet_tpu.models.segnet import SegNetConfig, _normalize_input
+
+_DN = ("NHWC", "HWIO", "NHWC")
+
+
+# ---------------------------------------------------------------------------
+# Host-side kernel builders (numpy, run once per loaded model)
+# ---------------------------------------------------------------------------
+
+
+def _fold_s1_kernel(w: np.ndarray, fold: int) -> np.ndarray:
+    """Stride-1 3x3 conv kernel -> [3, 3, fold*cin, fold*cout].
+
+    out block taps in blocks dxb in {-1,0,1}: row (i,ci) -> col (j,co) gets
+    w[dy, dx] where i = j + dx - fold*dxb, dx = kx-1.
+    """
+    kh, kw, cin, cout = w.shape
+    assert (kh, kw) == (3, 3)
+    out = np.zeros((3, 3, fold * cin, fold * cout), w.dtype)
+    for kx in range(3):
+        dx = kx - 1
+        for j in range(fold):
+            i = j + dx
+            dxb = i // fold
+            out[:, dxb + 1, (i % fold) * cin : (i % fold + 1) * cin,
+                j * cout : (j + 1) * cout] = w[:, kx]
+    return out
+
+
+def _fold_s2_kernel(w: np.ndarray, fold: int) -> np.ndarray:
+    """Stride-2 3x3 conv kernel -> [3, 2, fold*cin, (fold//2)*cout].
+
+    XLA SAME padding for k=3 s=2 on even dims is (0, 1), so output pixel o
+    taps inputs 2o+dx, dx in {0,1,2}. In folded space (output fold fold//2):
+    i = 2j + dx - fold*dxb with dxb in {0, 1}; the device conv then runs
+    with height stride 2 / width-block stride 1, padding ((0,1),(0,1)).
+    """
+    kh, kw, cin, cout = w.shape
+    assert (kh, kw) == (3, 3) and fold % 2 == 0
+    half = fold // 2
+    out = np.zeros((3, 2, fold * cin, half * cout), w.dtype)
+    for dx in range(3):
+        for j in range(half):
+            i = 2 * j + dx
+            dxb = i // fold
+            out[:, dxb, (i % fold) * cin : (i % fold + 1) * cin,
+                j * cout : (j + 1) * cout] = w[:, dx]
+    return out
+
+
+def _fold_up_kernel(w: np.ndarray, fold: int) -> np.ndarray:
+    """2x2 stride-2 transpose-conv kernel -> [2, 1, fold*cin, 2*fold*cout]
+    for lax.conv_transpose with strides (2, 1).
+
+    Verified semantics of the original: out[2i+u, 2j+v] = x[i,j] w[1-u, 1-v].
+    lax.conv_transpose flips the kernel, so Kf[q, 0] must map
+    (i, ci) -> (2i+v, co) with weight w[q, 1-v].
+    """
+    kh, kw, cin, cout = w.shape
+    assert (kh, kw) == (2, 2)
+    out = np.zeros((2, 1, fold * cin, 2 * fold * cout), w.dtype)
+    for q in range(2):
+        for v in range(2):
+            for i in range(fold):
+                j_out = 2 * i + v
+                out[q, 0, i * cin : (i + 1) * cin,
+                    j_out * cout : (j_out + 1) * cout] = w[q, 1 - v]
+    return out
+
+
+def _fold_1x1_kernel(w: np.ndarray, fold: int) -> np.ndarray:
+    """1x1 conv kernel -> [1, 1, fold*cin, fold*cout] (block diagonal)."""
+    kh, kw, cin, cout = w.shape
+    assert (kh, kw) == (1, 1)
+    out = np.zeros((1, 1, fold * cin, fold * cout), w.dtype)
+    for i in range(fold):
+        out[0, 0, i * cin : (i + 1) * cin, i * cout : (i + 1) * cout] = w[0, 0]
+    return out
+
+
+def _concat_perm(fold: int, c1: int, c2: int) -> np.ndarray:
+    """Row permutation mapping actual concat layout -> packed folded layout.
+
+    Folded kernels index input rows as (i, c) with c over c1+c2 channels
+    per pixel; a channel concat of two folded tensors instead yields
+    [i*c1+c ...] followed by [fold*c1 + i*c2 + c ...]. Returns perm with
+    W_actual[a] = W_packed[perm[a]].
+    """
+    perm = np.empty(fold * (c1 + c2), np.int64)
+    for a in range(fold * c1):
+        i, c = divmod(a, c1)
+        perm[a] = i * (c1 + c2) + c
+    for a2 in range(fold * c2):
+        i, c = divmod(a2, c2)
+        perm[fold * c1 + a2] = i * (c1 + c2) + c1 + c
+    return perm
+
+
+def _tile_bias(b: np.ndarray, fold: int) -> np.ndarray:
+    return np.tile(np.asarray(b), fold)
+
+
+def fold_runtime_params(
+    runtime_params: Any, config: SegNetConfig, fold0: int = 8
+) -> Dict[str, Any]:
+    """Precompute the fully folded kernel/bias set from a BN-folded runtime
+    net (host-side, once per loaded model)."""
+    def to_np(tree):
+        if isinstance(tree, dict):
+            return {k: to_np(v) for k, v in tree.items()}
+        return np.asarray(tree, np.float32)
+
+    rp = to_np(runtime_params)
+    # the head group is {"w","b"} directly (no conv sub-dict)
+    rp["head"] = {"conv": {"w": rp["head"]["w"], "b": rp["head"]["b"]}}
+    L = config.level_count
+    fp: Dict[str, Any] = {"fold0": fold0, "layers": []}
+    layers: List[Tuple] = fp["layers"]
+
+    f = fold0
+    cin = config.in_channels
+    w0 = config.width(0)
+
+    layers.append(("s1", _fold_s1_kernel(rp["stem"]["conv0"]["w"], f),
+                   _tile_bias(rp["stem"]["conv0"]["b"], f)))
+    layers.append(("s1", _fold_s1_kernel(rp["stem"]["conv1"]["w"], f),
+                   _tile_bias(rp["stem"]["conv1"]["b"], f)))
+    layers.append(("save_skip", 0, None))
+
+    folds = {0: f}
+    for i in range(1, L + 1):
+        cout = config.width(i)
+        if f >= 2:
+            layers.append(("s2", _fold_s2_kernel(rp[f"enc{i}"]["conv0"]["w"], f),
+                           _tile_bias(rp[f"enc{i}"]["conv0"]["b"], f // 2)))
+            f //= 2
+        else:
+            layers.append(("s2_plain", rp[f"enc{i}"]["conv0"]["w"],
+                           rp[f"enc{i}"]["conv0"]["b"]))
+        if f >= 2:
+            layers.append(("s1", _fold_s1_kernel(rp[f"enc{i}"]["conv1"]["w"], f),
+                           _tile_bias(rp[f"enc{i}"]["conv1"]["b"], f)))
+        else:
+            layers.append(("s1_plain", rp[f"enc{i}"]["conv1"]["w"],
+                           rp[f"enc{i}"]["conv1"]["b"]))
+        folds[i] = f
+        if i < L:
+            layers.append(("save_skip", i, None))
+
+    for i in range(L, 0, -1):
+        cskip = config.width(i - 1)
+        if f >= 1:
+            layers.append(("up", _fold_up_kernel(rp[f"dec{i}"]["up"]["w"], f),
+                           _tile_bias(rp[f"dec{i}"]["up"]["b"], 2 * f)))
+            f *= 2
+        assert f == folds[i - 1], (f, folds)
+        layers.append(("concat_skip", i - 1, None))
+        # the conv after concat sees [up(cskip) ++ skip(cskip)] in concat
+        # layout; bake the permutation into the kernel's input rows
+        wk = _fold_s1_kernel(rp[f"dec{i}"]["conv0"]["w"], f)
+        perm = _concat_perm(f, cskip, cskip)
+        wk = wk[:, :, perm, :]
+        layers.append(("s1", wk, _tile_bias(rp[f"dec{i}"]["conv0"]["b"], f)))
+
+    layers.append(("head", _fold_1x1_kernel(rp["head"]["conv"]["w"], f),
+                   _tile_bias(rp["head"]["conv"]["b"], f)))
+    fp["final_fold"] = f
+    return fp
+
+
+def split_folded(fparams: Dict[str, Any]):
+    """Split the folded net into (static spec, array pytree) so the spec can
+    close over a jit while the kernels travel as traced arguments.
+
+    spec: tuple of strings ("s1", "s2", ..., "save_skip:0", "concat_skip:1")
+    arrays: tuple of (w, b) pairs (None for the skip bookkeeping entries)
+    """
+    spec = []
+    arrays = []
+    for kind, a, b in fparams["layers"]:
+        if kind in ("save_skip", "concat_skip"):
+            spec.append(f"{kind}:{a}")
+            arrays.append(None)
+        else:
+            spec.append(kind)
+            arrays.append((jnp.asarray(a), jnp.asarray(b)))
+    return (fparams["fold0"], tuple(spec)), tuple(arrays)
+
+
+def apply_folded_split(
+    arrays, x_uint8: jnp.ndarray, config: SegNetConfig, *, fold0: int, spec
+) -> jnp.ndarray:
+    """Jit-friendly folded forward: ``spec``/``fold0`` static, ``arrays``
+    traced. Same function as apply_runtime."""
+    dtype = jnp.dtype(config.compute_dtype)
+    n, h, width, cin = x_uint8.shape
+    assert width % fold0 == 0
+    x = _normalize_input(x_uint8, dtype)
+    x = x.reshape(n, h, width // fold0, fold0 * cin)
+
+    def conv(x, w, b, strides, padding):
+        out = lax.conv_general_dilated(
+            x, w.astype(dtype), strides, padding, dimension_numbers=_DN
+        )
+        return jnp.maximum(out + b, 0.0).astype(dtype)
+
+    skips = {}
+    for kind, entry in zip(spec, arrays):
+        if kind.startswith("save_skip"):
+            skips[kind.split(":")[1]] = x
+        elif kind.startswith("concat_skip"):
+            x = jnp.concatenate([x, skips[kind.split(":")[1]]], axis=-1)
+        elif kind == "s1":
+            x = conv(x, entry[0], entry[1], (1, 1), [(1, 1), (1, 1)])
+        elif kind == "s2":
+            x = conv(x, entry[0], entry[1], (2, 1), [(0, 1), (0, 1)])
+        elif kind == "s1_plain":
+            x = conv(x, entry[0], entry[1], (1, 1), "SAME")
+        elif kind == "s2_plain":
+            x = conv(x, entry[0], entry[1], (2, 2), "SAME")
+        elif kind == "up":
+            out = lax.conv_transpose(
+                x, entry[0].astype(dtype), strides=(2, 1),
+                padding="SAME", dimension_numbers=_DN,
+            )
+            x = jnp.maximum(out + entry[1], 0.0).astype(dtype)
+        elif kind == "head":
+            out = lax.conv_general_dilated(
+                x, entry[0].astype(dtype), (1, 1), "SAME",
+                dimension_numbers=_DN,
+            )
+            x = (out + entry[1]).astype(jnp.float32)
+        else:  # pragma: no cover
+            raise ValueError(kind)
+
+    return x.reshape(n, h, width, config.class_count)
+
+
+def folding_supported(config: SegNetConfig, tile_width: int) -> int:
+    """The fold factor to use for this config/tile, or 0 when folding
+    doesn't apply (width not divisible / nothing to gain)."""
+    fold = 8
+    while fold > 1 and (
+        tile_width % fold or fold * config.width(0) > 128
+    ):
+        fold //= 2
+    return fold if fold > 1 else 0
+
+
+# ---------------------------------------------------------------------------
+# Device-side forward
+# ---------------------------------------------------------------------------
+
+
+def apply_runtime_folded(
+    fparams: Dict[str, Any], x_uint8: jnp.ndarray, config: SegNetConfig
+) -> jnp.ndarray:
+    """[N,H,W,C]u8 -> [N,H,W,K]f32 logits; same function as apply_runtime."""
+    dtype = jnp.dtype(config.compute_dtype)
+    fold0 = fparams["fold0"]
+    n, h, width, cin = x_uint8.shape
+    assert width % fold0 == 0, (
+        f"width {width} must be a multiple of the base fold {fold0}"
+    )
+    x = _normalize_input(x_uint8, dtype)
+    x = x.reshape(n, h, width // fold0, fold0 * cin)
+
+    def conv(x, w, b, strides, padding):
+        out = lax.conv_general_dilated(
+            x, jnp.asarray(w).astype(dtype), strides, padding,
+            dimension_numbers=_DN,
+        )
+        return jnp.maximum(out + jnp.asarray(b), 0.0).astype(dtype)
+
+    skips = {}
+    for kind, a, b in fparams["layers"]:
+        if kind == "save_skip":
+            skips[a] = x
+        elif kind == "concat_skip":
+            x = jnp.concatenate([x, skips[a]], axis=-1)
+        elif kind == "s1":
+            x = conv(x, a, b, (1, 1), [(1, 1), (1, 1)])
+        elif kind == "s2":
+            x = conv(x, a, b, (2, 1), [(0, 1), (0, 1)])
+        elif kind == "s1_plain":
+            x = conv(x, a, b, (1, 1), "SAME")
+        elif kind == "s2_plain":
+            x = conv(x, a, b, (2, 2), "SAME")
+        elif kind == "up":
+            out = lax.conv_transpose(
+                x, jnp.asarray(a).astype(dtype), strides=(2, 1),
+                padding="SAME", dimension_numbers=_DN,
+            )
+            x = jnp.maximum(out + jnp.asarray(b), 0.0).astype(dtype)
+        elif kind == "head":
+            out = lax.conv_general_dilated(
+                x, jnp.asarray(a).astype(dtype), (1, 1), "SAME",
+                dimension_numbers=_DN,
+            )
+            x = (out + jnp.asarray(b)).astype(jnp.float32)
+        else:  # pragma: no cover
+            raise ValueError(kind)
+
+    k = config.class_count
+    return x.reshape(n, h, width, k)

@@ -1,0 +1,69 @@
+"""Fully folded runtime net == reference runtime net, exactly (up to dtype
+reassociation; tested in float32)."""
+
+import jax
+import numpy as np
+import pytest
+
+from annonet_tpu.models.folded_runtime import (
+    apply_runtime_folded,
+    fold_runtime_params,
+)
+from annonet_tpu.models.segnet import (
+    SegNetConfig,
+    apply_runtime,
+    fold_batchnorm,
+    init_state,
+)
+
+
+@pytest.mark.parametrize("level_count", [0, 1, 2, 3])
+@pytest.mark.parametrize("grayscale", [False, True])
+def test_folded_matches_runtime(level_count, grayscale):
+    config = SegNetConfig(
+        class_count=3,
+        level_count=level_count,
+        base_width=4,
+        grayscale=grayscale,
+        compute_dtype="float32",
+    )
+    params, stats = init_state(jax.random.PRNGKey(level_count), config)
+    runtime = fold_batchnorm(params, stats, config)
+
+    rng = np.random.default_rng(0)
+    x = rng.integers(
+        0, 256, size=(2, 16, 32, config.in_channels), dtype=np.uint8
+    )
+
+    ref = np.asarray(apply_runtime(runtime, x, config))
+    fparams = fold_runtime_params(runtime, config, fold0=8)
+    got = np.asarray(apply_runtime_folded(fparams, x, config))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_folded_matches_runtime_wide():
+    """Default widths (the flagship config) on a larger input."""
+    config = SegNetConfig(
+        class_count=2, level_count=3, base_width=16, compute_dtype="float32"
+    )
+    params, stats = init_state(jax.random.PRNGKey(7), config)
+    runtime = fold_batchnorm(params, stats, config)
+    rng = np.random.default_rng(1)
+    x = rng.integers(0, 256, size=(1, 24, 64, 3), dtype=np.uint8)
+    ref = np.asarray(apply_runtime(runtime, x, config))
+    got = np.asarray(
+        apply_runtime_folded(fold_runtime_params(runtime, config, 8), x, config)
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_folded_rejects_bad_width():
+    config = SegNetConfig(
+        class_count=2, level_count=1, base_width=4, compute_dtype="float32"
+    )
+    params, stats = init_state(jax.random.PRNGKey(0), config)
+    runtime = fold_batchnorm(params, stats, config)
+    fparams = fold_runtime_params(runtime, config, 8)
+    x = np.zeros((1, 16, 20, 3), np.uint8)  # 20 % 8 != 0
+    with pytest.raises(AssertionError):
+        apply_runtime_folded(fparams, x, config)
