@@ -346,3 +346,177 @@ def apply_runtime_folded(
 
     k = config.class_count
     return x.reshape(n, h, width, k)
+
+
+# ---------------------------------------------------------------------------
+# Folded TRAINING forward (kernels folded from traced weights each step)
+# ---------------------------------------------------------------------------
+
+
+def _fold_s2_kernel_jnp(w, fold: int):
+    """Traceable version of _fold_s2_kernel."""
+    kh, kw, cin, cout = w.shape
+    half = fold // 2
+    out = jnp.zeros((3, 2, fold * cin, half * cout), w.dtype)
+    for dx in range(3):
+        for j in range(half):
+            i = 2 * j + dx
+            dxb = i // fold
+            out = out.at[:, dxb, (i % fold) * cin : (i % fold + 1) * cin,
+                         j * cout : (j + 1) * cout].set(w[:, dx])
+    return out
+
+
+def _fold_up_kernel_jnp(w, fold: int):
+    """Traceable version of _fold_up_kernel."""
+    kh, kw, cin, cout = w.shape
+    out = jnp.zeros((2, 1, fold * cin, 2 * fold * cout), w.dtype)
+    for q in range(2):
+        for v in range(2):
+            for i in range(fold):
+                j_out = 2 * i + v
+                out = out.at[q, 0, i * cin : (i + 1) * cin,
+                             j_out * cout : (j_out + 1) * cout].set(
+                    w[q, 1 - v]
+                )
+    return out
+
+
+def _fold_1x1_kernel_jnp(w, fold: int):
+    kh, kw, cin, cout = w.shape
+    out = jnp.zeros((1, 1, fold * cin, fold * cout), w.dtype)
+    for i in range(fold):
+        out = out.at[0, 0, i * cin : (i + 1) * cin,
+                     i * cout : (i + 1) * cout].set(w[0, 0])
+    return out
+
+
+def _bn_train_folded(h, bn, fold: int, axis_name=None):
+    """Batch-norm over a FOLDED activation: statistics per REAL channel.
+
+    h: [n, hh, wb, fold*c]; the fold groups are extra reduction elements.
+    Returns (normalized h [same shape], mean [c], var [c]) — identical math
+    to segnet._bn_train on the unfolded activation.
+    """
+    c = h.shape[-1] // fold
+    h32 = h.astype(jnp.float32)
+    hv = h32.reshape(*h.shape[:-1], fold, c)
+    mean = jnp.mean(hv, axis=(0, 1, 2, 3))
+    mean_sq = jnp.mean(jnp.square(hv), axis=(0, 1, 2, 3))
+    if axis_name is not None:
+        mean = lax.pmean(mean, axis_name)
+        mean_sq = lax.pmean(mean_sq, axis_name)
+    var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
+    inv = lax.rsqrt(var + 1e-5)
+    gamma_t = jnp.tile(bn["gamma"] * inv, fold)
+    beta_t = jnp.tile(bn["beta"] - bn["gamma"] * inv * mean, fold)
+    return h32 * gamma_t + beta_t, mean, var
+
+
+def apply_train_folded(
+    params,
+    bn_stats,
+    x_uint8,
+    config: SegNetConfig,
+    bn_momentum: float = 0.99,
+    axis_name=None,
+    fold0: int = 8,
+):
+    """Width-folded training forward: same function as segnet.apply_train
+    (identical logits and new BN stats, reassociated arithmetic), with every
+    conv at MXU-native channel counts. Kernels are folded from the live
+    weights inside the step — a handful of tiny scatters — and gradients
+    flow back through them to the original parameter tensors.
+    """
+    from annonet_tpu.models.segnet import _bn_update
+    from annonet_tpu.ops.folded_conv import fold_width_kernel
+
+    dtype = jnp.dtype(config.compute_dtype)
+    L = config.level_count
+    n, h, width, cin = x_uint8.shape
+    assert width % fold0 == 0 and width >= fold0
+    new_stats = {k: dict(v) for k, v in bn_stats.items()}
+
+    def conv(x, wf, strides, padding):
+        return lax.conv_general_dilated(
+            x, wf.astype(dtype), strides, padding, dimension_numbers=_DN
+        )
+
+    def unit(x, p, s, conv_name, bn_name, kind, fold):
+        w = p[conv_name].astype(dtype)
+        if kind == "s1":
+            if fold > 1:
+                hpre = conv(x, fold_width_kernel(w, fold), (1, 1),
+                            [(1, 1), (1, 1)])
+            else:
+                hpre = conv(x, w, (1, 1), "SAME")
+            fold_out = fold
+        elif kind == "s2":
+            if fold > 1:
+                hpre = conv(x, _fold_s2_kernel_jnp(w, fold), (2, 1),
+                            [(0, 1), (0, 1)])
+                fold_out = fold // 2
+            else:
+                hpre = conv(x, w, (2, 2), "SAME")
+                fold_out = 1
+        elif kind == "up":
+            if fold >= 1:
+                wf = _fold_up_kernel_jnp(w, fold)
+                hpre = lax.conv_transpose(
+                    x, wf.astype(dtype), strides=(2, 1), padding="SAME",
+                    dimension_numbers=_DN,
+                )
+                fold_out = 2 * fold
+        normed, mean, var = _bn_train_folded(
+            hpre, p[bn_name], fold_out, axis_name
+        )
+        s[bn_name] = _bn_update(s[bn_name], mean, var, bn_momentum)
+        return jnp.maximum(normed, 0.0).astype(dtype), fold_out
+
+    x = _normalize_input(x_uint8, dtype)
+    x = x.reshape(n, h, width // fold0, fold0 * cin)
+    f = fold0
+
+    p, s = params["stem"], new_stats["stem"]
+    x, f = unit(x, p, s, "conv0", "bn0", "s1", f)
+    x, f = unit(x, p, s, "conv1", "bn1", "s1", f)
+    skips = [(x, f)]
+    folds = {0: f}
+    for i in range(1, L + 1):
+        p, s = params[f"enc{i}"], new_stats[f"enc{i}"]
+        x, f = unit(x, p, s, "conv0", "bn0", "s2", f)
+        x, f = unit(x, p, s, "conv1", "bn1", "s1", f)
+        folds[i] = f
+        if i < L:
+            skips.append((x, f))
+    for i in range(L, 0, -1):
+        p, s = params[f"dec{i}"], new_stats[f"dec{i}"]
+        x, f = unit(x, p, s, "up", "bnu", "up", f)
+        skip_x, skip_f = skips[i - 1]
+        assert skip_f == f, (skip_f, f)
+        x = jnp.concatenate([x, skip_x], axis=-1)
+        # concat layout -> packed folded layout via a static kernel-row perm
+        cskip = config.width(i - 1)
+        w = params[f"dec{i}"]["conv0"].astype(dtype)
+        if f > 1:
+            wk = fold_width_kernel(w, f)
+            perm = _concat_perm(f, cskip, cskip)
+            wk = wk[:, :, perm, :]
+            hpre = conv(x, wk, (1, 1), [(1, 1), (1, 1)])
+        else:
+            hpre = conv(x, w, (1, 1), "SAME")
+        normed, mean, var = _bn_train_folded(
+            hpre, params[f"dec{i}"]["bn0"], f, axis_name
+        )
+        s["bn0"] = _bn_update(s["bn0"], mean, var, bn_momentum)
+        x = jnp.maximum(normed, 0.0).astype(dtype)
+
+    wh = params["head"]["w"].astype(dtype)
+    if f > 1:
+        logits = conv(x, _fold_1x1_kernel_jnp(wh, f), (1, 1), "SAME")
+        bias = jnp.tile(params["head"]["b"], f)
+    else:
+        logits = conv(x, wh, (1, 1), "SAME")
+        bias = params["head"]["b"]
+    logits = (logits + bias).astype(jnp.float32)
+    return logits.reshape(n, h, width, config.class_count), new_stats

@@ -55,15 +55,28 @@ def make_dp_train_step(
     co = crop_options
 
     def loss_fn(params, bn_stats, images, labels, weights):
-        logits, new_stats = apply_train(
-            params,
-            bn_stats,
-            images,
-            model_config,
-            bn_momentum=bn_momentum,
-            axis_name=axis,  # sync BN over the mesh
-            remat=trainer_config.remat,
+        use_folded = (
+            trainer_config.folded_training
+            and not trainer_config.remat
+            and images.shape[2] % 8 == 0
         )
+        if use_folded:
+            from annonet_tpu.models.folded_runtime import apply_train_folded
+
+            logits, new_stats = apply_train_folded(
+                params, bn_stats, images, model_config,
+                bn_momentum=bn_momentum, axis_name=axis, fold0=8,
+            )
+        else:
+            logits, new_stats = apply_train(
+                params,
+                bn_stats,
+                images,
+                model_config,
+                bn_momentum=bn_momentum,
+                axis_name=axis,  # sync BN over the mesh
+                remat=trainer_config.remat,
+            )
         loss = weighted_pixel_cross_entropy(logits, labels, weights)
         # all-reduce the loss BEFORE differentiation: with sync BN the loss
         # is coupled across devices, so grad-then-pmean would mis-route the

@@ -62,6 +62,11 @@ class TrainerConfig:
     momentum: float = 0.9
     weight_decay: float = 0.0005
     remat: bool = False  # rematerialize conv units in backward (memory saver)
+    # width-folded training forward (models/folded_runtime.py): identical
+    # math (equivalence + gradient tests). Default OFF — measured neutral
+    # for training on v5e (337 vs 353 crops/s; the backward pass, not the
+    # forward convs, bounds the step), unlike inference where it is ~2x.
+    folded_training: bool = False
     # Device losses are read back in batches of this size: with 1 every step
     # blocks on the device (reference-like); larger values let the host
     # prepare the next minibatches while steps are in flight, at the cost of
@@ -87,14 +92,27 @@ def make_train_step(
     wd = trainer_config.weight_decay
 
     def loss_fn(params, bn_stats, images, labels, weights):
-        logits, new_stats = apply_train(
-            params,
-            bn_stats,
-            images,
-            model_config,
-            bn_momentum=bn_momentum,
-            remat=trainer_config.remat,
+        use_folded = (
+            trainer_config.folded_training
+            and not trainer_config.remat
+            and images.shape[2] % 8 == 0
         )
+        if use_folded:
+            from annonet_tpu.models.folded_runtime import apply_train_folded
+
+            logits, new_stats = apply_train_folded(
+                params, bn_stats, images, model_config,
+                bn_momentum=bn_momentum, fold0=8,
+            )
+        else:
+            logits, new_stats = apply_train(
+                params,
+                bn_stats,
+                images,
+                model_config,
+                bn_momentum=bn_momentum,
+                remat=trainer_config.remat,
+            )
         loss = weighted_pixel_cross_entropy(logits, labels, weights)
         return loss, new_stats
 
