@@ -151,13 +151,13 @@ def format_confusion_matrix(
             row += "-".rjust(recall_width)
         lines.append(row)
 
-    precision_row = "precision".rjust(len(truth_label) + class_width) + "  "
+    precision_row = "precision".rjust(len(truth_label) + class_width)
     for pred in range(k):
         if total_predicted[pred] > 0:
             precision = cm[pred][pred] * 100.0 / total_predicted[pred]
-            precision_row += f"{precision:.2f} %".rjust(value_width - 2)
+            precision_row += f"{precision:.2f} %".rjust(value_width)
         else:
-            precision_row += "-  ".rjust(value_width - 2)
+            precision_row += "-".rjust(value_width)
     lines.append(precision_row)
 
     accuracy_line = "accuracy".rjust(
