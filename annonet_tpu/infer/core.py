@@ -197,6 +197,7 @@ class TiledInferer:
         tiling: Optional[TilingParameters] = None,
         forward_chunk: Optional[int] = None,
         use_folded_net: bool = True,
+        use_pallas_conv: Optional[bool] = None,  # None = auto (TPU only)
         use_pallas_blend: bool = False,
         mesh=None,
         mesh_axis: str = "batch",
@@ -204,6 +205,12 @@ class TiledInferer:
         self.params = jax.tree_util.tree_map(jnp.asarray, runtime_params)
         self.config = config
         self.use_folded_net = use_folded_net
+        if use_pallas_conv is None:
+            # the kernel wins 2.4x per layer in isolation but loses composed
+            # (194 vs 359 Mpx/s e2e): pallas_call boundaries and the shifted
+            # input views break XLA's whole-graph scheduling — keep opt-in
+            use_pallas_conv = False
+        self.use_pallas_conv = use_pallas_conv
         self._folded_cache: Dict[int, Tuple] = {}
         if tiling is None:
             overlap = required_input_dimension(config)
@@ -299,7 +306,10 @@ class TiledInferer:
                 split_folded,
             )
 
-            fparams = fold_runtime_params(self.params, self.config, fold0)
+            fparams = fold_runtime_params(
+                self.params, self.config, fold0,
+                pallas_s1=self.use_pallas_conv,
+            )
             static, arrays = split_folded(fparams)
             cached = (static, arrays)
             self._folded_cache[fold0] = cached

@@ -37,6 +37,7 @@ from __future__ import annotations
 
 from typing import Any, Dict, List, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
@@ -144,10 +145,43 @@ def _tile_bias(b: np.ndarray, fold: int) -> np.ndarray:
 
 
 def fold_runtime_params(
-    runtime_params: Any, config: SegNetConfig, fold0: int = 8
+    runtime_params: Any,
+    config: SegNetConfig,
+    fold0: int = 8,
+    pallas_s1: bool = False,
 ) -> Dict[str, Any]:
     """Precompute the fully folded kernel/bias set from a BN-folded runtime
-    net (host-side, once per loaded model)."""
+    net (host-side, once per loaded model).
+
+    With ``pallas_s1`` the stride-1 3x3 layers are emitted as
+    ("s1p:<fold>:<cin>", (Wc, Wl, Wr), bias) entries for the fused
+    ops.pallas_conv GEMM kernel (measured 2.4x over the folded XLA conv on
+    v5e); geometry-changing layers (s2/up/head) stay XLA.
+
+    Dec-layer kernels absorb the skip-concat row permutation in both modes.
+    """
+    from annonet_tpu.ops.pallas_conv import build_gemm_kernels_aligned
+
+    def emit_s1(layers, w, b, f, cin, row_perm=None):
+        if f <= 1:
+            layers.append(("s1_plain", w, b))
+            return
+        if pallas_s1:
+            wc, wl, wr = build_gemm_kernels_aligned(w, f)
+            if row_perm is not None:
+                # apply the concat->packed permutation inside each dy group
+                full = np.concatenate(
+                    [row_perm + dy * f * cin for dy in range(3)]
+                )
+                wc, wl, wr = wc[full], wl[full], wr[full]
+            layers.append(
+                (f"s1p:{f}:{cin}", (wc, wl, wr), np.asarray(b, np.float32))
+            )
+        else:
+            wk = _fold_s1_kernel(w, f)
+            if row_perm is not None:
+                wk = wk[:, :, row_perm, :]
+            layers.append(("s1", wk, _tile_bias(b, f)))
     def to_np(tree):
         if isinstance(tree, dict):
             return {k: to_np(v) for k, v in tree.items()}
@@ -164,10 +198,8 @@ def fold_runtime_params(
     cin = config.in_channels
     w0 = config.width(0)
 
-    layers.append(("s1", _fold_s1_kernel(rp["stem"]["conv0"]["w"], f),
-                   _tile_bias(rp["stem"]["conv0"]["b"], f)))
-    layers.append(("s1", _fold_s1_kernel(rp["stem"]["conv1"]["w"], f),
-                   _tile_bias(rp["stem"]["conv1"]["b"], f)))
+    emit_s1(layers, rp["stem"]["conv0"]["w"], rp["stem"]["conv0"]["b"], f, cin)
+    emit_s1(layers, rp["stem"]["conv1"]["w"], rp["stem"]["conv1"]["b"], f, w0)
     layers.append(("save_skip", 0, None))
 
     folds = {0: f}
@@ -180,12 +212,8 @@ def fold_runtime_params(
         else:
             layers.append(("s2_plain", rp[f"enc{i}"]["conv0"]["w"],
                            rp[f"enc{i}"]["conv0"]["b"]))
-        if f >= 2:
-            layers.append(("s1", _fold_s1_kernel(rp[f"enc{i}"]["conv1"]["w"], f),
-                           _tile_bias(rp[f"enc{i}"]["conv1"]["b"], f)))
-        else:
-            layers.append(("s1_plain", rp[f"enc{i}"]["conv1"]["w"],
-                           rp[f"enc{i}"]["conv1"]["b"]))
+        emit_s1(layers, rp[f"enc{i}"]["conv1"]["w"],
+                rp[f"enc{i}"]["conv1"]["b"], f, cout)
         folds[i] = f
         if i < L:
             layers.append(("save_skip", i, None))
@@ -200,10 +228,9 @@ def fold_runtime_params(
         layers.append(("concat_skip", i - 1, None))
         # the conv after concat sees [up(cskip) ++ skip(cskip)] in concat
         # layout; bake the permutation into the kernel's input rows
-        wk = _fold_s1_kernel(rp[f"dec{i}"]["conv0"]["w"], f)
         perm = _concat_perm(f, cskip, cskip)
-        wk = wk[:, :, perm, :]
-        layers.append(("s1", wk, _tile_bias(rp[f"dec{i}"]["conv0"]["b"], f)))
+        emit_s1(layers, rp[f"dec{i}"]["conv0"]["w"],
+                rp[f"dec{i}"]["conv0"]["b"], f, 2 * cskip, row_perm=perm)
 
     layers.append(("head", _fold_1x1_kernel(rp["head"]["conv"]["w"], f),
                    _tile_bias(rp["head"]["conv"]["b"], f)))
@@ -224,6 +251,9 @@ def split_folded(fparams: Dict[str, Any]):
         if kind in ("save_skip", "concat_skip"):
             spec.append(f"{kind}:{a}")
             arrays.append(None)
+        elif kind.startswith("s1p:"):
+            spec.append(kind)
+            arrays.append(tuple(jnp.asarray(x) for x in a) + (jnp.asarray(b),))
         else:
             spec.append(kind)
             arrays.append((jnp.asarray(a), jnp.asarray(b)))
@@ -253,6 +283,18 @@ def apply_folded_split(
             skips[kind.split(":")[1]] = x
         elif kind.startswith("concat_skip"):
             x = jnp.concatenate([x, skips[kind.split(":")[1]]], axis=-1)
+        elif kind.startswith("s1p:"):
+            _, f_str, cin_str = kind.split(":")
+            fold_l, cin_l = int(f_str), int(cin_str)
+            from annonet_tpu.ops.pallas_conv import conv3x3_gemm_aligned
+
+            h_cur = int(x.shape[1])
+            rows_l = next(r for r in (16, 8, 4, 2, 1) if h_cur % r == 0)
+            x = conv3x3_gemm_aligned(
+                x, entry[0], entry[1], entry[2], entry[3],
+                fold_l, cin_l, rows=rows_l,
+                interpret=jax.default_backend() != "tpu",
+            )
         elif kind == "s1":
             x = conv(x, entry[0], entry[1], (1, 1), [(1, 1), (1, 1)])
         elif kind == "s2":
@@ -321,6 +363,17 @@ def apply_runtime_folded(
             skips[a] = x
         elif kind == "concat_skip":
             x = jnp.concatenate([x, skips[a]], axis=-1)
+        elif kind.startswith("s1p:"):
+            _, f_str, cin_str = kind.split(":")
+            from annonet_tpu.ops.pallas_conv import conv3x3_gemm_aligned
+
+            h_cur = int(x.shape[1])
+            rows_l = next(r for r in (16, 8, 4, 2, 1) if h_cur % r == 0)
+            x = conv3x3_gemm_aligned(
+                x, jnp.asarray(a[0]), jnp.asarray(a[1]), jnp.asarray(a[2]),
+                jnp.asarray(b), int(f_str), int(cin_str), rows=rows_l,
+                interpret=jax.default_backend() != "tpu",
+            )
         elif kind == "s1":
             x = conv(x, a, b, (1, 1), [(1, 1), (1, 1)])
         elif kind == "s2":
