@@ -231,12 +231,21 @@ class TiledInferer:
     # ------------------------------------------------------------- planning
 
     def plan(self, image_height: int, image_width: int) -> TilePlan:
+        lane_align = True
+        if self.use_folded_net:
+            from annonet_tpu.models.folded_runtime import folding_supported
+
+            # under the folded net the lane dim is the folded channels, so
+            # tiles only need to divide the fold — skipping the 128 round-up
+            # trims ~5% redundant tile pixels
+            lane_align = not folding_supported(self.config, 8 * 128)
         return plan_tiles(
             image_height,
             image_width,
             self.config,
             self.tiling,
             canvas_bucket=_CANVAS_BUCKET,
+            lane_align_tiles=lane_align,
         )
 
     def _get_compiled(self, plan: TilePlan, with_detection: bool):

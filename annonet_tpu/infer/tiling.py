@@ -114,7 +114,8 @@ def bucket_dim(dim: int, bucket: int) -> int:
 
 
 def _even_tile_dim(
-    canvas: int, max_tile: int, overlap: int, config: SegNetConfig
+    canvas: int, max_tile: int, overlap: int, config: SegNetConfig,
+    lane_align: bool = True,
 ) -> int:
     """The smallest stride-aligned tile size that covers ``canvas`` with the
     same number of tiles a max-size tile would need.
@@ -132,10 +133,14 @@ def _even_tile_dim(
     while True:
         even = -(-(canvas - overlap) // count) + overlap
         tile = recommended_input_dimension(config, even)
-        if tile > 128:
+        if lane_align and tile > 128:
             # lane-align large tiles: non-multiple-of-128 spatial dims cost
-            # padded layouts through the whole conv stack
+            # padded layouts through the whole conv stack. (Unnecessary under
+            # the width-folded net, whose lanes are the folded channels —
+            # there tiles only need to divide the fold.)
             tile = _round_up(tile, 128)
+        else:
+            tile = _round_up(tile, 8)
         tile = min(tile, tile_max)
         if (count - 1) * (tile - overlap) + tile >= canvas:
             return tile
@@ -148,6 +153,7 @@ def plan_tiles(
     config: SegNetConfig,
     params: TilingParameters,
     canvas_bucket: int = 128,
+    lane_align_tiles: bool = True,
 ) -> TilePlan:
     """Plan the static tile grid for one image size.
 
@@ -159,10 +165,12 @@ def plan_tiles(
     bucketed_w = bucket_dim(image_width, canvas_bucket)
     bucketed_h = bucket_dim(image_height, canvas_bucket)
     tile_w = _even_tile_dim(
-        bucketed_w, params.max_tile_width, params.overlap_x, config
+        bucketed_w, params.max_tile_width, params.overlap_x, config,
+        lane_align=lane_align_tiles,
     )
     tile_h = _even_tile_dim(
-        bucketed_h, params.max_tile_height, params.overlap_y, config
+        bucketed_h, params.max_tile_height, params.overlap_y, config,
+        lane_align=lane_align_tiles,
     )
 
     padded_w = max(tile_w, bucketed_w)
