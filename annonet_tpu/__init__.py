@@ -31,11 +31,40 @@ from annonet_tpu.classes import (
 
 __version__ = "0.1.0"
 
+
+def __getattr__(name):
+    """Lazy top-level exports of the heavyweight (jax-importing) API."""
+    if name in ("SegNetConfig",):
+        from annonet_tpu.models.segnet import SegNetConfig
+
+        return SegNetConfig
+    if name in ("Trainer", "TrainerConfig"):
+        from annonet_tpu.train import trainer
+
+        return getattr(trainer, name)
+    if name in ("TiledInferer", "annonet_infer"):
+        from annonet_tpu.infer import core
+
+        return getattr(core, name)
+    if name in ("save_model", "load_model"):
+        from annonet_tpu import serialization
+
+        return getattr(serialization, name)
+    raise AttributeError(f"module 'annonet_tpu' has no attribute {name!r}")
+
+
 __all__ = [
     "AnnoClass",
     "IGNORE_LABEL",
     "RGBA_IGNORE",
+    "SegNetConfig",
+    "TiledInferer",
+    "Trainer",
+    "TrainerConfig",
+    "annonet_infer",
     "default_anno_classes",
+    "load_model",
     "parse_anno_classes",
+    "save_model",
     "__version__",
 ]
