@@ -289,3 +289,112 @@ def conv3x3_gemm_aligned(
     )(shifted[0], shifted[1], shifted[2],
       wc.astype(x_folded.dtype), wl.astype(x_folded.dtype),
       wr.astype(x_folded.dtype), bias_f)
+
+
+# ---------------------------------------------------------------------------
+# Variant C: manual-DMA halo slabs (no shifted input copies)
+# ---------------------------------------------------------------------------
+# Variants A/B feed the dy planes as three XLA-materialized shifted copies of
+# the input — 3x HBM traffic per layer and a fusion barrier. Here the input
+# stays in HBM (pre-padded by one row top/bottom) and each grid step DMAs an
+# overlapping (slab+2)-row window itself: row offsets live in an untiled
+# dimension, so arbitrary overlap is legal where tiled-dim slicing is not.
+#
+# STATUS: exact on TPU for sublane-friendly shapes (width blocks % 8 == 0);
+# Mosaic rejects odd width-block counts (e.g. 109). Experimental — the
+# composed-pipeline story is the same as variant B (see module docstring).
+
+
+def _conv_kernel_dma(
+    x_hbm,  # ANY [N, H+2, WB, fold*cin]
+    wc_ref, wl_ref, wr_ref,  # VMEM [3*fold*cin, fold*cout]
+    b_ref,  # VMEM [1, fold*cout]
+    o_ref,  # VMEM [1, R, WB, fold*cout]
+    slab_buf,  # VMEM scratch [R+2, WB, fold*cin]
+    sem,
+    *,
+    rows: int,
+    wblocks: int,
+):
+    b = pl.program_id(0)
+    r = pl.program_id(1)
+    copy = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(r * rows, rows + 2)], slab_buf, sem
+    )
+    copy.start()
+    copy.wait()
+
+    def roll_wb(xb, shift):
+        if xb.dtype.itemsize == 4:
+            return pltpu.roll(xb, shift, 1)
+        return pltpu.roll(xb.astype(jnp.float32), shift, 1).astype(xb.dtype)
+
+    # dy planes are row-shifted views of the slab
+    p = jnp.concatenate(
+        [slab_buf[dy : dy + rows] for dy in range(3)], axis=-1
+    )  # [R, WB, 3*fold*cin]
+    wb_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, wblocks, 1), 1)
+    p_left = jnp.where(wb_ids == 0, jnp.zeros_like(p), roll_wb(p, 1))
+    p_right = jnp.where(
+        wb_ids == wblocks - 1, jnp.zeros_like(p), roll_wb(p, wblocks - 1)
+    )
+
+    k = p.shape[-1]
+    m = rows * wblocks
+    acc = jnp.dot(p.reshape(m, k), wc_ref[:],
+                  preferred_element_type=jnp.float32)
+    acc += jnp.dot(p_left.reshape(m, k), wl_ref[:],
+                   preferred_element_type=jnp.float32)
+    acc += jnp.dot(p_right.reshape(m, k), wr_ref[:],
+                   preferred_element_type=jnp.float32)
+    acc = jnp.maximum(acc + b_ref[0][None, :], 0.0)
+    o_ref[0] = acc.reshape(rows, wblocks, -1).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("fold", "cin", "rows", "interpret"))
+def conv3x3_gemm_dma(
+    x_folded: jnp.ndarray,  # [N, H, WB, fold*cin]
+    wc: jnp.ndarray,
+    wl: jnp.ndarray,
+    wr: jnp.ndarray,
+    bias: jnp.ndarray,  # [cout]
+    fold: int,
+    cin: int,
+    rows: int = 16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Aligned-GEMM conv with self-managed halo DMA (single HBM input)."""
+    n, h, wblocks, fc = x_folded.shape
+    assert fc == fold * cin and h % rows == 0
+    cout = wc.shape[1] // fold
+
+    xp = jnp.pad(x_folded, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    bias_f = jnp.tile(bias.astype(jnp.float32), fold)[None, :]
+
+    kernel = functools.partial(
+        _conv_kernel_dma, rows=rows, wblocks=wblocks
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n, h // rows),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, rows, wblocks, fold * cout), lambda b, r: (b, r, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (n, h, wblocks, fold * cout), x_folded.dtype
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rows + 2, wblocks, fc), x_folded.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xp, wc.astype(x_folded.dtype), wl.astype(x_folded.dtype),
+      wr.astype(x_folded.dtype), bias_f)

@@ -92,3 +92,26 @@ def test_folded_runtime_with_pallas_conv_matches():
         )
     )
     np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize(
+    "n,h,w,cin,cout,fold,rows",
+    [(2, 16, 32, 16, 16, 8, 8), (1, 8, 64, 4, 8, 8, 4)],
+)
+def test_dma_halo_gemm_conv(n, h, w, cin, cout, fold, rows):
+    from annonet_tpu.ops.pallas_conv import conv3x3_gemm_dma
+
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(n, h, w, cin)).astype(np.float32)
+    wgt = rng.normal(size=(3, 3, cin, cout)).astype(np.float32)
+    b = rng.normal(size=(cout,)).astype(np.float32)
+    wc, wl, wr = build_gemm_kernels_aligned(wgt, fold)
+    got = conv3x3_gemm_dma(
+        jnp.asarray(x.reshape(n, h, w // fold, fold * cin)),
+        jnp.asarray(wc), jnp.asarray(wl), jnp.asarray(wr),
+        jnp.asarray(b), fold, cin, rows=rows, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got).reshape(n, h, w, cout),
+        reference(x, wgt, b), atol=1e-3,
+    )
