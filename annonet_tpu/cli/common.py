@@ -23,11 +23,16 @@ def parse_class_specific_value(string_from_command_line: str):
 
 
 def parse_class_specific_values(
-    strings_from_command_line: Sequence[str], class_count: int
+    strings_from_command_line: Sequence[str],
+    class_count: int,
+    require_non_negative: bool = False,
 ) -> List[float]:
     """Expand repeated "index:value" flags into a dense per-class vector.
 
     Parity with parse_class_specific_values (annonet_infer_main.cpp:49-63).
+    require_non_negative enforces the reference's detection-level contract
+    (annonet_infer.cpp:189 asserts value >= 0.0; a negative level would
+    flip the seed inequality silently).
     """
     values = [0.0] * class_count
     for item in strings_from_command_line:
@@ -37,8 +42,38 @@ def parse_class_specific_values(
                 f"Can't define class-specific value for index {index} "
                 f"when there are only {class_count} classes"
             )
+        if require_non_negative and value < 0.0:
+            raise ValueError(
+                f"Class-specific value for index {index} must be "
+                f"non-negative (got {value:g})"
+            )
         values[index] = value
     return values
+
+
+class IndexOrderedResults:
+    """Reorder (index, item) pairs from a queue into 0,1,2,... order.
+
+    Reader threads complete out of order; inference must still process
+    images in find_image_files order (the reference's sequential loop,
+    annonet_infer_main.cpp:440-494) so result ordering and the
+    "excluding the first image" timing are deterministic. The buffer
+    stays small: readers pull requests in order, so at most
+    ~reader_count items are in flight ahead of the next expected index.
+    """
+
+    def __init__(self, results_queue):
+        self._queue = results_queue
+        self._pending = {}
+        self._next = 0
+
+    def next(self):
+        while self._next not in self._pending:
+            index, item = self._queue.get()
+            self._pending[index] = item
+        item = self._pending.pop(self._next)
+        self._next += 1
+        return item
 
 
 def select_device(device_index):

@@ -66,6 +66,18 @@ def main(argv=None) -> int:
         print()
         print("You will also need a trained 'annonet.dnn' file. ")
         return 1
+    # Top-level catch: print the message and exit 1, parity with the
+    # reference's catch(std::exception&) wrapper at the tail of
+    # annonet_infer_main.cpp (no traceback, threads shut down in _run's
+    # finally block).
+    try:
+        return _run(args, input_directory)
+    except Exception as e:  # noqa: BLE001
+        print(e)
+        return 1
+
+
+def _run(args, input_directory) -> int:
     print(f"Input directory = {input_directory}")
 
     import numpy as np
@@ -96,7 +108,7 @@ def main(argv=None) -> int:
     try:
         gains = parse_class_specific_values(args.gain, len(anno_classes))
         detection_levels = parse_class_specific_values(
-            args.detection, len(anno_classes)
+            args.detection, len(anno_classes), require_non_negative=True
         )
     except ValueError as e:
         print(e)
@@ -126,26 +138,33 @@ def main(argv=None) -> int:
 
     files = find_image_files(input_directory, require_ground_truth=False)
 
-    # ---- reader threads: paths -> samples (annonet_infer_main.cpp:382-401)
+    # ---- reader threads: paths -> samples (annonet_infer_main.cpp:382-401).
+    # Each result is tagged with its file index and the consumer reorders,
+    # so images are always processed in find_image_files order regardless
+    # of reader-thread count (the reference's sequential loop order).
     read_requests: "queue.Queue" = queue.Queue()
-    for f in files:
-        read_requests.put(f)
+    for index, f in enumerate(files):
+        read_requests.put((index, f))
     reader_count = max(1, args.full_image_reader_thread_count)
     read_results: "queue.Queue" = queue.Queue(maxsize=reader_count)
+    stop = threading.Event()
 
     def reader():
-        while True:
+        while not stop.is_set():
             try:
-                filenames = read_requests.get_nowait()
+                index, filenames = read_requests.get_nowait()
             except queue.Empty:
                 return
             read_results.put(
-                read_sample(
-                    filenames,
-                    anno_classes,
-                    require_ground_truth=False,
-                    downscaling_factor=downscaling_factor,
-                    grayscale=model_config.grayscale,
+                (
+                    index,
+                    read_sample(
+                        filenames,
+                        anno_classes,
+                        require_ground_truth=False,
+                        downscaling_factor=downscaling_factor,
+                        grayscale=model_config.grayscale,
+                    ),
                 )
             )
 
@@ -153,6 +172,10 @@ def main(argv=None) -> int:
                for _ in range(reader_count)]
     for t in readers:
         t.start()
+
+    from annonet_tpu.cli.common import IndexOrderedResults
+
+    ordered_samples = IndexOrderedResults(read_results)
 
     # ---- writer threads: results -> PNGs (annonet_infer_main.cpp:403-419)
     writer_count = max(1, args.result_image_writer_thread_count)
@@ -212,7 +235,7 @@ def main(argv=None) -> int:
     completed = 0
 
     def dispatch_one():
-        sample = read_results.get()
+        sample = ordered_samples.next()
         if sample.error:
             raise RuntimeError(sample.error)
         t_start = time.monotonic()
@@ -256,40 +279,50 @@ def main(argv=None) -> int:
             )
         )
 
-    for i in range(len(files)):
-        print(f"\rProcessing image {i + 1} of {len(files)}...",
-              end="", flush=True)
-        dispatch_one()
-        if len(in_flight) >= pipeline_depth:
+    try:
+        for i in range(len(files)):
+            print(f"\rProcessing image {i + 1} of {len(files)}...",
+                  end="", flush=True)
+            dispatch_one()
+            if len(in_flight) >= pipeline_depth:
+                complete_one(completed)
+                completed += 1
+        while in_flight:
             complete_one(completed)
             completed += 1
-    while in_flight:
-        complete_one(completed)
-        completed += 1
 
-    profile_ctx.__exit__(None, None, None)
-    t1 = time.monotonic()
-    print(f"\nAll {len(files)} images processed in {t1 - t0:.3f} seconds!"
-          f" (actual inference: {total_inference:.6f} seconds)")
-    if len(files) > 1:
-        print(
-            "Processing time excluding the first image: "
-            f"average = {total_inference_excl_first * 1000.0 / (len(files) - 1):.3f} ms, "
-            f"max = {max_inference_excl_first * 1000.0:.3f} ms"
-        )
+        profile_ctx.__exit__(None, None, None)
+        t1 = time.monotonic()
+        print(f"\nAll {len(files)} images processed in {t1 - t0:.3f} seconds!"
+              f" (actual inference: {total_inference:.6f} seconds)")
+        if len(files) > 1:
+            print(
+                "Processing time excluding the first image: "
+                f"average = {total_inference_excl_first * 1000.0 / (len(files) - 1):.3f} ms, "
+                f"max = {max_inference_excl_first * 1000.0:.3f} ms"
+            )
 
-    for _ in range(len(files)):
-        ok = write_results.get()
-        if isinstance(ok, Exception):
-            raise ok
-    print("All result images written!")
-
-    for _ in writers:
-        write_requests.put(None)
-    for t in writers:
-        t.join(timeout=5.0)
-    for t in readers:
-        t.join(timeout=5.0)
+        for _ in range(completed):
+            ok = write_results.get()
+            if isinstance(ok, Exception):
+                raise ok
+        print("All result images written!")
+    finally:
+        # Clean shutdown on success AND error: stop readers (draining
+        # read_results so none stays blocked on a full queue), then send
+        # writer sentinels and join everything.
+        stop.set()
+        while any(t.is_alive() for t in readers):
+            try:
+                read_results.get(timeout=0.05)
+            except queue.Empty:
+                pass
+        for _ in writers:
+            write_requests.put(None)
+        for t in writers:
+            t.join(timeout=5.0)
+        for t in readers:
+            t.join(timeout=5.0)
 
     if ground_truth_count:
         print("\nConfusion matrix per pixel:")

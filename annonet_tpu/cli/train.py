@@ -98,10 +98,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--remat", action="store_true",
                    help="Rematerialize activations in the backward pass "
                         "(fits larger minibatches; ~1/3 more compute)")
-    p.add_argument("--loss-sync-interval", type=int, default=8,
-                   help="Read device losses back every N steps (1 = block "
-                        "per step like the reference; larger overlaps host "
-                        "data prep with device compute)")
+    p.add_argument("--loss-sync-interval", type=int, default=1,
+                   help="Read device losses back every N steps. The default "
+                        "1 blocks per step exactly like the reference "
+                        "trainer; larger values overlap host data prep with "
+                        "device compute at the cost of the plateau detector "
+                        "seeing losses up to N-1 steps late")
     return p
 
 
@@ -119,6 +121,17 @@ def main(argv=None) -> int:
         print("The downscaling factors have to be strictly positive.")
         return 2
 
+    # Top-level catch covering setup (dataset scan, class parsing, model
+    # deserialization) AND the training loop: print the message and exit 1,
+    # parity with catch(std::exception&) at annonet_train_main.cpp:640-644.
+    try:
+        return _run(args, input_directory)
+    except Exception as e:  # noqa: BLE001
+        print(e)
+        return 1
+
+
+def _run(args, input_directory) -> int:
     # echo configuration, parity with annonet_train_main.cpp:322-374
     print(f"Input directory = {input_directory}")
     print(f"Initial downscaling factor = {args.initial_downscaling_factor:g}")
@@ -282,30 +295,26 @@ def main(argv=None) -> int:
         queue_depth=2 * args.minibatch_size,
         seed=args.seed,
     ) as pipe:
-        try:
-            with profiler_trace(args.profile):
-                while True:
-                    if trainer.learning_rate < args.min_learning_rate:
-                        break
-                    if (
-                        args.max_total_steps is not None
-                        and minibatch >= args.max_total_steps
-                    ):
-                        break
-                    images, labels = pipe.next_minibatch(
-                        minibatch_size,
-                        warn=None if args.no_empty_label_image_warning else print,
-                        warnings_already_printed=warnings_already_printed,
-                    )
-                    trainer.train_step_crops(
-                        images, labels, crop_options, seed=args.seed
-                    )
-                    if minibatch % args.save_interval == 0:
-                        save_inference_net()
-                    minibatch += 1
-        except Exception as e:  # noqa: BLE001 — parity: print and exit 2
-            print(e)
-            return 2
+        with profiler_trace(args.profile):
+            while True:
+                if trainer.should_stop:
+                    break
+                if (
+                    args.max_total_steps is not None
+                    and minibatch >= args.max_total_steps
+                ):
+                    break
+                images, labels = pipe.next_minibatch(
+                    minibatch_size,
+                    warn=None if args.no_empty_label_image_warning else print,
+                    warnings_already_printed=warnings_already_printed,
+                )
+                trainer.train_step_crops(
+                    images, labels, crop_options, seed=args.seed
+                )
+                if minibatch % args.save_interval == 0:
+                    save_inference_net()
+                minibatch += 1
 
     if return_value == 0:
         save_inference_net()

@@ -160,9 +160,7 @@ def load_image(path: str, grayscale: bool) -> np.ndarray:
     grayscale conversion uses PIL's exact ITU-R 601-2 fixed-point math in
     both paths.
     """
-    from annonet_tpu.native import decode_image_native
-
-    arr = decode_image_native(path, 1 if grayscale else 3)
+    arr = _decode_with_fallback(path, 1 if grayscale else 3)
     if arr is None:
         from PIL import Image
 
@@ -174,11 +172,24 @@ def load_image(path: str, grayscale: bool) -> np.ndarray:
     return arr
 
 
-def load_rgba(path: str) -> np.ndarray:
-    """Load a mask file as (H, W, 4) uint8 RGBA (native decode, PIL fallback)."""
+def _decode_with_fallback(path: str, channels: int):
+    """Native decode, falling back to PIL on *decode* errors (not missing
+    files): libpng/libjpeg reject some slightly malformed files that PIL
+    still reads, and the native module must not make loading stricter than
+    the pure-Python path."""
     from annonet_tpu.native import decode_image_native
 
-    arr = decode_image_native(path, 4)
+    try:
+        return decode_image_native(path, channels)
+    except FileNotFoundError:
+        raise
+    except OSError:
+        return None
+
+
+def load_rgba(path: str) -> np.ndarray:
+    """Load a mask file as (H, W, 4) uint8 RGBA (native decode, PIL fallback)."""
+    arr = _decode_with_fallback(path, 4)
     if arr is not None:
         return arr
     from PIL import Image

@@ -197,7 +197,7 @@ class TiledInferer:
         tiling: Optional[TilingParameters] = None,
         forward_chunk: Optional[int] = None,
         use_folded_net: bool = True,
-        use_pallas_conv: Optional[bool] = None,  # None = auto (TPU only)
+        use_pallas_conv: Optional[bool] = None,  # None = default (False)
         use_pallas_blend: bool = False,
         mesh=None,
         mesh_axis: str = "batch",
@@ -211,7 +211,7 @@ class TiledInferer:
             # input views break XLA's whole-graph scheduling — keep opt-in
             use_pallas_conv = False
         self.use_pallas_conv = use_pallas_conv
-        self._folded_cache: Dict[int, Tuple] = {}
+        self._folded_cache: Dict[Tuple[int, bool], Tuple] = {}
         if tiling is None:
             overlap = required_input_dimension(config)
             tiling = TilingParameters(overlap_x=overlap, overlap_y=overlap)
@@ -266,6 +266,7 @@ class TiledInferer:
             plan.tile_yx,
             with_detection,
             fold0,
+            self.use_pallas_conv,
         )
         fn = self._compiled.get(key)
         if fn is None:
@@ -308,7 +309,10 @@ class TiledInferer:
 
     def _get_folded(self, fold0: int):
         """(static (fold0, spec), device array tuple) for the folded net."""
-        cached = self._folded_cache.get(fold0)
+        # keyed by (fold0, use_pallas_conv): the pallas variant folds a
+        # different parameter layout, so flipping the flag after a fold has
+        # been cached must not reuse the other mode's params
+        cached = self._folded_cache.get((fold0, self.use_pallas_conv))
         if cached is None:
             from annonet_tpu.models.folded_runtime import (
                 fold_runtime_params,
@@ -321,7 +325,7 @@ class TiledInferer:
             )
             static, arrays = split_folded(fparams)
             cached = (static, arrays)
-            self._folded_cache[fold0] = cached
+            self._folded_cache[(fold0, self.use_pallas_conv)] = cached
         return cached
 
     # ------------------------------------------------------------- inference

@@ -84,12 +84,15 @@ def augment_batch(
 
     if noise_level_stddev > 0.0:
         # per-crop integer noise level L = round(|N(0, sigma)|); per-pixel
-        # noise uniform over the 2L+1 integers in [-L, L]
+        # noise uniform over the 2L integers in [-L, L-1]: dlib's
+        # rand::get_integer_in_range(begin, end) is HALF-OPEN, so
+        # get_integer_in_range(-L, L) at annonet_train_main.cpp:82 never
+        # draws +L (and returns 0 when L == 0)
         level = jnp.round(
             jnp.abs(jax.random.normal(k_nl, (n,)) * noise_level_stddev)
         )
         u = jax.random.uniform(k_nv, x.shape)
-        span = (2.0 * level + 1.0)[:, None, None, None]
+        span = (2.0 * level)[:, None, None, None]
         noise = jnp.floor(u * span) - level[:, None, None, None]
         x = jnp.clip(x + noise, 0.0, 255.0)
 

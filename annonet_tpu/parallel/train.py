@@ -41,20 +41,20 @@ def make_dp_train_step(
 ) -> Callable:
     """Build the jitted data-parallel train step.
 
-    (params, bn_stats, velocity, lr, key, images, labels)
+    (params, bn_stats, velocity, lr, bn_momentum, key, images, labels)
         -> (params, bn_stats, velocity, loss)
 
     ``images``/``labels`` are global arrays whose leading (batch) dimension
     is sharded over ``axis``; everything else is replicated. The per-device
     body is identical to the single-device fused step plus three pmeans
-    (grads, loss, BN stats).
+    (grads, loss, BN stats). ``bn_momentum`` is a traced scalar following
+    dlib's windowed-stats schedule (trainer.bn_momentum_for_step).
     """
-    bn_momentum = 1.0 - 1.0 / max(2, trainer_config.bn_stats_window)
     mu = trainer_config.momentum
     wd = trainer_config.weight_decay
     co = crop_options
 
-    def loss_fn(params, bn_stats, images, labels, weights):
+    def loss_fn(params, bn_stats, bn_momentum, images, labels, weights):
         use_folded = (
             trainer_config.folded_training
             and not trainer_config.remat
@@ -86,7 +86,8 @@ def make_dp_train_step(
         loss = lax.pmean(loss, axis)
         return loss, new_stats
 
-    def local_step(params, bn_stats, velocity, lr, key, images, labels):
+    def local_step(params, bn_stats, velocity, lr, bn_momentum, key, images,
+                   labels):
         # decorrelate augmentation randomness across devices
         key = jax.random.fold_in(key, lax.axis_index(axis))
         images_f, labels = augment_batch(
@@ -110,7 +111,7 @@ def make_dp_train_step(
         # loss/stats/grads come out replicated: the loss is pmean'd inside
         # loss_fn and the BN stats are pmean'd inside apply_train
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, bn_stats, images_f, labels, weights
+            params, bn_stats, bn_momentum, images_f, labels, weights
         )
 
         def upd(p, v, g):
@@ -140,6 +141,7 @@ def make_dp_train_step(
             replicated,  # bn_stats
             replicated,  # velocity
             replicated,  # lr
+            replicated,  # bn_momentum
             replicated,  # key
             batch_sharded,  # images
             batch_sharded,  # labels
@@ -209,6 +211,7 @@ class DataParallelTrainer(Trainer):
             self.bn_stats,
             self.velocity,
             jnp.float32(self.learning_rate),
+            jnp.float32(self._bn_momentum()),
             step_key,
             images_dev,
             labels_dev,

@@ -77,21 +77,33 @@ class TrainerConfig:
     verbose: bool = False
 
 
+def bn_momentum_for_step(step_count: int, window: int) -> float:
+    """dlib's exact BN running-stats schedule (dlib bn_ layer, referenced by
+    SetAllBatchNormalizationRunningStatsWindowSizes at
+    annonet_train_main.cpp:410): the update factor is 1/min(t, window) for
+    the t-th update, i.e. a cumulative average until the window fills, then
+    an EMA with momentum 1 - 1/window. ``step_count`` is the number of
+    updates already applied (0 on the first step, making the first running
+    stats exactly the first batch's stats — no init bias)."""
+    return 1.0 - 1.0 / max(1, min(step_count + 1, window))
+
+
 def make_train_step(
     model_config: SegNetConfig, trainer_config: TrainerConfig
 ) -> Callable:
     """Build the pure, jittable train-step function.
 
-    (params, bn_stats, velocity, lr, images, labels, weights)
+    (params, bn_stats, velocity, lr, bn_momentum, images, labels, weights)
         -> (params, bn_stats, velocity, loss)
 
-    ``lr`` is a traced scalar so LR decay never triggers recompilation.
+    ``lr`` and ``bn_momentum`` are traced scalars so LR decay and the
+    windowed BN-stats schedule (bn_momentum_for_step) never trigger
+    recompilation.
     """
-    bn_momentum = 1.0 - 1.0 / max(2, trainer_config.bn_stats_window)
     mu = trainer_config.momentum
     wd = trainer_config.weight_decay
 
-    def loss_fn(params, bn_stats, images, labels, weights):
+    def loss_fn(params, bn_stats, bn_momentum, images, labels, weights):
         use_folded = (
             trainer_config.folded_training
             and not trainer_config.remat
@@ -116,9 +128,10 @@ def make_train_step(
         loss = weighted_pixel_cross_entropy(logits, labels, weights)
         return loss, new_stats
 
-    def step(params, bn_stats, velocity, lr, images, labels, weights):
+    def step(params, bn_stats, velocity, lr, bn_momentum, images, labels,
+             weights):
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, bn_stats, images, labels, weights
+            params, bn_stats, bn_momentum, images, labels, weights
         )
 
         def upd(p, v, g):
@@ -152,7 +165,7 @@ def make_fused_train_step(
 ) -> Callable:
     """Build the fully fused train step: raw uint8 crops in, update out.
 
-    (params, bn_stats, velocity, lr, key, images_u8, labels_u16)
+    (params, bn_stats, velocity, lr, bn_momentum, key, images_u8, labels_u16)
         -> (params, bn_stats, velocity, loss)
 
     This is the TPU-first composition of what the reference does per-crop on
@@ -164,7 +177,8 @@ def make_fused_train_step(
     inner = make_train_step(model_config, trainer_config)
     co = crop_options
 
-    def step(params, bn_stats, velocity, lr, key, images, labels):
+    def step(params, bn_stats, velocity, lr, bn_momentum, key, images,
+             labels):
         images_f, labels = augment_batch(
             key,
             images,
@@ -184,7 +198,8 @@ def make_fused_train_step(
             labels, co.class_weight, co.image_weight, model_config.class_count
         )
         return inner(
-            params, bn_stats, velocity, lr, images_f, labels, weights
+            params, bn_stats, velocity, lr, bn_momentum, images_f, labels,
+            weights
         )
 
     return step
@@ -236,6 +251,7 @@ class Trainer:
             self.bn_stats,
             self.velocity,
             jnp.float32(self.learning_rate),
+            jnp.float32(self._bn_momentum()),
             jnp.asarray(images),
             jnp.asarray(labels.astype(np.int32)),
             jnp.asarray(weights),
@@ -266,11 +282,20 @@ class Trainer:
             self.bn_stats,
             self.velocity,
             jnp.float32(self.learning_rate),
+            jnp.float32(self._bn_momentum()),
             step_key,
             jnp.asarray(images),
             jnp.asarray(labels.astype(np.int32)),
         )
         return self._finish_step(loss)
+
+    def _bn_momentum(self) -> float:
+        """Windowed BN running-stats momentum for the NEXT update; tracks
+        dlib's cumulative-average-then-EMA schedule exactly. step_count is
+        persisted in the sync file, so resumed runs keep the schedule."""
+        return bn_momentum_for_step(
+            self.step_count, max(1, self.config.bn_stats_window)
+        )
 
     def _finish_step(self, loss) -> Optional[float]:
         """Book-keep one dispatched step. Returns the loss as a float when
@@ -329,6 +354,13 @@ class Trainer:
                 f"average loss {avg:.6f}, steps without apparent progress "
                 f"{self.steps_without_progress}"
             )
+
+    @property
+    def should_stop(self) -> bool:
+        """True once plateau-driven decay pushed the learning rate below
+        ``min_learning_rate`` — the stop condition of the reference's
+        training loop (annonet_train_main.cpp:569-571)."""
+        return self.learning_rate < self.config.min_learning_rate
 
     # ----------------------------------------------------------- export
 

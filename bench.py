@@ -37,6 +37,12 @@ def main() -> None:
     parser.add_argument("--tile-size", type=int, default=1024)
     parser.add_argument("--iters", type=int, default=5)
     parser.add_argument(
+        "--passes", type=int, default=3,
+        help="independent measurement passes; the MEDIAN is reported "
+             "(run-to-run tunnel/chip noise made single-pass numbers "
+             "under-report by ~20%% in round 1)",
+    )
+    parser.add_argument(
         "--quick", action="store_true",
         help="small sizes for CPU smoke-testing",
     )
@@ -45,6 +51,7 @@ def main() -> None:
         args.image_size = min(args.image_size, 512)
         args.tile_size = min(args.tile_size, 256)
         args.iters = min(args.iters, 2)
+        args.passes = min(args.passes, 2)
 
     import jax
     import numpy as np
@@ -100,15 +107,19 @@ def main() -> None:
         float(trivial(labels))
     rtt = (time.monotonic() - t0) / 3
 
-    t0 = time.monotonic()
-    for _ in range(args.iters):
-        labels, _ = inferer.infer_arrays(image, device_output=True)
-    sync_scalar(labels)
-    elapsed = max(1e-9, time.monotonic() - t0 - rtt)
-    assert labels.shape[0] >= image.shape[0]
-
     megapixels = args.image_size * args.image_size * args.iters / 1e6
-    mpx_per_s = megapixels / elapsed
+    passes = []
+    for _ in range(max(1, args.passes)):
+        t0 = time.monotonic()
+        for _ in range(args.iters):
+            labels, _ = inferer.infer_arrays(image, device_output=True)
+        sync_scalar(labels)
+        elapsed = max(1e-9, time.monotonic() - t0 - rtt)
+        assert labels.shape[0] >= image.shape[0]
+        passes.append(megapixels / elapsed)
+
+    # median over passes: robust to one slow pass (tunnel hiccup, host GC)
+    mpx_per_s = sorted(passes)[len(passes) // 2]
 
     print(
         json.dumps(

@@ -113,10 +113,17 @@ int32_t decode_jpeg(FILE* f, int32_t want, uint8_t** out_data,
                     int64_t* out_h, int64_t* out_w) {
     jpeg_decompress_struct cinfo;
     JpegErr err;
+    // volatile: modified between setjmp and longjmp; the error path must
+    // see the allocation to free it (a corrupt JPEG mid-decode would
+    // otherwise leak h*w*want bytes per file)
+    uint8_t* volatile out_guard = nullptr;
+    uint8_t* volatile row_guard = nullptr;  // longjmp would skip vector dtors
     cinfo.err = jpeg_std_error(&err.mgr);
     err.mgr.error_exit = jpeg_error_exit;
     if (setjmp(err.jump)) {
         jpeg_destroy_decompress(&cinfo);
+        std::free(out_guard);
+        std::free(row_guard);
         return 3;
     }
     jpeg_create_decompress(&cinfo);
@@ -127,16 +134,23 @@ int32_t decode_jpeg(FILE* f, int32_t want, uint8_t** out_data,
     const int64_t w = cinfo.output_width;
     const int64_t h = cinfo.output_height;
 
-    std::vector<uint8_t> rgb_row(static_cast<size_t>(w) * 3);
     uint8_t* out = static_cast<uint8_t*>(
         std::malloc(static_cast<size_t>(h) * w * want));
-    if (!out) {
+    out_guard = out;
+    // one scratch block: w*3 RGB row followed by w*4 RGBA row
+    uint8_t* rows = static_cast<uint8_t*>(
+        std::malloc(static_cast<size_t>(w) * 7));
+    row_guard = rows;
+    if (!out || !rows) {
         jpeg_destroy_decompress(&cinfo);
+        std::free(out);
+        std::free(rows);
         return 5;
     }
-    std::vector<uint8_t> rgba_row(static_cast<size_t>(w) * 4);
+    uint8_t* rgb_row = rows;
+    uint8_t* rgba_row = rows + static_cast<size_t>(w) * 3;
     while (cinfo.output_scanline < cinfo.output_height) {
-        uint8_t* rowp = rgb_row.data();
+        uint8_t* rowp = rgb_row;
         jpeg_read_scanlines(&cinfo, &rowp, 1);
         const int64_t r = cinfo.output_scanline - 1;
         for (int64_t i = 0; i < w; ++i) {
@@ -145,10 +159,11 @@ int32_t decode_jpeg(FILE* f, int32_t want, uint8_t** out_data,
             rgba_row[i * 4 + 2] = rgb_row[i * 3 + 2];
             rgba_row[i * 4 + 3] = 0xFF;
         }
-        convert_row(rgba_row.data(), w, want, out + r * w * want);
+        convert_row(rgba_row, w, want, out + r * w * want);
     }
     jpeg_finish_decompress(&cinfo);
     jpeg_destroy_decompress(&cinfo);
+    std::free(rows);
     *out_data = out;
     *out_h = h;
     *out_w = w;

@@ -66,7 +66,7 @@ def main():
 
     # warm-up/compile, then honest chained timing with one scalar readback
     params, bn_stats, velocity, loss = step(
-        params, bn_stats, velocity, lr, key, images, labels
+        params, bn_stats, velocity, lr, jnp.float32(0.0), key, images, labels
     )
     float(loss)
 
@@ -81,7 +81,8 @@ def main():
     for i in range(args.iters):
         key, sub = jax.random.split(key)
         params, bn_stats, velocity, loss = step(
-            params, bn_stats, velocity, lr, sub, images, labels
+            params, bn_stats, velocity, lr, jnp.float32(0.99), sub, images,
+            labels
         )
     final_loss = float(loss)  # forces completion of the whole chain
     elapsed = max(1e-9, time.monotonic() - t0 - rtt)

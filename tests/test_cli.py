@@ -201,3 +201,112 @@ def test_cli_downscaling_factor_round_trip(tmp_path, capsys):
 
     rgba = np.asarray(Image.open(tmp_path / "img0.png_result.png"))
     assert rgba.shape == (64, 64, 4)  # upscaled back to original size
+
+
+def test_infer_negative_detection_level_rejected(tmp_path, capsys):
+    """annonet_infer.cpp:189 asserts detection levels >= 0; a negative level
+    must be a clean one-line error, not silently accepted."""
+    from annonet_tpu.cli.common import parse_class_specific_values
+
+    with pytest.raises(ValueError, match="non-negative"):
+        parse_class_specific_values(["1:-0.5"], 3, require_non_negative=True)
+    # gains may still be negative (the reference's own example is 1:-0.5)
+    assert parse_class_specific_values(["1:-0.5"], 3) == [0.0, -0.5, 0.0]
+
+
+def test_infer_missing_model_is_clean_error(tmp_path, capsys):
+    """Top-level catch parity (annonet_infer_main.cpp tail): message + rc 1,
+    no traceback, no hung threads."""
+    from annonet_tpu.cli.infer import main as infer_main
+
+    write_synthetic_dataset(tmp_path)
+    rc = infer_main([str(tmp_path), "--model", str(tmp_path / "missing.dnn")])
+    assert rc == 1
+    out = capsys.readouterr().out
+    assert "missing.dnn" in out
+    assert "Traceback" not in out
+
+
+def test_infer_corrupt_input_is_clean_error(tmp_path, capsys):
+    """A sample whose mask is corrupt surfaces as a one-line error with
+    exit code 1, and the reader/writer threads shut down."""
+    import threading
+
+    from annonet_tpu.cli.infer import main as infer_main
+    from annonet_tpu.cli.train import main as train_main
+
+    write_synthetic_dataset(tmp_path)
+    rc = train_main(
+        [
+            str(tmp_path),
+            "--max-total-steps", "2",
+            "-b", "2",
+            "--level-count", "0",
+            "--input-dimension-multiplier", "1.0",
+            "--data-loader-thread-count", "1",
+            "--output", str(tmp_path / "annonet.dnnx"),
+            "--sync-file", str(tmp_path / "sync.dat"),
+        ]
+    )
+    assert rc == 0
+    capsys.readouterr()
+
+    # corrupt one mask: wrong size triggers read_sample's error-as-data path
+    from PIL import Image
+
+    bad = np.zeros((7, 9, 4), np.uint8)
+    Image.fromarray(bad).save(tmp_path / "img1.png_mask.png")
+
+    threads_before = threading.active_count()
+    rc = infer_main(
+        [str(tmp_path), "--model", str(tmp_path / "annonet.dnnx")]
+    )
+    assert rc == 1
+    out = capsys.readouterr().out
+    assert "Traceback" not in out
+    # give daemon threads a beat, then confirm none piled up
+    import time as _time
+
+    deadline = _time.monotonic() + 5.0
+    while (
+        threading.active_count() > threads_before
+        and _time.monotonic() < deadline
+    ):
+        _time.sleep(0.05)
+    assert threading.active_count() <= threads_before
+
+
+def test_train_setup_error_is_clean(tmp_path, capsys):
+    """Setup-phase failures (corrupt anno_classes.json) print one line and
+    return 1 (annonet_train_main.cpp:640-644)."""
+    from annonet_tpu.cli.train import main as train_main
+
+    write_synthetic_dataset(tmp_path)
+    (tmp_path / "anno_classes.json").write_text("{not json")
+    rc = train_main([str(tmp_path), "--max-total-steps", "1", "-b", "1"])
+    assert rc == 1
+    out = capsys.readouterr().out
+    assert "Traceback" not in out
+
+
+def test_index_ordered_results():
+    """Reader results arriving out of order are consumed in file order."""
+    import queue
+    import threading
+
+    from annonet_tpu.cli.common import IndexOrderedResults
+
+    q = queue.Queue(maxsize=4)
+    arrival = [3, 0, 2, 5, 1, 4, 7, 6]
+
+    def producer():
+        for idx in arrival:
+            q.put((idx, f"item{idx}"))
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    ordered = IndexOrderedResults(q)
+    assert [ordered.next() for _ in range(8)] == [
+        f"item{i}" for i in range(8)
+    ]
+    t.join(timeout=5)

@@ -157,3 +157,106 @@ def test_sync_file_config_mismatch_raises(tmp_path):
     other_mc = SegNetConfig(class_count=3, level_count=1, base_width=4, compute_dtype="float32")
     with pytest.raises(RuntimeError, match="different model config"):
         Trainer(other_mc, tc, seed=0)
+
+
+# ---------------------------------------------------------- BN stats window
+
+
+def test_bn_momentum_for_step_schedule():
+    """dlib bn_ semantics: update factor 1/min(t, W) — cumulative average
+    until the window fills, then an EMA with momentum 1 - 1/W."""
+    from annonet_tpu.train.trainer import bn_momentum_for_step
+
+    W = 5
+    assert bn_momentum_for_step(0, W) == 0.0  # first update: full replace
+    assert bn_momentum_for_step(1, W) == pytest.approx(1 - 1 / 2)
+    assert bn_momentum_for_step(3, W) == pytest.approx(1 - 1 / 4)
+    assert bn_momentum_for_step(4, W) == pytest.approx(1 - 1 / 5)
+    assert bn_momentum_for_step(100, W) == pytest.approx(1 - 1 / 5)
+
+
+def test_bn_running_stats_are_true_windowed_average():
+    """While the window is filling, the running stats must equal the plain
+    average of the per-batch statistics — the 'windowed statistics'
+    interpretation of SetAllBatchNormalizationRunningStatsWindowSizes
+    (annonet_train_main.cpp:410) — and the BN-folded nets built from either
+    must be identical."""
+    import jax
+
+    from annonet_tpu.models.segnet import (
+        apply_train,
+        fold_batchnorm,
+        init_state,
+    )
+    from annonet_tpu.train.trainer import bn_momentum_for_step
+
+    cfg = SegNetConfig(
+        class_count=2, level_count=1, base_width=4, compute_dtype="float32"
+    )
+    params, stats0 = init_state(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    batches = [
+        rng.integers(0, 256, size=(2, 16, 16, 3), dtype=np.uint8)
+        for _ in range(4)
+    ]
+
+    window = 100  # larger than the step count: pure cumulative average
+    running = stats0
+    per_batch = []
+    for t, batch in enumerate(batches):
+        # bn_momentum=0.0 returns exactly this batch's statistics
+        _, batch_stats = apply_train(
+            params, stats0, jnp.asarray(batch), cfg, bn_momentum=0.0
+        )
+        per_batch.append(batch_stats)
+        _, running = apply_train(
+            params,
+            running,
+            jnp.asarray(batch),
+            cfg,
+            bn_momentum=bn_momentum_for_step(t, window),
+        )
+
+    mean_stats = jax.tree_util.tree_map(
+        lambda *leaves: np.mean(np.stack(leaves), axis=0), *per_batch
+    )
+    for got, want in zip(
+        jax.tree_util.tree_leaves(running),
+        jax.tree_util.tree_leaves(mean_stats),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6
+        )
+
+    # the folded runtime nets agree too (long-run output comparison)
+    folded_a = fold_batchnorm(params, running, cfg)
+    folded_b = fold_batchnorm(params, mean_stats, cfg)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(folded_a),
+        jax.tree_util.tree_leaves(folded_b),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        )
+
+
+def test_first_trainer_step_has_no_init_bias():
+    """After ONE training step the running stats must be exactly that
+    batch's statistics (dlib's first update has factor 1/1), not a 99:1
+    blend with the zeros/ones initialization."""
+    config = SegNetConfig(
+        class_count=2, level_count=0, base_width=4, compute_dtype="float32"
+    )
+    trainer = Trainer(config, TrainerConfig())
+    rng = np.random.default_rng(1)
+    images = rng.integers(0, 256, size=(2, 16, 16, 3), dtype=np.uint8)
+    labels = rng.integers(0, 2, size=(2, 16, 16)).astype(np.uint16)
+    weights = np.ones((2, 16, 16), np.float32)
+    trainer.train_step(images, labels, weights)
+    # init var is 1.0; with a 16x16x2 batch of uint8 data the true batch
+    # var of normalized inputs differs from 1 — a 0.99 EMA would still be
+    # ~0.99*init. Check the stem stats moved far from init in one step.
+    stem_mean = np.asarray(trainer.bn_stats["stem"]["bn0"]["mean"])
+    assert np.any(np.abs(stem_mean) > 1e-3)  # init was exactly 0
+    stem_var = np.asarray(trainer.bn_stats["stem"]["bn0"]["var"])
+    assert np.any(np.abs(stem_var - 1.0) > 0.05)  # far from init in 1 step
