@@ -25,6 +25,9 @@ def weighted_pixel_cross_entropy(
     valid = labels != IGNORE_LABEL
     safe = jnp.where(valid, labels, 0).astype(jnp.int32)
     log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    ce = -jnp.take_along_axis(log_probs, safe[..., None], axis=-1)[..., 0]
+    # one-hot select instead of take_along_axis: the gather (and its scatter
+    # transpose in the backward) serializes on TPU; compare-select fuses
+    onehot = safe[..., None] == jnp.arange(k, dtype=jnp.int32)
+    ce = -jnp.sum(jnp.where(onehot, log_probs, 0.0), axis=-1)
     ce = jnp.where(valid, ce, 0.0)
     return jnp.sum(ce * weights) / (n * h * w)

@@ -63,9 +63,10 @@ class TrainerConfig:
     weight_decay: float = 0.0005
     remat: bool = False  # rematerialize conv units in backward (memory saver)
     # width-folded training forward (models/folded_runtime.py): identical
-    # math (equivalence + gradient tests). Default OFF — measured neutral
-    # for training on v5e (337 vs 353 crops/s; the backward pass, not the
-    # forward convs, bounds the step), unlike inference where it is ~2x.
+    # math (equivalence + gradient tests). Default OFF — at training batch
+    # shapes the unfolded forward already runs at ~30% MFU (5.3 ms vs
+    # 10.8 ms folded, batch 128 @ 192^2; scripts/profile_train.py), so
+    # folding only pays on inference's few-large-tiles shapes.
     folded_training: bool = False
     # Device losses are read back in batches of this size: with 1 every step
     # blocks on the device (reference-like); larger values let the host
