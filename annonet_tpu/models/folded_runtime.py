@@ -461,9 +461,13 @@ def _bn_train_folded(h, bn, fold: int, axis_name=None):
         mean_sq = lax.pmean(mean_sq, axis_name)
     var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
     inv = lax.rsqrt(var + 1e-5)
-    gamma_t = jnp.tile(bn["gamma"] * inv, fold)
-    beta_t = jnp.tile(bn["beta"] - bn["gamma"] * inv * mean, fold)
-    return h32 * gamma_t + beta_t, mean, var
+    # normalize in the compute dtype (see segnet._bn_train): per-channel
+    # scale/shift rounded once, activations/residuals stay bf16
+    gamma_t = jnp.tile(bn["gamma"] * inv, fold).astype(h.dtype)
+    beta_t = jnp.tile(
+        bn["beta"] - bn["gamma"] * inv * mean, fold
+    ).astype(h.dtype)
+    return h * gamma_t + beta_t, mean, var
 
 
 def apply_train_folded(
