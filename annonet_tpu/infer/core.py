@@ -172,10 +172,16 @@ def _tiled_forward(
     if not with_detection:
         return labels.astype(out_dtype)
 
-    # detection seeds compare gain-free blended logits (annonet_infer.cpp:205-211)
+    # detection seeds compare gain-free blended logits
+    # (annonet_infer.cpp:205-211). One-hot selects instead of
+    # take_along_axis/fancy indexing: full-canvas gathers serialize on TPU
+    # (same lesson as ops/loss.py), compare-select fuses into the argmax.
     clean_output = blended[0]
-    label_output = jnp.take_along_axis(blended, labels[None], axis=0)[0]
-    label_level = detection_levels[labels]
+    onehot = labels[None] == jnp.arange(k, dtype=jnp.int32)[:, None, None]
+    label_output = jnp.sum(jnp.where(onehot, blended, 0.0), axis=0)
+    label_level = jnp.sum(
+        jnp.where(onehot, detection_levels[:, None, None], 0.0), axis=0
+    )
     seeds = (labels > 0) & (
         label_output - clean_output > label_level - detection_levels[0]
     )
