@@ -155,8 +155,10 @@ def fold_runtime_params(
 
     With ``pallas_s1`` the stride-1 3x3 layers are emitted as
     ("s1p:<fold>:<cin>", (Wc, Wl, Wr), bias) entries for the fused
-    ops.pallas_conv GEMM kernel (measured 2.4x over the folded XLA conv on
-    v5e); geometry-changing layers (s2/up/head) stay XLA.
+    ops.pallas_conv GEMM kernel — a documented NEGATIVE result end-to-end
+    (194 vs 359 Mpx/s composed; see ops/pallas_conv.py's status docstring),
+    kept opt-in for the record; geometry-changing layers (s2/up/head) stay
+    XLA.
 
     Dec-layer kernels absorb the skip-concat row permutation in both modes.
     """

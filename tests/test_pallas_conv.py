@@ -6,10 +6,8 @@ import pytest
 from jax import lax
 
 from annonet_tpu.ops.pallas_conv import (
-    build_gemm_kernel,
     build_gemm_kernels_aligned,
     conv3x3_gemm_aligned,
-    conv3x3_gemm_folded,
 )
 
 
@@ -19,26 +17,6 @@ def reference(x, w, b):
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
     return np.maximum(np.asarray(out) + b, 0.0)
-
-
-@pytest.mark.parametrize(
-    "n,h,w,cin,cout,fold,rows",
-    [(1, 8, 16, 16, 16, 8, 8), (2, 16, 32, 4, 8, 8, 8), (1, 8, 64, 16, 16, 8, 4)],
-)
-def test_windowed_gemm_conv(n, h, w, cin, cout, fold, rows):
-    rng = np.random.default_rng(0)
-    x = rng.normal(size=(n, h, w, cin)).astype(np.float32)
-    wgt = rng.normal(size=(3, 3, cin, cout)).astype(np.float32)
-    b = rng.normal(size=(cout,)).astype(np.float32)
-    got = conv3x3_gemm_folded(
-        jnp.asarray(x.reshape(n, h, w // fold, fold * cin)),
-        jnp.asarray(build_gemm_kernel(wgt, fold)),
-        jnp.asarray(b), fold, cin, rows=rows, interpret=True,
-    )
-    np.testing.assert_allclose(
-        np.asarray(got).reshape(n, h, w, cout),
-        reference(x, wgt, b), atol=1e-3,
-    )
 
 
 @pytest.mark.parametrize(
@@ -92,26 +70,3 @@ def test_folded_runtime_with_pallas_conv_matches():
         )
     )
     np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-3)
-
-
-@pytest.mark.parametrize(
-    "n,h,w,cin,cout,fold,rows",
-    [(2, 16, 32, 16, 16, 8, 8), (1, 8, 64, 4, 8, 8, 4)],
-)
-def test_dma_halo_gemm_conv(n, h, w, cin, cout, fold, rows):
-    from annonet_tpu.ops.pallas_conv import conv3x3_gemm_dma
-
-    rng = np.random.default_rng(2)
-    x = rng.normal(size=(n, h, w, cin)).astype(np.float32)
-    wgt = rng.normal(size=(3, 3, cin, cout)).astype(np.float32)
-    b = rng.normal(size=(cout,)).astype(np.float32)
-    wc, wl, wr = build_gemm_kernels_aligned(wgt, fold)
-    got = conv3x3_gemm_dma(
-        jnp.asarray(x.reshape(n, h, w // fold, fold * cin)),
-        jnp.asarray(wc), jnp.asarray(wl), jnp.asarray(wr),
-        jnp.asarray(b), fold, cin, rows=rows, interpret=True,
-    )
-    np.testing.assert_allclose(
-        np.asarray(got).reshape(n, h, w, cout),
-        reference(x, wgt, b), atol=1e-3,
-    )
