@@ -129,20 +129,19 @@ class CropOptions:
     allow_random_color_offset: bool = False
 
 
-def randomly_crop_sample(
+def sample_crop_rect(
     sample: Sample,
     options: CropOptions,
     rng: np.random.Generator,
-) -> Tuple[np.ndarray, np.ndarray]:
-    """One random training crop: (image uint8 [dim,dim,C], labels uint16 [dim,dim]).
+) -> Tuple[int, int, int, int]:
+    """Draw one crop DECISION (the rect only, no pixel work).
 
     Sampling parity with randomly_crop_image (annonet_train_main.cpp:110-232):
       1. pick a random CLASS present in the image (uniform over classes)
       2. pick a random labeled POINT of that class (uniform over its points)
       3. pick a random dim*fdf rect containing that point
-      4. extract (replicate-pad image / ignore-pad labels)
-      5. if further_downscaling_factor > 1: bilinear-resize the image crop and
-         NN-resize the label crop down to dim x dim
+    Factored out so the pipeline's batched native extraction consumes the
+    exact same random stream as the per-crop path.
     """
     classes = sorted(sample.labeled_points_by_class.keys())
     if not classes:
@@ -151,13 +150,28 @@ def randomly_crop_sample(
     points = sample.labeled_points_by_class[class_index]
     point = points[int(rng.integers(0, len(points)))]
 
-    fdf = options.further_downscaling_factor
-    dim_before = int(round(options.dim * fdf))
-    rect = random_rect_containing_point(rng, (point[0], point[1]), dim_before, dim_before)
+    dim_before = int(round(options.dim * options.further_downscaling_factor))
+    return random_rect_containing_point(
+        rng, (point[0], point[1]), dim_before, dim_before
+    )
 
+
+def randomly_crop_sample(
+    sample: Sample,
+    options: CropOptions,
+    rng: np.random.Generator,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """One random training crop: (image uint8 [dim,dim,C], labels uint16 [dim,dim]).
+
+    sample_crop_rect's decision, then:
+      4. extract (replicate-pad image / ignore-pad labels)
+      5. if further_downscaling_factor > 1: bilinear-resize the image crop and
+         NN-resize the label crop down to dim x dim
+    """
+    rect = sample_crop_rect(sample, options, rng)
     image_crop, label_crop = extract_crop(sample.input_image, sample.label_image, rect)
 
-    if fdf > 1.0:
+    if options.further_downscaling_factor > 1.0:
         image_crop = resize_image_bilinear(image_crop, options.dim, options.dim)
         label_crop = resize_label_image(label_crop, options.dim, options.dim)
 

@@ -30,7 +30,12 @@ import numpy as np
 
 from annonet_tpu.classes import AnnoClass
 from annonet_tpu.data.cache import SharedLruCache
-from annonet_tpu.data.crop import CropOptions, randomly_crop_sample
+from annonet_tpu.data.crop import (
+    CropOptions,
+    extract_crop,
+    randomly_crop_sample,
+    sample_crop_rect,
+)
 from annonet_tpu.data.dataset import ImageFilenames
 from annonet_tpu.data.filters import ignore_classes, ignore_large_nonzero_regions
 from annonet_tpu.data.sample import Sample, read_sample
@@ -39,10 +44,16 @@ from annonet_tpu.data.sample import Sample, read_sample
 @dataclasses.dataclass
 class Crop:
     """One produced crop; mirrors the reference's crop struct
-    (annonet_train_main.cpp:61-71) with errors/warnings as data."""
+    (annonet_train_main.cpp:61-71) with errors/warnings as data.
+
+    Two payload shapes: materialized pixels (image/labels — the further-
+    downscaling path) or a DECISION (sample + rect — the fast path, where
+    the consumer extracts the whole minibatch in one native call)."""
 
     image: Optional[np.ndarray] = None  # (dim, dim, C) uint8
     labels: Optional[np.ndarray] = None  # (dim, dim) uint16
+    sample: Optional[Sample] = None  # decision mode: source sample...
+    rect: Optional[Tuple[int, int, int, int]] = None  # ...and ltrb rect
     warning: str = ""
     error: str = ""
 
@@ -89,6 +100,13 @@ class CropPipeline:
         self._queue: "queue.Queue[Crop]" = queue.Queue(maxsize=queue_depth)
         self._stop = threading.Event()
         self._options = crop_options
+        # Fast path: producers ship crop DECISIONS and the consumer extracts
+        # the whole minibatch in one GIL-free native call (C++ thread pool,
+        # see native/annonet_native.cpp annonet_extract_crops_batch). The
+        # further-downscaling path keeps per-crop extraction (it resizes
+        # each crop).
+        self._decision_mode = crop_options.further_downscaling_factor <= 1.0
+        self._extract_threads = max(1, thread_count)
 
         def load_full_sample(filenames: ImageFilenames) -> Sample:
             sample = read_sample(
@@ -154,9 +172,13 @@ class CropPipeline:
             )
         else:
             try:
-                crop.image, crop.labels = randomly_crop_sample(
-                    sample, self._options, rng
-                )
+                if self._decision_mode:
+                    crop.sample = sample
+                    crop.rect = sample_crop_rect(sample, self._options, rng)
+                else:
+                    crop.image, crop.labels = randomly_crop_sample(
+                        sample, self._options, rng
+                    )
             except Exception as e:  # noqa: BLE001
                 crop.error = str(e)
         return crop
@@ -176,9 +198,8 @@ class CropPipeline:
         :597-602). Returns (images [N,dim,dim,C] uint8, labels [N,dim,dim]
         uint16), C-contiguous.
         """
-        images: List[np.ndarray] = []
-        labels: List[np.ndarray] = []
-        while len(images) < minibatch_size:
+        crops: List[Crop] = []
+        while len(crops) < minibatch_size:
             crop = self._queue.get()
             if crop.error:
                 raise RuntimeError(crop.error)
@@ -191,12 +212,40 @@ class CropPipeline:
                     if warnings_already_printed is not None:
                         warnings_already_printed.add(crop.warning)
                 continue
-            images.append(crop.image)
-            labels.append(crop.labels)
-        return (
-            np.ascontiguousarray(np.stack(images)),
-            np.ascontiguousarray(np.stack(labels)),
+            crops.append(crop)
+
+        if not self._decision_mode:
+            return (
+                np.ascontiguousarray(np.stack([c.image for c in crops])),
+                np.ascontiguousarray(np.stack([c.labels for c in crops])),
+            )
+
+        # decision mode: extract every crop straight into the batch arrays
+        dim = self._options.dim
+        first = crops[0].sample
+        channels = first.input_image.shape[2]
+        images = np.empty(
+            (minibatch_size, dim, dim, channels), dtype=np.uint8
         )
+        labels = np.empty((minibatch_size, dim, dim), dtype=np.uint16)
+
+        from annonet_tpu.native import extract_crops_batch_native
+
+        done = extract_crops_batch_native(
+            [(c.sample.input_image, c.sample.label_image) for c in crops],
+            [(c.rect[1], c.rect[0]) for c in crops],  # ltrb -> (top, left)
+            dim,
+            dim,
+            images,
+            labels,
+            thread_count=self._extract_threads,
+        )
+        if not done:  # pure-Python fallback, per crop
+            for i, c in enumerate(crops):
+                images[i], labels[i] = extract_crop(
+                    c.sample.input_image, c.sample.label_image, c.rect
+                )
+        return images, labels
 
     # ------------------------------------------------------------ shutdown
 

@@ -15,6 +15,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -161,6 +162,56 @@ void annonet_extract_crop(
             if (olrow) olrow[c] = outside ? 0xFFFF : lrow[sx];
         }
     }
+}
+
+// Batch crop extraction with an internal thread pool: crop i reads from its
+// own source image/label pair and writes slot i of the output batch arrays.
+// This is the data-loader's pixel path as ONE GIL-free call per minibatch
+// (the Python side only samples the crop decisions): per-crop Python/queue
+// overhead disappears and the pool scales on many-core production hosts.
+int32_t annonet_extract_crops_batch(
+    const uint8_t* const* images,   // n pointers, each [hs[i], ws[i], ch]
+    const uint16_t* const* labels,  // n pointers (entries may be null)
+    const int64_t* hs,
+    const int64_t* ws,
+    const int64_t* tops,
+    const int64_t* lefts,
+    int64_t n,
+    int64_t ch,
+    int64_t crop_h,
+    int64_t crop_w,
+    uint8_t* out_images,   // [n, crop_h, crop_w, ch]
+    uint16_t* out_labels,  // [n, crop_h, crop_w] (may be null)
+    int32_t thread_count
+) {
+    const int64_t istride = crop_h * crop_w * ch;
+    const int64_t lstride = crop_h * crop_w;
+    auto run = [&](int64_t begin, int64_t end) {
+        for (int64_t i = begin; i < end; ++i) {
+            annonet_extract_crop(
+                images[i], labels ? labels[i] : nullptr, hs[i], ws[i], ch,
+                tops[i], lefts[i], crop_h, crop_w,
+                out_images + i * istride,
+                out_labels ? out_labels + i * lstride : nullptr);
+        }
+    };
+    int64_t workers = thread_count > 0 ? thread_count : 1;
+    if (workers > n) workers = n;
+    if (workers <= 1) {
+        run(0, n);
+        return 0;
+    }
+    std::vector<std::thread> pool;
+    pool.reserve(static_cast<size_t>(workers));
+    const int64_t per = (n + workers - 1) / workers;
+    for (int64_t t = 0; t < workers; ++t) {
+        const int64_t begin = t * per;
+        const int64_t end = begin + per < n ? begin + per : n;
+        if (begin >= end) break;
+        pool.emplace_back(run, begin, end);
+    }
+    for (std::thread& t : pool) t.join();
+    return 0;
 }
 
 int32_t annonet_native_abi_version() { return 1; }

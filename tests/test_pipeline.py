@@ -370,3 +370,81 @@ def test_fused_train_step_runs(tiny_dataset):
         loss2 = trainer.train_step_crops(images, labels, opts)
     assert np.isfinite(loss1) and np.isfinite(loss2)
     assert trainer.step_count == 2
+
+
+def test_batched_extraction_matches_per_crop_path(tiny_dataset):
+    """Decision mode (one native batch-extract per minibatch) must produce
+    byte-identical batches to the legacy per-crop path: same rng stream,
+    same extraction semantics."""
+    files, classes = tiny_dataset
+    options = CropOptions(dim=24)
+
+    def batches(force_legacy):
+        with CropPipeline(
+            files, classes, options, thread_count=1, seed=7
+        ) as pipe:
+            if force_legacy:
+                pipe._decision_mode = False
+            out = [pipe.next_minibatch(6, warn=None) for _ in range(3)]
+        return out
+
+    fast = batches(force_legacy=False)
+    legacy = batches(force_legacy=True)
+    for (fi, fl), (li, ll) in zip(fast, legacy):
+        np.testing.assert_array_equal(fi, li)
+        np.testing.assert_array_equal(fl, ll)
+
+
+def test_batched_extraction_python_fallback(tiny_dataset, monkeypatch):
+    """With the native module disabled the decision mode falls back to the
+    per-crop Python extraction and still matches."""
+    monkeypatch.setenv("ANNONET_TPU_NO_NATIVE", "1")
+    import annonet_tpu.native as native
+
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_load_failed", True)
+
+    files, classes = tiny_dataset
+    options = CropOptions(dim=24)
+    with CropPipeline(
+        files, classes, options, thread_count=1, seed=7
+    ) as pipe:
+        images, labels = pipe.next_minibatch(6, warn=None)
+    assert images.shape == (6, 24, 24, 3)
+    assert labels.shape == (6, 24, 24)
+    assert labels.dtype == np.uint16
+
+
+def test_extract_crops_batch_native_vs_single():
+    """The native batch call equals per-crop extract_crop, including
+    out-of-bounds rects (replicate/ignore padding) and multi-threading."""
+    from annonet_tpu.data.crop import extract_crop
+    from annonet_tpu.native import extract_crops_batch_native, get_lib
+
+    if get_lib() is None:
+        import pytest
+
+        pytest.skip("native module unavailable")
+    rng = np.random.default_rng(3)
+    sources, rects = [], []
+    for i in range(9):
+        h, w = int(rng.integers(20, 40)), int(rng.integers(20, 40))
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        lbl = rng.integers(0, 4, size=(h, w)).astype(np.uint16)
+        sources.append((img, lbl))
+        # rects deliberately hanging over every edge
+        top = int(rng.integers(-10, h))
+        left = int(rng.integers(-10, w))
+        rects.append((top, left))
+    dim = 16
+    out_i = np.empty((9, dim, dim, 3), np.uint8)
+    out_l = np.empty((9, dim, dim), np.uint16)
+    assert extract_crops_batch_native(
+        sources, rects, dim, dim, out_i, out_l, thread_count=3
+    )
+    for i, ((img, lbl), (top, left)) in enumerate(zip(sources, rects)):
+        want_i, want_l = extract_crop(
+            img, lbl, (left, top, left + dim - 1, top + dim - 1)
+        )
+        np.testing.assert_array_equal(out_i[i], want_i)
+        np.testing.assert_array_equal(out_l[i], want_l)
