@@ -14,6 +14,15 @@ canvas stays in HBM (input/output aliased, updated in place).
 
 Tile positions arrive via scalar prefetch so one compiled kernel serves any
 layout with the same (n, tile, canvas) geometry.
+
+STATUS — opt-in, hardware-incompatible with the shipped geometry (round-2
+A/B): under the width-folded net, tile widths are fold-aligned (e.g. 872),
+and Mosaic rejects the kernel's HBM slab DMA ("Slice shape along dimension
+3 must be aligned to tiling (128), but is 872"). The XLA blend it would
+replace costs ~5.5 ms of a 46 ms 4096^2 image (12%), so re-padding tiles to
+128-wide multiples just for this kernel would cost more in forward FLOPs
+than the epilogue could save. Kept interpret-tested for the record;
+use only with 128-multiple tile widths.
 """
 
 from __future__ import annotations
