@@ -88,6 +88,7 @@ def make_dp_train_step(
 
     def local_step(params, bn_stats, velocity, lr, bn_momentum, key, images,
                    labels):
+        labels = labels.astype(jnp.int32)  # shipped uint16, widened on device
         # decorrelate augmentation randomness across devices
         key = jax.random.fold_in(key, lax.axis_index(axis))
         images_f, labels = augment_batch(
@@ -203,9 +204,7 @@ class DataParallelTrainer(Trainer):
 
         batch_sharding = NamedSharding(self.mesh, P(self.axis))
         images_dev = jax.device_put(np.asarray(images), batch_sharding)
-        labels_dev = jax.device_put(
-            np.asarray(labels).astype(np.int32), batch_sharding
-        )
+        labels_dev = jax.device_put(np.asarray(labels), batch_sharding)
         self.params, self.bn_stats, self.velocity, loss = self._dp_step_fn(
             self.params,
             self.bn_stats,

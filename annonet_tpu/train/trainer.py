@@ -180,6 +180,9 @@ def make_fused_train_step(
 
     def step(params, bn_stats, velocity, lr, bn_momentum, key, images,
              labels):
+        # labels cross the host->device boundary in their native uint16
+        # (2 bytes/pixel; IGNORE_LABEL = 0xFFFF survives) and widen here
+        labels = labels.astype(jnp.int32)
         images_f, labels = augment_batch(
             key,
             images,
@@ -286,7 +289,7 @@ class Trainer:
             jnp.float32(self._bn_momentum()),
             step_key,
             jnp.asarray(images),
-            jnp.asarray(labels.astype(np.int32)),
+            jnp.asarray(labels),  # uint16: half the transfer of int32
         )
         return self._finish_step(loss)
 
