@@ -280,7 +280,6 @@ def _run(args, input_directory) -> int:
     set_low_priority()  # annonet_train_main.cpp:514
     warnings_already_printed = set()
     minibatch = 0
-    return_value = 0
 
     with CropPipeline(
         image_files,
@@ -316,10 +315,9 @@ def _run(args, input_directory) -> int:
                     save_inference_net()
                 minibatch += 1
 
-    if return_value == 0:
-        save_inference_net()
-        trainer.save_sync_file()
-    return return_value
+    save_inference_net()
+    trainer.save_sync_file()
+    return 0
 
 
 if __name__ == "__main__":

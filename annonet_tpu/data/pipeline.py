@@ -93,6 +93,8 @@ class CropPipeline:
         thread_count: int = 4,
         queue_depth: int = 200,
         seed: int = 0,
+        force_per_crop_extraction: bool = False,
+        pinned_bytes_budget: int = 512 << 20,
     ):
         if not image_files:
             raise ValueError("no image files to train on")
@@ -100,13 +102,37 @@ class CropPipeline:
         self._queue: "queue.Queue[Crop]" = queue.Queue(maxsize=queue_depth)
         self._stop = threading.Event()
         self._options = crop_options
+        self._grayscale = grayscale
+        # The crop side actually produced: for factors <= 1 the reference
+        # extracts round(dim * fdf) chips WITHOUT resizing
+        # (annonet_train_main.cpp:174-180, the else branch), so that is the
+        # minibatch side; only factors > 1 resize back down to dim.
+        fdf = crop_options.further_downscaling_factor
+        self._crop_dim = (
+            int(round(crop_options.dim * fdf)) if fdf <= 1.0
+            else crop_options.dim
+        )
         # Fast path: producers ship crop DECISIONS and the consumer extracts
         # the whole minibatch in one GIL-free native call (C++ thread pool,
-        # see native/annonet_native.cpp annonet_extract_crops_batch). The
-        # further-downscaling path keeps per-crop extraction (it resizes
-        # each crop).
-        self._decision_mode = crop_options.further_downscaling_factor <= 1.0
+        # see native/annonet_native.cpp annonet_extract_crops_batch). Only
+        # the downscaling (fdf > 1) path needs per-crop extraction (it
+        # bilinear-resizes each crop after extraction).
+        self._decision_mode = fdf <= 1.0 and not force_per_crop_extraction
         self._extract_threads = max(1, thread_count)
+        # Queued decisions pin their whole decoded source Sample in memory
+        # (full images can be 50+ MB each). A byte budget bounds the worst
+        # case — e.g. the device stalling in its first compile while
+        # producers fill the queue with crops of distinct evicted images;
+        # when exceeded, producers fall back to extracting the crop's
+        # pixels themselves, using the already-drawn rect so the random
+        # stream is unchanged either way.
+        self._pinned_bytes = 0
+        self._pinned_budget = max(0, pinned_bytes_budget)
+        self._pinned_lock = threading.Lock()
+        # refcounted per-SAMPLE accounting: many queued decisions usually
+        # share a few cached samples, and only DISTINCT pinned samples
+        # consume budget (the table holds a reference, so id() stays valid)
+        self._pin_table: dict = {}  # id(sample) -> [refcount, nbytes, sample]
 
         def load_full_sample(filenames: ImageFilenames) -> Sample:
             sample = read_sample(
@@ -173,8 +199,16 @@ class CropPipeline:
         else:
             try:
                 if self._decision_mode:
-                    crop.sample = sample
-                    crop.rect = sample_crop_rect(sample, self._options, rng)
+                    rect = sample_crop_rect(sample, self._options, rng)
+                    if self._try_pin(sample):
+                        crop.sample = sample
+                        crop.rect = rect
+                    else:
+                        # budget exhausted: extract here (same rect, so the
+                        # random stream is identical; fdf == 1 -> no resize)
+                        crop.image, crop.labels = extract_crop(
+                            sample.input_image, sample.label_image, rect
+                        )
                 else:
                     crop.image, crop.labels = randomly_crop_sample(
                         sample, self._options, rng
@@ -182,6 +216,30 @@ class CropPipeline:
             except Exception as e:  # noqa: BLE001
                 crop.error = str(e)
         return crop
+
+    def _try_pin(self, sample: Sample) -> bool:
+        with self._pinned_lock:
+            entry = self._pin_table.get(id(sample))
+            if entry is not None:  # already pinned: sharing is free
+                entry[0] += 1
+                return True
+            nbytes = sample.input_image.nbytes + sample.label_image.nbytes
+            if self._pinned_bytes + nbytes > self._pinned_budget:
+                return False
+            self._pinned_bytes += nbytes
+            self._pin_table[id(sample)] = [1, nbytes, sample]
+            return True
+
+    def _unpin_many(self, samples) -> None:
+        with self._pinned_lock:
+            for sample in samples:
+                entry = self._pin_table.get(id(sample))
+                if entry is None:
+                    continue
+                entry[0] -= 1
+                if entry[0] == 0:
+                    self._pinned_bytes -= entry[1]
+                    del self._pin_table[id(sample)]
 
     # ------------------------------------------------------------ consumer
 
@@ -214,37 +272,48 @@ class CropPipeline:
                 continue
             crops.append(crop)
 
-        if not self._decision_mode:
-            return (
-                np.ascontiguousarray(np.stack([c.image for c in crops])),
-                np.ascontiguousarray(np.stack([c.labels for c in crops])),
-            )
-
-        # decision mode: extract every crop straight into the batch arrays
-        dim = self._options.dim
-        first = crops[0].sample
-        channels = first.input_image.shape[2]
+        # Assemble the batch arrays. Crops arrive in two shapes (possibly
+        # mixed when the pin budget kicked in): materialized pixels are
+        # copied into their slots; decisions are extracted straight into
+        # their slots by one native batch call (Python fallback per crop).
+        dim = self._crop_dim
+        channels = 1 if self._grayscale else 3
         images = np.empty(
             (minibatch_size, dim, dim, channels), dtype=np.uint8
         )
         labels = np.empty((minibatch_size, dim, dim), dtype=np.uint16)
 
-        from annonet_tpu.native import extract_crops_batch_native
+        decision_slots = []
+        for i, c in enumerate(crops):
+            if c.sample is None:
+                images[i] = c.image
+                labels[i] = c.labels
+            else:
+                decision_slots.append(i)
 
-        done = extract_crops_batch_native(
-            [(c.sample.input_image, c.sample.label_image) for c in crops],
-            [(c.rect[1], c.rect[0]) for c in crops],  # ltrb -> (top, left)
-            dim,
-            dim,
-            images,
-            labels,
-            thread_count=self._extract_threads,
-        )
-        if not done:  # pure-Python fallback, per crop
-            for i, c in enumerate(crops):
-                images[i], labels[i] = extract_crop(
-                    c.sample.input_image, c.sample.label_image, c.rect
-                )
+        if decision_slots:
+            from annonet_tpu.native import extract_crops_batch_native
+
+            selected = [crops[i] for i in decision_slots]
+            done = extract_crops_batch_native(
+                [
+                    (c.sample.input_image, c.sample.label_image)
+                    for c in selected
+                ],
+                [(c.rect[1], c.rect[0]) for c in selected],  # -> (top, left)
+                dim,
+                dim,
+                [images[i] for i in decision_slots],
+                [labels[i] for i in decision_slots],
+                thread_count=self._extract_threads,
+            )
+            if not done:  # pure-Python fallback, per crop
+                for i in decision_slots:
+                    c = crops[i]
+                    images[i], labels[i] = extract_crop(
+                        c.sample.input_image, c.sample.label_image, c.rect
+                    )
+            self._unpin_many(c.sample for c in selected)
         return images, labels
 
     # ------------------------------------------------------------ shutdown

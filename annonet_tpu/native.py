@@ -97,7 +97,8 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int64),  # lefts
             ctypes.c_int64, ctypes.c_int64,  # n, ch
             ctypes.c_int64, ctypes.c_int64,  # crop_h, crop_w
-            ctypes.c_void_p, ctypes.c_void_p,  # out_images, out_labels
+            ctypes.POINTER(ctypes.c_void_p),  # out_images (per-slot)
+            ctypes.POINTER(ctypes.c_void_p),  # out_labels (per-slot)
             ctypes.c_int32,  # thread_count
         ]
     lib.annonet_resize_bilinear_u8.restype = None
@@ -191,17 +192,19 @@ def extract_crops_batch_native(
     rects,  # sequence of (top, left) crop origins
     crop_h: int,
     crop_w: int,
-    out_images: np.ndarray,  # (N, crop_h, crop_w, C) uint8, C-contiguous
-    out_labels: np.ndarray,  # (N, crop_h, crop_w) uint16, C-contiguous
+    out_image_slots,  # sequence of (crop_h, crop_w, C) uint8 views
+    out_label_slots,  # sequence of (crop_h, crop_w) uint16 views
     thread_count: int = 1,
 ) -> bool:
-    """Assemble a whole minibatch of crops in ONE native call.
+    """Assemble a batch of crops in ONE native call.
 
     Each crop is the same replicate/ignore-padded extraction as
     extract_crop_native, but the per-crop loop runs in C++ (optionally on an
     internal thread pool) with the GIL released, writing straight into the
-    caller's batch arrays. Returns False when the native module (or the
-    batch entry point) is unavailable — callers fall back per crop.
+    caller's per-slot output views (rows of the final batch arrays — slots
+    need not be consecutive, so mixed decision/pixel batches work). Returns
+    False when the native module (or the batch entry point) is unavailable —
+    callers fall back per crop.
 
     The caller must keep ``sources`` alive for the duration of the call and
     pass C-contiguous arrays (data/pipeline.py guarantees both).
@@ -210,26 +213,32 @@ def extract_crops_batch_native(
     if lib is None or not hasattr(lib, "annonet_extract_crops_batch"):
         return False
     n = len(sources)
-    assert out_images.flags["C_CONTIGUOUS"] and out_labels.flags["C_CONTIGUOUS"]
     img_ptrs = (ctypes.c_void_p * n)()
     lbl_ptrs = (ctypes.c_void_p * n)()
+    out_img_ptrs = (ctypes.c_void_p * n)()
+    out_lbl_ptrs = (ctypes.c_void_p * n)()
     hs = (ctypes.c_int64 * n)()
     ws = (ctypes.c_int64 * n)()
     tops = (ctypes.c_int64 * n)()
     lefts = (ctypes.c_int64 * n)()
+    channels = out_image_slots[0].shape[2]
     for i, ((image, labels), (top, left)) in enumerate(zip(sources, rects)):
         assert image.flags["C_CONTIGUOUS"] and image.dtype == np.uint8
         assert labels.flags["C_CONTIGUOUS"] and labels.dtype == np.uint16
+        out_i, out_l = out_image_slots[i], out_label_slots[i]
+        assert out_i.flags["C_CONTIGUOUS"] and out_l.flags["C_CONTIGUOUS"]
         img_ptrs[i] = image.ctypes.data
         lbl_ptrs[i] = labels.ctypes.data
+        out_img_ptrs[i] = out_i.ctypes.data
+        out_lbl_ptrs[i] = out_l.ctypes.data
         hs[i] = labels.shape[0]
         ws[i] = labels.shape[1]
         tops[i] = top
         lefts[i] = left
     lib.annonet_extract_crops_batch(
         img_ptrs, lbl_ptrs, hs, ws, tops, lefts,
-        n, out_images.shape[3], crop_h, crop_w,
-        out_images.ctypes.data, out_labels.ctypes.data,
+        n, channels, crop_h, crop_w,
+        out_img_ptrs, out_lbl_ptrs,
         max(1, thread_count),
     )
     return True

@@ -180,19 +180,17 @@ int32_t annonet_extract_crops_batch(
     int64_t ch,
     int64_t crop_h,
     int64_t crop_w,
-    uint8_t* out_images,   // [n, crop_h, crop_w, ch]
-    uint16_t* out_labels,  // [n, crop_h, crop_w] (may be null)
+    uint8_t* const* out_images,   // n pointers, each [crop_h, crop_w, ch]
+    uint16_t* const* out_labels,  // n pointers (entries may be null)
     int32_t thread_count
 ) {
-    const int64_t istride = crop_h * crop_w * ch;
-    const int64_t lstride = crop_h * crop_w;
     auto run = [&](int64_t begin, int64_t end) {
         for (int64_t i = begin; i < end; ++i) {
             annonet_extract_crop(
                 images[i], labels ? labels[i] : nullptr, hs[i], ws[i], ch,
                 tops[i], lefts[i], crop_h, crop_w,
-                out_images + i * istride,
-                out_labels ? out_labels + i * lstride : nullptr);
+                out_images[i],
+                out_labels ? out_labels[i] : nullptr);
         }
     };
     int64_t workers = thread_count > 0 ? thread_count : 1;

@@ -1,8 +1,8 @@
 """Host data-pipeline throughput: can the loaders feed the TPU train step?
 
 The device consumes ~6200 crops/s (192^2, batch 128, v5e). With batched
-native minibatch assembly this loader sustains ~9.8k crops/s on the 1-core
-dev host. This measures what
+native minibatch assembly this loader sustains ~6.5k crops/s on the 1-core
+dev host (noisy box: runs vary 5-10k). This measures what
 CropPipeline produces on this host (synthetic dataset, real PNG decode via
 the native module, real crop extraction) at several thread counts.
 

@@ -381,10 +381,9 @@ def test_batched_extraction_matches_per_crop_path(tiny_dataset):
 
     def batches(force_legacy):
         with CropPipeline(
-            files, classes, options, thread_count=1, seed=7
+            files, classes, options, thread_count=1, seed=7,
+            force_per_crop_extraction=force_legacy,
         ) as pipe:
-            if force_legacy:
-                pipe._decision_mode = False
             out = [pipe.next_minibatch(6, warn=None) for _ in range(3)]
         return out
 
@@ -448,3 +447,77 @@ def test_extract_crops_batch_native_vs_single():
         )
         np.testing.assert_array_equal(out_i[i], want_i)
         np.testing.assert_array_equal(out_l[i], want_l)
+
+
+def test_pipeline_error_propagates_in_decision_mode(tmp_path):
+    """A corrupt mask travels through the queue as data and raises in
+    next_minibatch (annonet_train_main.cpp:594-596 semantics), with the
+    pipeline shutting down cleanly afterwards."""
+    from PIL import Image
+
+    from annonet_tpu.classes import default_anno_classes
+
+    anno_classes = default_anno_classes()
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    Image.fromarray(img).save(tmp_path / "im0.png")
+    # mask with the wrong size -> read_sample records an error
+    bad = np.zeros((7, 9, 4), np.uint8)
+    Image.fromarray(bad, mode="RGBA").save(tmp_path / "im0.png_mask.png")
+    files = [
+        ImageFilenames(
+            str(tmp_path / "im0.png"), str(tmp_path / "im0.png_mask.png")
+        )
+    ]
+    with CropPipeline(
+        files, anno_classes, CropOptions(dim=16), thread_count=2, seed=0
+    ) as pipe:
+        assert pipe._decision_mode
+        with pytest.raises(RuntimeError):
+            pipe.next_minibatch(4, warn=None)
+
+
+def test_further_downscaling_factor_crop_sizes(tiny_dataset):
+    """Reference semantics (annonet_train_main.cpp:174-180): factors <= 1
+    extract round(dim*fdf) chips WITHOUT resizing (decision mode handles
+    them); factors > 1 extract bigger chips and resize down to dim
+    (per-crop path)."""
+    files, classes = tiny_dataset
+    for fdf, expect_dim, expect_decision in (
+        (0.5, 8, True), (1.0, 16, True), (2.0, 16, False),
+    ):
+        options = CropOptions(dim=16, further_downscaling_factor=fdf)
+        with CropPipeline(
+            files, classes, options, thread_count=1, seed=3
+        ) as pipe:
+            assert pipe._decision_mode == expect_decision, fdf
+            images, labels = pipe.next_minibatch(4, warn=None)
+        assert images.shape == (4, expect_dim, expect_dim, 3), fdf
+        assert labels.shape == (4, expect_dim, expect_dim), fdf
+
+
+def test_pin_budget_fallback_is_identical(tiny_dataset):
+    """With a zero pin budget every producer extracts its own pixels (same
+    drawn rect), so batches are byte-identical to unconstrained decision
+    mode, and the accounting returns to zero."""
+    files, classes = tiny_dataset
+    options = CropOptions(dim=24)
+
+    def batches(budget):
+        with CropPipeline(
+            files, classes, options, thread_count=1, seed=7,
+            pinned_bytes_budget=budget,
+        ) as pipe:
+            out = [pipe.next_minibatch(6, warn=None) for _ in range(3)]
+            pinned = pipe._pinned_bytes
+        return out, pinned
+
+    fast, pinned_fast = batches(512 << 20)
+    tight, pinned_tight = batches(0)
+    # queued (not yet consumed) decisions may still hold pins; the budget
+    # bounds them. With budget 0 nothing ever pins.
+    assert 0 <= pinned_fast <= 512 << 20
+    assert pinned_tight == 0
+    for (fi, fl), (ti, tl) in zip(fast, tight):
+        np.testing.assert_array_equal(fi, ti)
+        np.testing.assert_array_equal(fl, tl)
