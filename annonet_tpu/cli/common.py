@@ -57,9 +57,10 @@ class IndexOrderedResults:
     Reader threads complete out of order; inference must still process
     images in find_image_files order (the reference's sequential loop,
     annonet_infer_main.cpp:440-494) so result ordering and the
-    "excluding the first image" timing are deterministic. The buffer
-    stays small: readers pull requests in order, so at most
-    ~reader_count items are in flight ahead of the next expected index.
+    "excluding the first image" timing are deterministic. The buffer is
+    bounded only if the PRODUCERS bound their read-ahead (cli/infer.py's
+    read_ahead semaphore): without that, one slow in-order item would let
+    the other readers race ahead and this buffer would absorb them all.
     """
 
     def __init__(self, results_queue):

@@ -148,12 +148,24 @@ def _run(args, input_directory) -> int:
     reader_count = max(1, args.full_image_reader_thread_count)
     read_results: "queue.Queue" = queue.Queue(maxsize=reader_count)
     stop = threading.Event()
+    # Read-ahead window: readers take a new request only when fewer than
+    # `window` samples are taken-but-unconsumed. Without it, one slow image
+    # at the next in-order index would let the other readers decode ahead
+    # through the whole file list into the consumer's reorder buffer
+    # (full decoded images — unbounded memory). Requests are taken in index
+    # order, so the needed index is always within the window: no deadlock.
+    read_ahead = threading.Semaphore(
+        reader_count + max(1, args.pipeline_depth) + 2
+    )
 
     def reader():
         while not stop.is_set():
+            if not read_ahead.acquire(timeout=0.1):
+                continue
             try:
                 index, filenames = read_requests.get_nowait()
             except queue.Empty:
+                read_ahead.release()
                 return
             read_results.put(
                 (
@@ -236,6 +248,7 @@ def _run(args, input_directory) -> int:
 
     def dispatch_one():
         sample = ordered_samples.next()
+        read_ahead.release()  # one consumed -> one more may be read ahead
         if sample.error:
             raise RuntimeError(sample.error)
         t_start = time.monotonic()
