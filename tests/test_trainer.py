@@ -260,3 +260,40 @@ def test_first_trainer_step_has_no_init_bias():
     assert np.any(np.abs(stem_mean) > 1e-3)  # init was exactly 0
     stem_var = np.asarray(trainer.bn_stats["stem"]["bn0"]["var"])
     assert np.any(np.abs(stem_var - 1.0) > 0.05)  # far from init in 1 step
+
+
+def test_train_step_lowers_without_gathers():
+    """Round 2's 9x training speedup came from eliminating per-pixel
+    gathers (loss/weighting take_along_axis) whose scatter transposes
+    dominated the backward. Guard the whole fused step's lowering so they
+    cannot creep back in."""
+    import re
+
+    import jax
+    from annonet_tpu.data.crop import CropOptions
+    from annonet_tpu.models.segnet import init_state
+    from annonet_tpu.train.trainer import make_fused_train_step
+
+    cfg = SegNetConfig(class_count=3, level_count=2, base_width=8)
+    co = CropOptions(
+        dim=32,
+        allow_flip_left_right=True,
+        noise_level_stddev=2.0,
+        multiplicative_brightness_change_probability=0.5,
+        allow_random_color_offset=True,
+    )
+    step = make_fused_train_step(cfg, TrainerConfig(), co)
+    params, stats = init_state(jax.random.PRNGKey(0), cfg)
+    vel = jax.tree_util.tree_map(jnp.zeros_like, params)
+    im = jnp.zeros((2, 32, 32, 3), jnp.uint8)
+    lb = jnp.zeros((2, 32, 32), jnp.uint16)
+    txt = jax.jit(step).lower(
+        params, stats, vel, jnp.float32(0.1), jnp.float32(0.9),
+        jax.random.PRNGKey(1), im, lb,
+    ).as_text()
+    offenders = [
+        line.strip()[:120]
+        for line in txt.splitlines()
+        if re.search(r"stablehlo\.[a-z_]*(gather|scatter)", line)
+    ]
+    assert not offenders, offenders
