@@ -310,3 +310,17 @@ def test_index_ordered_results():
         f"item{i}" for i in range(8)
     ]
     t.join(timeout=5)
+
+
+def test_infer_corrupt_model_is_clean_error(tmp_path, capsys):
+    """A garbage annonet.dnn yields a one-line error and exit 1 (top-level
+    catch parity), not a traceback."""
+    from annonet_tpu.cli.infer import main as infer_main
+
+    write_synthetic_dataset(tmp_path)
+    model = tmp_path / "annonet.dnn"
+    model.write_bytes(b"not an npz at all \x00\x01\x02" * 16)
+    rc = infer_main([str(tmp_path), "--model", str(model)])
+    assert rc == 1
+    out = capsys.readouterr().out
+    assert "Traceback" not in out
