@@ -216,9 +216,17 @@ def _run(args, input_directory) -> int:
     )
     minibatch_size = args.minibatch_size
     if args.mesh:
-        from annonet_tpu.parallel.mesh import make_mesh
+        from annonet_tpu.parallel.mesh import (
+            ensure_virtual_devices,
+            make_mesh,
+        )
         from annonet_tpu.parallel.train import DataParallelTrainer
 
+        if os.environ.get("ANNONET_TPU_VIRTUAL_MESH") == "1":
+            # testing aid: fake an N-device CPU mesh on single-device hosts
+            # (explicit opt-in — silently moving a production --mesh run
+            # onto virtual CPU devices would be a perf cliff)
+            ensure_virtual_devices(args.mesh)
         mesh = make_mesh(args.mesh)
         if minibatch_size % args.mesh:
             minibatch_size += args.mesh - minibatch_size % args.mesh

@@ -2,11 +2,38 @@
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence
 
 import jax
 import numpy as np
 from jax.sharding import Mesh
+
+
+def ensure_virtual_devices(n_devices: int) -> bool:
+    """Make at least ``n_devices`` JAX devices visible, virtualizing on CPU.
+
+    Must run before the JAX backend initializes: sets
+    --xla_force_host_platform_device_count and forces the cpu platform (the
+    axon TPU plugin pre-sets jax_platforms to "axon,cpu", overriding the
+    JAX_PLATFORMS env var, so the config must be updated explicitly).
+    Returns True if n_devices are now visible, False if the backend was
+    already initialized with fewer. Used by the driver's dryrun_multichip
+    and, behind ANNONET_TPU_VIRTUAL_MESH=1, by the train CLI's --mesh for
+    multi-device testing on single-device hosts.
+    """
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={n_devices}"
+        ).strip()
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    try:
+        # no-op if the backend is already initialized on another platform
+        jax.config.update("jax_platforms", "cpu")
+    except RuntimeError:
+        pass
+    return len(jax.devices()) >= n_devices
 
 
 def make_mesh(

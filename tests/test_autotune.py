@@ -1,5 +1,7 @@
 """Batch-size autotuner search logic (find_max_mini-batch_size.cmd port)."""
 
+import pytest
+
 from annonet_tpu.cli import autotune
 
 
@@ -95,3 +97,42 @@ def test_remat_matches_no_remat():
         jax.tree_util.tree_leaves(remat.params),
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_autotune_with_mesh_end_to_end(tmp_path):
+    """BASELINE.json stretch config 5: autotuned minibatch + data-parallel
+    training. The search probes and the real run all pass --mesh 8 through
+    to the train CLI on the virtual mesh."""
+    import os
+    import subprocess
+    import sys
+
+    from tests.test_end_to_end import write_synthetic_dataset
+
+    write_synthetic_dataset(tmp_path)
+    env = dict(os.environ)
+    env["ANNONET_TPU_VIRTUAL_MESH"] = "1"  # fake 8 CPU devices in probes
+    out = subprocess.run(
+        [
+            sys.executable, "-m", "annonet_tpu.cli.autotune",
+            "--start", "8",
+            str(tmp_path),
+            "--mesh", "8",
+            "--level-count", "0",
+            "--net-width-scaler", "0.25",
+            "--input-dimension-multiplier", "1.0",
+            "--max-total-steps", "3",
+            "--data-loader-thread-count", "1",
+            "--output", str(tmp_path / "annonet.dnn"),
+            "--sync-file", str(tmp_path / "sync.dat"),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=900,
+        cwd=str(tmp_path),
+        env=env,
+    )
+    assert out.returncode == 0, out.stdout[-1500:] + out.stderr[-800:]
+    assert "max working minibatch size:" in out.stdout
+    assert (tmp_path / "annonet.dnn").exists()
