@@ -113,6 +113,10 @@ def test_autotune_with_mesh_end_to_end(tmp_path):
     write_synthetic_dataset(tmp_path)
     env = dict(os.environ)
     env["ANNONET_TPU_VIRTUAL_MESH"] = "1"  # fake 8 CPU devices in probes
+    # the subprocess runs from tmp_path; make the repo importable whether or
+    # not the package is pip-installed (fresh sandboxes are not)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     out = subprocess.run(
         [
             sys.executable, "-m", "annonet_tpu.cli.autotune",
