@@ -54,6 +54,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Images in flight on the device: the next image is "
                         "dispatched before the current result is read back "
                         "(1 = fully sequential like the reference)")
+    p.add_argument("--quantize", choices=["none", "int8"], default="none",
+                   help="Quantized inference (TPU extension): int8 runs the "
+                        "conv stack on the 2x-rate int8 MXU path (~1.45x "
+                        "end-to-end), calibrated on the first image; label "
+                        "maps may differ from the float path on near-tie "
+                        "pixels (accuracy floors are covered by tests)")
     return p
 
 
@@ -134,7 +140,10 @@ def _run(args, input_directory) -> int:
         overlap_x=min_input_dimension,
         overlap_y=min_input_dimension,
     )
-    inferer = TiledInferer(runtime_params, model_config, tiling)
+    inferer = TiledInferer(
+        runtime_params, model_config, tiling,
+        quantize=None if args.quantize == "none" else args.quantize,
+    )
 
     files = find_image_files(input_directory, require_ground_truth=False)
 

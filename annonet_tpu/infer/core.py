@@ -69,6 +69,7 @@ def _tiled_forward(
     forward_chunk: int,
     with_detection: bool,
     folded=None,  # (fold0, spec): params is then the folded array tuple
+    quantized: bool = False,  # spec/params are the int8 qspec/qarrays
     use_pallas_blend: bool = False,
     mesh=None,
     mesh_axis: str = "batch",
@@ -88,16 +89,59 @@ def _tiled_forward(
         image, ((0, hp - h), (0, wp - w), (0, 0)), mode="edge"
     )
 
-    tiles = jnp.stack(
-        [
-            lax.slice(
-                padded_image, (y, x, 0), (y + tile_h, x + tile_w, c)
-            )
-            for (y, x) in tile_yx
-        ]
-    )  # [n, th, tw, C]
+    # under the folded net the logits stay width-folded with class-major
+    # lanes all the way into the blend (the full unfold reshape is a
+    # measured ~2.1 ms/image relayout chain; per-class lane slices are free).
+    # Requires fold-aligned tile x offsets (tiling._positions snaps to 8;
+    # the guard covers its rare unsnapped fallback).
+    folded_out = (
+        folded is not None
+        and not use_pallas_blend
+        and all(x % folded[0] == 0 for (_, x) in tile_yx)
+    )
+    pre_quantize = quantized and folded_out
 
-    if folded is not None:
+    if pre_quantize:
+        # quantize + width-fold the whole padded image ONCE and gather int8
+        # tiles from it: overlapping pixels quantize once, and the tile
+        # batch materializes directly (re-quantizing per tile measured a
+        # 2.5 ms/image int8 relayout between the quantize and the stem)
+        from annonet_tpu.models.quantized_runtime import quantize_input
+
+        f0 = folded[0]
+        q_img = quantize_input(padded_image, f0, folded[1])
+        lanes = q_img.shape[-1]
+        tiles = jnp.stack(
+            [
+                lax.slice(
+                    q_img,
+                    (y, x // f0, 0),
+                    (y + tile_h, (x + tile_w) // f0, lanes),
+                )
+                for (y, x) in tile_yx
+            ]
+        )  # [n, th, twb, f0*C'] int8
+    else:
+        tiles = jnp.stack(
+            [
+                lax.slice(
+                    padded_image, (y, x, 0), (y + tile_h, x + tile_w, c)
+                )
+                for (y, x) in tile_yx
+            ]
+        )  # [n, th, tw, C]
+
+    if folded is not None and quantized:
+        # int8 folded net: conv stack on the 2x-rate int8 MXU path, bf16
+        # up layers, f32 logits out (models/quantized_runtime.py)
+        from annonet_tpu.models.quantized_runtime import apply_folded_int8
+
+        fold0, qspec = folded
+        run_net = lambda batch: apply_folded_int8(  # noqa: E731
+            params, batch, config, fold0=fold0, qspec=qspec,
+            folded_output=folded_out, pre_folded=pre_quantize,
+        )
+    elif folded is not None:
         # fully width-folded net: every conv runs at MXU-native channel
         # counts (models/folded_runtime.py; measured ~1.8x over the plain
         # conv stack on v5e)
@@ -105,7 +149,8 @@ def _tiled_forward(
 
         fold0, spec = folded
         run_net = lambda batch: apply_folded_split(  # noqa: E731
-            params, batch, config, fold0=fold0, spec=spec
+            params, batch, config, fold0=fold0, spec=spec,
+            folded_output=folded_out,
         )
     else:
         run_net = lambda batch: apply_runtime(params, batch, config)  # noqa: E731
@@ -130,7 +175,7 @@ def _tiled_forward(
         logits = lax.map(run_net, tiles)  # [n/chunk, chunk, th, tw, K]
     else:
         logits = run_net(tiles)
-    logits = logits.reshape(n, tile_h, tile_w, k)
+    logits = logits.reshape((n, tile_h) + logits.shape[-2:])
 
     # blend PER CLASS PLANE: every tensor in the blend keeps its two
     # spatial dims minor (clean (8,128) tiling), never letting the tiny
@@ -139,6 +184,59 @@ def _tiled_forward(
     # (n,K) pair up to (8,128) with 40x memory blowups. The per-class
     # planes also mirror the reference's own representation
     # (annonet_infer.cpp:86-89). inv_wsum is a per-plan host constant.
+    if folded_out:
+        # the ENTIRE blend/argmax/detection epilogue stays width-folded:
+        # the K*f class-major lanes ride through the scatter-add (tile x
+        # offsets are always fold-multiples — tiling._positions snaps to 8),
+        # per-pixel constants (ramp, inv_wsum) fold with free reshapes, and
+        # only the final uint8 label map unfolds. Unfolding f32 planes
+        # instead measured ~5.4 ms/image of relayout chains on v5e.
+        f = logits.shape[-1] // k
+        wpb = wp // f
+        kf = k * f
+        # FLAT 2-D accumulation: a [Hp, WPb, K*f] accumulator would put the
+        # tiny K*f dim in the lane position, which TPU layouts pad to 128
+        # lanes — 5.3x memory on every link of the 25-step add chain
+        # (measured: 19.8G > HBM). Merging (WPb, K*f) keeps the minor dim
+        # wide and tile updates contiguous (each width-block owns its full
+        # K*f lane group).
+        twb = tile_w // f
+        ramp_cm = jnp.broadcast_to(
+            ramp.reshape(tile_h, twb, 1, f), (tile_h, twb, k, f)
+        ).reshape(tile_h, twb * kf)
+        weighted = logits.reshape(n, tile_h, twb * kf) * ramp_cm[None]
+        acc = jnp.zeros((hp, wpb * kf), jnp.float32)
+        for i, (y, x) in enumerate(tile_yx):
+            xb = (x // f) * kf
+            acc = acc.at[y : y + tile_h, xb : xb + twb * kf].add(weighted[i])
+        inv_cm = jnp.broadcast_to(
+            inv_wsum.reshape(hp, wpb, 1, f), (hp, wpb, k, f)
+        ).reshape(hp, wpb * kf)
+        b4 = (acc * inv_cm).reshape(hp, wpb, k, f)
+        labels4 = jnp.argmax(
+            b4 + gains[None, None, :, None], axis=2
+        ).astype(jnp.int32)  # [Hp, WPb, f]
+        out_dtype = jnp.uint8 if k <= 255 else jnp.int32
+        labels = labels4.reshape(hp, wp)
+        if not with_detection:
+            return labels.astype(out_dtype)
+        clean4 = b4[:, :, 0, :]
+        onehot4 = (
+            labels4[:, :, None, :]
+            == jnp.arange(k, dtype=jnp.int32)[None, None, :, None]
+        )
+        label_output = jnp.sum(jnp.where(onehot4, b4, 0.0), axis=2)
+        label_level = jnp.sum(
+            jnp.where(
+                onehot4, detection_levels[None, None, :, None], 0.0
+            ),
+            axis=2,
+        )
+        seeds4 = (labels4 > 0) & (
+            label_output - clean4 > label_level - detection_levels[0]
+        )
+        return labels.astype(out_dtype), seeds4.reshape(hp, wp)
+
     if use_pallas_blend:
         from annonet_tpu.ops.pallas_blend import blend_accumulate
 
@@ -205,12 +303,25 @@ class TiledInferer:
         use_folded_net: bool = True,
         use_pallas_conv: Optional[bool] = None,  # None = default (False)
         use_pallas_blend: bool = False,
+        quantize: Optional[str] = None,  # "int8" = quantized conv stack
         mesh=None,
         mesh_axis: str = "batch",
     ):
         self.params = jax.tree_util.tree_map(jnp.asarray, runtime_params)
         self.config = config
         self.use_folded_net = use_folded_net
+        if quantize not in (None, "int8"):
+            raise ValueError(f"unsupported quantize mode: {quantize!r}")
+        if quantize and use_pallas_conv:
+            raise ValueError("quantize is incompatible with use_pallas_conv")
+        if quantize and not use_folded_net:
+            raise ValueError("quantize requires the folded net")
+        # int8 applies once the first image has calibrated the activation
+        # scales (models/quantized_runtime.py); geometry that can't fold
+        # (fold0 == 0) falls back to the bf16 path per plan
+        self.quantize = quantize
+        self._quantized_cache: Dict[int, Tuple] = {}
+        self._calibrate_fns: Dict[Tuple, object] = {}
         if use_pallas_conv is None:
             # the kernel wins 2.4x per layer in isolation but loses composed
             # (194 vs 359 Mpx/s e2e): pallas_call boundaries and the shifted
@@ -264,6 +375,7 @@ class TiledInferer:
             from annonet_tpu.models.folded_runtime import folding_supported
 
             fold0 = folding_supported(self.config, plan.tile_width)
+        quantized = bool(self.quantize) and fold0 > 0
         key = (
             plan.padded_height,
             plan.padded_width,
@@ -273,6 +385,7 @@ class TiledInferer:
             with_detection,
             fold0,
             self.use_pallas_conv,
+            quantized,
         )
         fn = self._compiled.get(key)
         if fn is None:
@@ -291,7 +404,11 @@ class TiledInferer:
             while n % chunk:
                 chunk -= 1
             folded = None
-            if fold0:
+            if quantized:
+                # calibration must already have run (infer_arrays does)
+                qspec, _qarrays = self._quantized_cache[fold0]
+                folded = (fold0, qspec)
+            elif fold0:
                 folded = self._get_folded(fold0)[0]
             fn = jax.jit(
                 partial(
@@ -305,13 +422,14 @@ class TiledInferer:
                     forward_chunk=chunk,
                     with_detection=with_detection,
                     folded=folded,
+                    quantized=quantized,
                     use_pallas_blend=self.use_pallas_blend,
                     mesh=self.mesh,
                     mesh_axis=self.mesh_axis,
                 )
             )
             self._compiled[key] = fn
-        return fn, fold0
+        return fn, fold0, quantized
 
     def _get_folded(self, fold0: int):
         """(static (fold0, spec), device array tuple) for the folded net."""
@@ -333,6 +451,48 @@ class TiledInferer:
             cached = (static, arrays)
             self._folded_cache[(fold0, self.use_pallas_conv)] = cached
         return cached
+
+    def _ensure_quantized(self, fold0: int, plan: TilePlan, padded_image):
+        """Calibrate + build the int8 net once, on the first image's tiles.
+
+        The reference's own timing treats the first image as warm-up
+        (annonet_infer_main.cpp:466-480); calibration rides that slot. Up
+        to 4 tiles spread across the plan feed per-channel activation
+        maxima (models/quantized_runtime.py) through the bf16 folded net.
+        """
+        if fold0 in self._quantized_cache:
+            return
+        from annonet_tpu.models.quantized_runtime import (
+            collect_calibration,
+            quantize_folded,
+        )
+
+        (f0, spec), arrays = self._get_folded(fold0)
+        positions = list(plan.tile_yx)
+        step = max(1, len(positions) // 4)
+        positions = positions[::step][:4]
+        tiles = np.stack(
+            [
+                padded_image[y : y + plan.tile_height, x : x + plan.tile_width]
+                for (y, x) in positions
+            ]
+        )
+        cal_key = (fold0, tiles.shape)
+        cal_fn = self._calibrate_fns.get(cal_key)
+        if cal_fn is None:
+            cal_fn = jax.jit(
+                partial(
+                    collect_calibration,
+                    config=self.config,
+                    fold0=f0,
+                    spec=spec,
+                )
+            )
+            self._calibrate_fns[cal_key] = cal_fn
+        calib = [np.asarray(m) for m in cal_fn(arrays, jnp.asarray(tiles))]
+        self._quantized_cache[fold0] = quantize_folded(
+            spec, arrays, calib, self.config, f0
+        )
 
     # ------------------------------------------------------------- inference
 
@@ -393,10 +553,29 @@ class TiledInferer:
             self._plan_constants[plan] = constants
         ramp, inv_wsum = constants
 
-        fn, fold0 = self._get_compiled(plan, with_detection)
-        exec_params = (
-            self._get_folded(fold0)[1] if fold0 else self.params
-        )
+        if self.quantize:
+            from annonet_tpu.models.folded_runtime import folding_supported
+
+            q_fold0 = folding_supported(self.config, plan.tile_width)
+            if q_fold0 and q_fold0 not in self._quantized_cache:
+                full = np.pad(
+                    image,
+                    (
+                        (0, plan.padded_height - image.shape[0]),
+                        (0, plan.padded_width - image.shape[1]),
+                        (0, 0),
+                    ),
+                    mode="edge",
+                )
+                self._ensure_quantized(q_fold0, plan, full)
+
+        fn, fold0, quantized = self._get_compiled(plan, with_detection)
+        if quantized:
+            exec_params = self._quantized_cache[fold0][1]
+        else:
+            exec_params = (
+                self._get_folded(fold0)[1] if fold0 else self.params
+            )
         out = fn(
             exec_params,
             jnp.asarray(image),

@@ -163,3 +163,22 @@ def test_train_save_load_infer_round_trip(tmp_path):
     assert cm_region.sum() > 0
     # formatted output renders
     assert "accuracy" in format_confusion_matrix(cm_region, classes_back)
+
+    # --- int8 quantized inference (the opt-in 2x-MXU path and bench.py's
+    # default) must hold the same pinned accuracy floors on the trained net
+    q_inferer = TiledInferer(params, config, quantize="int8")
+    cm_q = new_confusion_matrix(config.class_count)
+    for filenames in infer_files:
+        sample = read_sample(
+            filenames, classes_back, require_ground_truth=False,
+            downscaling_factor=factor,
+        )
+        result = annonet_infer(q_inferer, sample.input_image)
+        update_confusion_matrix_per_pixel(
+            cm_q, sample.labeled_points_by_class, result
+        )
+    q_accuracy = np.trace(cm_q) / cm_q.sum()
+    assert q_accuracy >= targets["pinned_pixel_accuracy_floor"], (
+        f"int8 pixel accuracy {q_accuracy:.4f} below pinned floor "
+        f"{targets['pinned_pixel_accuracy_floor']}"
+    )
