@@ -170,9 +170,12 @@ def _tiled_forward(
         )
     elif n > forward_chunk and n % forward_chunk == 0:
         # chunk the batch so HBM holds one chunk of activations at a time
-        # while the MXU stays on large batched convs
-        tiles = tiles.reshape(n // forward_chunk, forward_chunk, tile_h, tile_w, c)
-        logits = lax.map(run_net, tiles)  # [n/chunk, chunk, th, tw, K]
+        # while the MXU stays on large batched convs (shape-agnostic:
+        # pre-quantized tiles are already width-folded)
+        tiles = tiles.reshape(
+            (n // forward_chunk, forward_chunk) + tiles.shape[1:]
+        )
+        logits = lax.map(run_net, tiles)  # [n/chunk, chunk, th, tw|twb, *]
     else:
         logits = run_net(tiles)
     logits = logits.reshape((n, tile_h) + logits.shape[-2:])

@@ -146,6 +146,28 @@ def test_tiled_inferer_int8_agreement_and_detection():
     np.testing.assert_array_equal(annonet_infer(base, image), lb)
 
 
+def test_chunked_forward_with_quantize():
+    """Large images chunk the tile batch through lax.map; the chunk reshape
+    must preserve the pre-quantized WIDTH-FOLDED tile shape (regression:
+    an unfolded-shape reshape broke 8192^2 int8 inference)."""
+    config = SegNetConfig(class_count=3, level_count=0, base_width=16)
+    params, bn = init_state(jax.random.PRNGKey(0), config)
+    runtime = fold_batchnorm(params, bn, config)
+    tiling = TilingParameters(48, 48, 10, 10)
+    rng = np.random.default_rng(0)
+    image = rng.integers(0, 256, size=(120, 120, 3), dtype=np.uint8)
+    base = TiledInferer(runtime, config, tiling)
+    chunked = TiledInferer(
+        runtime, config, tiling, forward_chunk=2, quantize="int8"
+    )
+    unchunked = TiledInferer(runtime, config, tiling, quantize="int8")
+    assert chunked.plan(*image.shape[:2]).tile_count > 2
+    lc = annonet_infer(chunked, image)
+    lu = annonet_infer(unchunked, image)
+    np.testing.assert_array_equal(lc, lu)
+    assert (lc == annonet_infer(base, image)).mean() > 0.95
+
+
 def test_quantize_option_validation():
     config = SegNetConfig(class_count=3, level_count=1, base_width=16)
     params, bn = init_state(jax.random.PRNGKey(0), config)
