@@ -54,6 +54,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Images in flight on the device: the next image is "
                         "dispatched before the current result is read back "
                         "(1 = fully sequential like the reference)")
+    p.add_argument("--mesh", type=int, default=None, metavar="N",
+                   help="Tile-parallel inference over an N-device "
+                        "jax.sharding.Mesh: each image's tile batch is "
+                        "sharded across the mesh (the spatial analog of "
+                        "context parallelism)")
     p.add_argument("--quantize", choices=["none", "int8"], default="none",
                    help="Quantized inference (TPU extension): int8 runs the "
                         "conv stack on the 2x-rate int8 MXU path (~1.45x "
@@ -140,9 +145,23 @@ def _run(args, input_directory) -> int:
         overlap_x=min_input_dimension,
         overlap_y=min_input_dimension,
     )
+    mesh = None
+    if args.mesh:
+        from annonet_tpu.parallel.mesh import (
+            ensure_virtual_devices,
+            make_mesh,
+        )
+
+        if os.environ.get("ANNONET_TPU_VIRTUAL_MESH") == "1":
+            # testing aid: fake an N-device CPU mesh on single-device hosts
+            # (explicit opt-in, same contract as the train CLI's --mesh)
+            ensure_virtual_devices(args.mesh)
+        mesh = make_mesh(args.mesh)
+
     inferer = TiledInferer(
         runtime_params, model_config, tiling,
         quantize=None if args.quantize == "none" else args.quantize,
+        mesh=mesh,
     )
 
     files = find_image_files(input_directory, require_ground_truth=False)

@@ -162,6 +162,44 @@ def test_cli_train_with_mesh(tmp_path, capsys):
 
 
 @pytest.mark.slow
+def test_cli_infer_with_mesh_and_int8(tmp_path, capsys):
+    """--mesh N shards each image's tile batch across the virtual 8-device
+    CPU mesh (tile-parallel inference), composing with --quantize int8."""
+    from annonet_tpu.cli.infer import main as infer_main
+    from annonet_tpu.cli.train import main as train_main
+
+    write_synthetic_dataset(tmp_path, n_images=2, size=32)
+    model_path = str(tmp_path / "annonet.dnn")
+    rc = train_main(
+        [
+            str(tmp_path),
+            "--max-total-steps", "2",
+            "-b", "2",
+            "--level-count", "0",
+            "--net-width-scaler", "0.25",
+            "--input-dimension-multiplier", "1.0",
+            "--data-loader-thread-count", "1",
+            "--output", model_path,
+            "--sync-file", str(tmp_path / "sync.dat"),
+        ]
+    )
+    assert rc == 0
+    capsys.readouterr()
+    rc = infer_main(
+        [
+            str(tmp_path),
+            "--model", model_path,
+            "--mesh", "8",
+            "--quantize", "int8",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "All result images written!" in out
+    assert (tmp_path / "img0.png_result.png").exists()
+
+
+@pytest.mark.slow
 def test_cli_downscaling_factor_round_trip(tmp_path, capsys):
     """The downscaling factor persisted at train time is applied at
     inference and results are upscaled back to the original size
