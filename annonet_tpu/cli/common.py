@@ -90,3 +90,35 @@ def select_device(device_index):
             f"{len(devices)} device(s) available"
         )
     return jax.default_device(devices[device_index])
+
+
+def enable_compilation_cache(cache_dir=None):
+    """Persistent XLA compilation cache for the CLI entry points.
+
+    The reference's binaries start instantly; here the first image/minibatch
+    pays a 20-40 s XLA compile per process on TPU. JAX's persistent cache
+    (jax_compilation_cache_dir) makes warm process starts skip it. Enabled
+    by default in both CLIs; ANNONET_TPU_NO_COMPILATION_CACHE=1 or
+    --no-compilation-cache disables, ANNONET_TPU_COMPILATION_CACHE overrides
+    the location (default ~/.cache/annonet_tpu/jax).
+    """
+    import os
+
+    if os.environ.get("ANNONET_TPU_NO_COMPILATION_CACHE") == "1":
+        return
+    if cache_dir is None:
+        cache_dir = os.environ.get("ANNONET_TPU_COMPILATION_CACHE") or (
+            os.path.join(
+                os.path.expanduser("~"), ".cache", "annonet_tpu", "jax"
+            )
+        )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # cache every program (the default only caches slow compiles)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # noqa: BLE001 — the cache is an optimization only
+        pass

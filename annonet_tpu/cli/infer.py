@@ -59,6 +59,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "jax.sharding.Mesh: each image's tile batch is "
                         "sharded across the mesh (the spatial analog of "
                         "context parallelism)")
+    p.add_argument("--no-compilation-cache", action="store_true",
+                   help="Disable the persistent XLA compilation cache "
+                        "(~/.cache/annonet_tpu/jax; see also "
+                        "ANNONET_TPU_COMPILATION_CACHE)")
     p.add_argument("--quantize", choices=["none", "int8"], default="none",
                    help="Quantized inference (TPU extension): int8 runs the "
                         "conv stack on the 2x-rate int8 MXU path (~1.45x "
@@ -90,6 +94,11 @@ def main(argv=None) -> int:
 
 def _run(args, input_directory) -> int:
     print(f"Input directory = {input_directory}")
+
+    if not args.no_compilation_cache:
+        from annonet_tpu.cli.common import enable_compilation_cache
+
+        enable_compilation_cache()
 
     import numpy as np
 

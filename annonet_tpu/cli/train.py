@@ -98,6 +98,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--remat", action="store_true",
                    help="Rematerialize activations in the backward pass "
                         "(fits larger minibatches; ~1/3 more compute)")
+    p.add_argument("--no-compilation-cache", action="store_true",
+                   help="Disable the persistent XLA compilation cache "
+                        "(~/.cache/annonet_tpu/jax; see also "
+                        "ANNONET_TPU_COMPILATION_CACHE)")
     p.add_argument("--loss-sync-interval", type=int, default=1,
                    help="Read device losses back every N steps. The default "
                         "1 blocks per step exactly like the reference "
@@ -132,6 +136,11 @@ def main(argv=None) -> int:
 
 
 def _run(args, input_directory) -> int:
+    if not args.no_compilation_cache:
+        from annonet_tpu.cli.common import enable_compilation_cache
+
+        enable_compilation_cache()
+
     # echo configuration, parity with annonet_train_main.cpp:322-374
     print(f"Input directory = {input_directory}")
     print(f"Initial downscaling factor = {args.initial_downscaling_factor:g}")
