@@ -117,8 +117,27 @@ def enable_compilation_cache(cache_dir=None):
         import jax
 
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        # cache every program (the default only caches slow compiles)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        # persist only compiles worth saving: the directory has no eviction,
+        # so caching every micro-program would grow it without bound — the
+        # 20-40 s tile/train programs are what warm starts need
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:  # noqa: BLE001 — the cache is an optimization only
         pass
+
+
+def make_cli_mesh(n_devices: int):
+    """--mesh N -> a jax.sharding.Mesh, shared by both CLIs.
+
+    Behind ANNONET_TPU_VIRTUAL_MESH=1, fakes an N-device CPU mesh on
+    single-device hosts (testing aid; explicit opt-in so a production
+    --mesh run is never silently moved to CPU). MUST be called before
+    anything initializes the JAX backend (e.g. select_device), or the
+    virtual-device flags come too late.
+    """
+    import os
+
+    from annonet_tpu.parallel.mesh import ensure_virtual_devices, make_mesh
+
+    if os.environ.get("ANNONET_TPU_VIRTUAL_MESH") == "1":
+        ensure_virtual_devices(n_devices)
+    return make_mesh(n_devices)

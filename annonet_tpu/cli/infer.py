@@ -139,6 +139,14 @@ def _run(args, input_directory) -> int:
     print("Using detection levels:", " ".join(
         f"{i}:{d:g}" for i, d in enumerate(detection_levels)))
 
+    # mesh setup must precede select_device: the virtual-device flags only
+    # take effect before the JAX backend initializes
+    mesh = None
+    if args.mesh:
+        from annonet_tpu.cli.common import make_cli_mesh
+
+        mesh = make_cli_mesh(args.mesh)
+
     device_ctx = None
     if args.device is not None:
         device_ctx = select_device(args.device)
@@ -154,19 +162,6 @@ def _run(args, input_directory) -> int:
         overlap_x=min_input_dimension,
         overlap_y=min_input_dimension,
     )
-    mesh = None
-    if args.mesh:
-        from annonet_tpu.parallel.mesh import (
-            ensure_virtual_devices,
-            make_mesh,
-        )
-
-        if os.environ.get("ANNONET_TPU_VIRTUAL_MESH") == "1":
-            # testing aid: fake an N-device CPU mesh on single-device hosts
-            # (explicit opt-in, same contract as the train CLI's --mesh)
-            ensure_virtual_devices(args.mesh)
-        mesh = make_mesh(args.mesh)
-
     inferer = TiledInferer(
         runtime_params, model_config, tiling,
         quantize=None if args.quantize == "none" else args.quantize,

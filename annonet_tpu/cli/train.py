@@ -201,6 +201,14 @@ def _run(args, input_directory) -> int:
         grayscale=args.grayscale,
     )
 
+    # mesh setup must precede select_device: the virtual-device flags only
+    # take effect before the JAX backend initializes
+    mesh = None
+    if args.mesh:
+        from annonet_tpu.cli.common import make_cli_mesh
+
+        mesh = make_cli_mesh(args.mesh)
+
     device_ctx = None
     if args.device is not None:
         device_ctx = select_device(args.device)
@@ -225,18 +233,8 @@ def _run(args, input_directory) -> int:
     )
     minibatch_size = args.minibatch_size
     if args.mesh:
-        from annonet_tpu.parallel.mesh import (
-            ensure_virtual_devices,
-            make_mesh,
-        )
         from annonet_tpu.parallel.train import DataParallelTrainer
 
-        if os.environ.get("ANNONET_TPU_VIRTUAL_MESH") == "1":
-            # testing aid: fake an N-device CPU mesh on single-device hosts
-            # (explicit opt-in — silently moving a production --mesh run
-            # onto virtual CPU devices would be a perf cliff)
-            ensure_virtual_devices(args.mesh)
-        mesh = make_mesh(args.mesh)
         if minibatch_size % args.mesh:
             minibatch_size += args.mesh - minibatch_size % args.mesh
             print(f"Minibatch size rounded up to {minibatch_size} "

@@ -472,8 +472,11 @@ class TiledInferer:
 
         (f0, spec), arrays = self._get_folded(fold0)
         positions = list(plan.tile_yx)
-        step = max(1, len(positions) // 4)
-        positions = positions[::step][:4]
+        if len(positions) > 4:
+            # spread the picks across the whole plan (first/last included),
+            # not just its top rows — activation maxima must see the image
+            idx = np.linspace(0, len(positions) - 1, 4).round().astype(int)
+            positions = [positions[i] for i in dict.fromkeys(idx)]
         tiles = np.stack(
             [
                 padded_image[y : y + plan.tile_height, x : x + plan.tile_width]

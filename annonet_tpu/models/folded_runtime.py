@@ -46,6 +46,16 @@ from annonet_tpu.models.segnet import SegNetConfig, _normalize_input
 
 _DN = ("NHWC", "HWIO", "NHWC")
 
+# (strides, padding) of each folded conv kind, shared by EVERY spec walker
+# (the two bf16 applies here and quantized_runtime's calibrate/int8 applies)
+# so the execution paths cannot silently diverge on geometry
+FOLDED_CONV_GEOMETRY = {
+    "s1": ((1, 1), [(1, 1), (1, 1)]),
+    "s2": ((2, 1), [(0, 1), (0, 1)]),
+    "s1_plain": ((1, 1), "SAME"),
+    "s2_plain": ((2, 2), "SAME"),
+}
+
 
 # ---------------------------------------------------------------------------
 # Host-side kernel builders (numpy, run once per loaded model)
@@ -326,14 +336,9 @@ def apply_folded_split(
                 fold_l, cin_l, rows=rows_l,
                 interpret=jax.default_backend() != "tpu",
             )
-        elif kind == "s1":
-            x = conv(x, entry[0], entry[1], (1, 1), [(1, 1), (1, 1)])
-        elif kind == "s2":
-            x = conv(x, entry[0], entry[1], (2, 1), [(0, 1), (0, 1)])
-        elif kind == "s1_plain":
-            x = conv(x, entry[0], entry[1], (1, 1), "SAME")
-        elif kind == "s2_plain":
-            x = conv(x, entry[0], entry[1], (2, 2), "SAME")
+        elif kind in FOLDED_CONV_GEOMETRY:
+            strides, padding = FOLDED_CONV_GEOMETRY[kind]
+            x = conv(x, entry[0], entry[1], strides, padding)
         elif kind == "up":
             out = lax.conv_transpose(
                 x, entry[0].astype(dtype), strides=(2, 1),
@@ -407,14 +412,9 @@ def apply_runtime_folded(
                 jnp.asarray(b), int(f_str), int(cin_str), rows=rows_l,
                 interpret=jax.default_backend() != "tpu",
             )
-        elif kind == "s1":
-            x = conv(x, a, b, (1, 1), [(1, 1), (1, 1)])
-        elif kind == "s2":
-            x = conv(x, a, b, (2, 1), [(0, 1), (0, 1)])
-        elif kind == "s1_plain":
-            x = conv(x, a, b, (1, 1), "SAME")
-        elif kind == "s2_plain":
-            x = conv(x, a, b, (2, 2), "SAME")
+        elif kind in FOLDED_CONV_GEOMETRY:
+            strides, padding = FOLDED_CONV_GEOMETRY[kind]
+            x = conv(x, a, b, strides, padding)
         elif kind == "up":
             out = lax.conv_transpose(
                 x, jnp.asarray(a).astype(dtype), strides=(2, 1),

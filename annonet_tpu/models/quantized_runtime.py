@@ -47,6 +47,7 @@ import numpy as np
 from jax import lax
 
 from annonet_tpu.models.segnet import SegNetConfig, _normalize_input
+from annonet_tpu.models.folded_runtime import FOLDED_CONV_GEOMETRY
 
 _DN = ("NHWC", "HWIO", "NHWC")
 
@@ -120,14 +121,9 @@ def collect_calibration(
             x = jnp.concatenate([x, skips[kind.split(":")[1]]], axis=-1)
             maxima.append(empty)
             continue
-        if kind == "s1":
-            x = conv(x, entry[0], entry[1], (1, 1), [(1, 1), (1, 1)])
-        elif kind == "s2":
-            x = conv(x, entry[0], entry[1], (2, 1), [(0, 1), (0, 1)])
-        elif kind == "s1_plain":
-            x = conv(x, entry[0], entry[1], (1, 1), "SAME")
-        elif kind == "s2_plain":
-            x = conv(x, entry[0], entry[1], (2, 2), "SAME")
+        if kind in FOLDED_CONV_GEOMETRY:
+            strides, padding = FOLDED_CONV_GEOMETRY[kind]
+            x = conv(x, entry[0], entry[1], strides, padding)
         elif kind == "up":
             out = lax.conv_transpose(
                 x, entry[0].astype(dtype), strides=(2, 1),
@@ -292,11 +288,9 @@ def apply_folded_int8(
     else:
         x = quantize_input(x_uint8, fold0, qspec)
 
+    # "qs1[:pad4]" etc. -> the shared folded conv geometry
     geometry = {
-        "qs1": ((1, 1), [(1, 1), (1, 1)]),
-        "qs2": ((2, 1), [(0, 1), (0, 1)]),
-        "qs1_plain": ((1, 1), "SAME"),
-        "qs2_plain": ((2, 2), "SAME"),
+        "q" + kind: sp for kind, sp in FOLDED_CONV_GEOMETRY.items()
     }
 
     def qconv(x, w_q, strides, padding):

@@ -9,6 +9,9 @@ import os
 import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# In-process CLI tests must not persist XLA programs into the developer's
+# real ~/.cache or mutate global jax cache config for the pytest session.
+os.environ["ANNONET_TPU_NO_COMPILATION_CACHE"] = "1"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
