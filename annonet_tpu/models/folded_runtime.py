@@ -222,7 +222,18 @@ def fold_runtime_params(
     cin = config.in_channels
     w0 = config.width(0)
 
-    emit_s1(layers, rp["stem"]["conv0"]["w"], rp["stem"]["conv0"]["b"], f, cin)
+    w0k = rp["stem"]["conv0"]["w"]
+    if f > 1 and cin == 1:
+        # grayscale: an 8-lane folded stem input triggers a pathological
+        # XLA TPU compile (measured 62 s for the stem conv ALONE); padding
+        # to 3 channels / 24 lanes — the RGB shape, known fast — fixes it.
+        # The padded kernel rows are zero, so the extra lanes are inert.
+        w0k = np.concatenate(
+            [w0k, np.zeros((3, 3, 2, w0k.shape[3]), w0k.dtype)], axis=2
+        )
+        cin = 3
+        layers.append(("pad_input", cin, None))
+    emit_s1(layers, w0k, rp["stem"]["conv0"]["b"], f, cin)
     emit_s1(layers, rp["stem"]["conv1"]["w"], rp["stem"]["conv1"]["b"], f, w0)
     layers.append(("save_skip", 0, None))
 
@@ -277,7 +288,7 @@ def split_folded(fparams: Dict[str, Any]):
     spec = []
     arrays = []
     for kind, a, b in fparams["layers"]:
-        if kind in ("save_skip", "concat_skip"):
+        if kind in ("save_skip", "concat_skip", "pad_input"):
             spec.append(f"{kind}:{a}")
             arrays.append(None)
         elif kind.startswith("s1p:"):
@@ -287,6 +298,20 @@ def split_folded(fparams: Dict[str, Any]):
             spec.append(kind)
             arrays.append((jnp.asarray(a), jnp.asarray(b)))
     return (fparams["fold0"], tuple(spec)), tuple(arrays)
+
+
+def pad_input_channels(x_uint8: jnp.ndarray, spec) -> jnp.ndarray:
+    """Apply the spec's leading ``pad_input:N`` marker (grayscale stem
+    alignment — see fold_runtime_params): zero-pad the channel dim to N.
+    The matching kernel rows are zero, so the values are don't-cares."""
+    if spec and str(spec[0]).startswith("pad_input:"):
+        n_ch = int(str(spec[0]).split(":")[1])
+        x_uint8 = jnp.pad(
+            x_uint8,
+            ((0, 0),) * (x_uint8.ndim - 1)
+            + ((0, n_ch - x_uint8.shape[-1]),),
+        )
+    return x_uint8
 
 
 def unfold_logits(x: jnp.ndarray, class_count: int) -> jnp.ndarray:
@@ -307,8 +332,10 @@ def apply_folded_split(
     logits stay width-folded [n, h, w/f, K*f] with CLASS-MAJOR lanes
     (class k's plane = lanes [k*f, (k+1)*f) — see _fold_1x1_kernel)."""
     dtype = jnp.dtype(config.compute_dtype)
-    n, h, width, cin = x_uint8.shape
+    n, h, width, _cin = x_uint8.shape
     assert width % fold0 == 0
+    x_uint8 = pad_input_channels(x_uint8, spec)
+    cin = x_uint8.shape[-1]
     x = _normalize_input(x_uint8, dtype)
     x = x.reshape(n, h, width // fold0, fold0 * cin)
 
@@ -320,6 +347,8 @@ def apply_folded_split(
 
     skips = {}
     for kind, entry in zip(spec, arrays):
+        if kind.startswith("pad_input"):
+            continue
         if kind.startswith("save_skip"):
             skips[kind.split(":")[1]] = x
         elif kind.startswith("concat_skip"):
@@ -381,10 +410,15 @@ def apply_runtime_folded(
     """[N,H,W,C]u8 -> [N,H,W,K]f32 logits; same function as apply_runtime."""
     dtype = jnp.dtype(config.compute_dtype)
     fold0 = fparams["fold0"]
-    n, h, width, cin = x_uint8.shape
+    n, h, width, _cin = x_uint8.shape
     assert width % fold0 == 0, (
         f"width {width} must be a multiple of the base fold {fold0}"
     )
+    if fparams["layers"] and fparams["layers"][0][0] == "pad_input":
+        x_uint8 = pad_input_channels(
+            x_uint8, (f"pad_input:{fparams['layers'][0][1]}",)
+        )
+    cin = x_uint8.shape[-1]
     x = _normalize_input(x_uint8, dtype)
     x = x.reshape(n, h, width // fold0, fold0 * cin)
 
@@ -397,7 +431,9 @@ def apply_runtime_folded(
 
     skips = {}
     for kind, a, b in fparams["layers"]:
-        if kind == "save_skip":
+        if kind == "pad_input":
+            pass
+        elif kind == "save_skip":
             skips[a] = x
         elif kind == "concat_skip":
             x = jnp.concatenate([x, skips[a]], axis=-1)

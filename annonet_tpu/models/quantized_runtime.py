@@ -66,7 +66,9 @@ def _walk_folds(fold0: int, spec) -> List[Optional[int]]:
     folds: List[Optional[int]] = []
     skips: Dict[str, int] = {}
     for kind in spec:
-        if kind.startswith("save_skip"):
+        if kind.startswith("pad_input"):
+            folds.append(None)
+        elif kind.startswith("save_skip"):
             skips[kind.split(":")[1]] = f
             folds.append(None)
         elif kind.startswith("concat_skip"):
@@ -91,10 +93,14 @@ def collect_calibration(
     """bf16 folded forward that returns each conv/up layer's post-ReLU
     output maxima per REAL channel (jit-friendly; tuple parallel to spec,
     zero-length vectors for bookkeeping entries and the f32 head)."""
+    from annonet_tpu.models.folded_runtime import pad_input_channels
+
     dtype = jnp.dtype(config.compute_dtype)
     folds = _walk_folds(fold0, spec)
-    n, h, width, cin = x_uint8.shape
+    n, h, width, _cin = x_uint8.shape
     assert width % fold0 == 0
+    x_uint8 = pad_input_channels(x_uint8, spec)
+    cin = x_uint8.shape[-1]
     x = _normalize_input(x_uint8, dtype)
     x = x.reshape(n, h, width // fold0, fold0 * cin)
 
@@ -113,6 +119,9 @@ def collect_calibration(
     maxima: List[jnp.ndarray] = []
     skips = {}
     for kind, entry, f_out in zip(spec, arrays, folds):
+        if kind.startswith("pad_input"):
+            maxima.append(empty)
+            continue
         if kind.startswith("save_skip"):
             skips[kind.split(":")[1]] = x
             maxima.append(empty)
@@ -158,23 +167,31 @@ def quantize_folded(
     qspec: List[str] = []
     qarrays: List[Any] = []
 
+    # effective input channels: the bf16 folded spec may already pad
+    # grayscale to 3 channels (pad_input marker, fold_runtime_params)
+    cin_eff = config.in_channels
+    if spec and str(spec[0]).startswith("pad_input:"):
+        cin_eff = int(str(spec[0]).split(":")[1])
+
     # current activation scale per FOLDED channel (input-layout order)
-    s_cur = np.full(fold0 * config.in_channels, _INPUT_SCALE, np.float32)
+    s_cur = np.full(fold0 * cin_eff, _INPUT_SCALE, np.float32)
     skip_scales: Dict[str, np.ndarray] = {}
 
-    # the stem conv's folded input (fold0 * 1-or-3 = 8 or 24 lanes) sits
+    # the stem conv's folded input (fold0 * <4 channels = <32 lanes) sits
     # below int8's native (32, 128) tiling and XLA runs it at ~7% of the
     # int8 MXU; padding the IMAGE to 4 channels realigns the folded input
     # to 32 lanes (measured 1.4x on the layer, scripts/probe_int8.py).
     # Kernel rows are interleaved (i*cin + ci), so the zero rows go in
     # per fold position, and apply_folded_int8 pads the uint8 input.
-    pad_stem = fold0 > 1 and config.in_channels < 4
+    pad_stem = fold0 > 1 and cin_eff < 4
     if pad_stem:
-        cin = config.in_channels
         s4 = np.ones(fold0 * 4, np.float32)
         for i in range(fold0):
-            s4[i * 4 : i * 4 + cin] = s_cur[i * cin : (i + 1) * cin]
+            s4[i * 4 : i * 4 + cin_eff] = s_cur[
+                i * cin_eff : (i + 1) * cin_eff
+            ]
         s_cur = s4
+    stem_conv_pending = True
 
     def out_scale_vec(calib_vec: np.ndarray, fold: int) -> np.ndarray:
         # per-real-channel maxima -> per-folded-channel scales, tiled in the
@@ -183,6 +200,10 @@ def quantize_folded(
         return np.tile(s, fold)
 
     for kind, entry, f_out, cal in zip(spec, arrays, folds, calib):
+        if kind.startswith("pad_input"):
+            qspec.append(kind)
+            qarrays.append(None)
+            continue
         if kind.startswith("save_skip"):
             skip_scales[kind.split(":")[1]] = s_cur
             qspec.append(kind)
@@ -199,13 +220,16 @@ def quantize_folded(
         w = np.asarray(entry[0], np.float32)
         b = np.asarray(entry[1], np.float32)
 
-        if pad_stem and not qspec:  # first entry = the stem conv
-            cin = config.in_channels
+        first_conv = stem_conv_pending
+        stem_conv_pending = False
+        if pad_stem and first_conv:  # the stem conv
             kh, kw, rows, cout = w.shape
-            assert rows == fold0 * cin
+            assert rows == fold0 * cin_eff
             w4 = np.zeros((kh, kw, fold0 * 4, cout), np.float32)
             for i in range(fold0):
-                w4[:, :, i * 4 : i * 4 + cin] = w[:, :, i * cin : (i + 1) * cin]
+                w4[:, :, i * 4 : i * 4 + cin_eff] = w[
+                    :, :, i * cin_eff : (i + 1) * cin_eff
+                ]
             w = w4
 
         if kind == "up":
@@ -239,7 +263,7 @@ def quantize_folded(
 
         s_out = out_scale_vec(cal, f_out)
         inv = (1.0 / s_out).astype(np.float32)
-        suffix = ":pad4" if (pad_stem and not qarrays) else ""
+        suffix = ":pad4" if (pad_stem and first_conv) else ""
         qspec.append("q" + kind + suffix)  # qs1[:pad4] / qs2 / ..._plain
         qarrays.append(
             (
@@ -268,9 +292,14 @@ def quantize_input(x_uint8: jnp.ndarray, fold0: int, qspec) -> jnp.ndarray:
     q = jnp.round(
         x_uint8.astype(jnp.float32) * (254.0 / 255.0) - 127.0
     ).astype(jnp.int8)
+    target = cin
+    if qspec and str(qspec[0]).startswith("pad_input:"):
+        target = int(str(qspec[0]).split(":")[1])
     if any(k.endswith(":pad4") for k in qspec):
-        q = jnp.pad(q, ((0, 0),) * (len(lead) + 2) + ((0, 4 - cin),))
-        cin = 4
+        target = 4
+    if target > cin:
+        q = jnp.pad(q, ((0, 0),) * (len(lead) + 2) + ((0, target - cin),))
+        cin = target
     return q.reshape(*lead, h, w // fold0, fold0 * cin)
 
 
@@ -310,7 +339,9 @@ def apply_folded_int8(
 
     skips = {}
     for kind, entry in zip(qspec, qarrays):
-        if kind.startswith("save_skip"):
+        if kind.startswith("pad_input"):
+            pass  # handled inside quantize_input
+        elif kind.startswith("save_skip"):
             skips[kind.split(":")[1]] = x
         elif kind.startswith("concat_skip"):
             x = jnp.concatenate([x, skips[kind.split(":")[1]]], axis=-1)
