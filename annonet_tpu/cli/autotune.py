@@ -76,6 +76,21 @@ def find_max_minibatch_size(
 
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or "--help" in argv:
+        # every other flag passes through to annonet_train (the .cmd's
+        # contract), so --help must be intercepted here or it would be
+        # forwarded into the probe subprocesses
+        print("usage: annonet_autotune [--start N] <annonet_train args...>")
+        print()
+        print("Finds the largest trainable minibatch size (-b) by binary")
+        print("search on 3-step probe runs, then launches the real training")
+        print("run with it, decrementing by 1 on later failures. All other")
+        print("arguments pass through to annonet_train (--help below):")
+        print()
+        from annonet_tpu.cli.train import build_parser
+
+        build_parser().print_help()
+        return 0 if "--help" in argv else 1
     start = 100
     if "--start" in argv:
         i = argv.index("--start")

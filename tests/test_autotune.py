@@ -140,3 +140,16 @@ def test_autotune_with_mesh_end_to_end(tmp_path):
     assert out.returncode == 0, out.stdout[-1500:] + out.stderr[-800:]
     assert "max working minibatch size:" in out.stdout
     assert (tmp_path / "annonet.dnn").exists()
+
+
+def test_autotune_help_does_not_probe(capsys):
+    """--help and no-args print usage instead of forwarding into probe
+    subprocesses (every OTHER flag passes through to annonet_train)."""
+    from annonet_tpu.cli.autotune import main
+
+    assert main(["--help"]) == 0
+    out = capsys.readouterr().out
+    assert "annonet_autotune" in out and "probing" not in out
+    assert main([]) == 1
+    out = capsys.readouterr().out
+    assert "probing" not in out
