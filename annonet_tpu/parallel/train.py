@@ -59,6 +59,10 @@ def make_dp_train_step(
             trainer_config.folded_training
             and not trainer_config.remat
             and images.shape[2] % 8 == 0
+            # grayscale folds to an 8-lane stem input, an XLA TPU compile
+            # pathology (62 s for the stem conv alone — DESIGN.md par.10);
+            # the unfolded path is also simply faster at training shapes
+            and model_config.in_channels >= 3
         )
         if use_folded:
             from annonet_tpu.models.folded_runtime import apply_train_folded
