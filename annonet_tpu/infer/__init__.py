@@ -1,7 +1,11 @@
 """Inference library (reference L3): tiled large-image inference with
 on-device blending, plus evaluation (confusion matrices)."""
 
-from annonet_tpu.infer.core import TiledInferer, annonet_infer
+from annonet_tpu.infer.core import (
+    TiledInferer,
+    annonet_infer,
+    annonet_infer_batch,
+)
 from annonet_tpu.infer.tiling import TilePlan, TilingParameters, plan_tiles
 from annonet_tpu.infer.evaluation import (
     ConfusionMatrix,

@@ -180,3 +180,33 @@ def test_quantize_option_validation():
         TiledInferer(
             runtime, config, quantize="int8", use_pallas_conv=True
         )
+
+
+def test_batched_inference_equals_per_image():
+    """infer_arrays_batch / annonet_infer_batch: M same-size images in one
+    device program, per-image results EXACTLY equal the single-image path
+    (bf16 and int8), including detection seeds and the blob veto."""
+    from annonet_tpu.infer.core import annonet_infer_batch
+
+    config = SegNetConfig(class_count=3, level_count=0, base_width=16)
+    params, bn = init_state(jax.random.PRNGKey(0), config)
+    runtime = fold_batchnorm(params, bn, config)
+    tiling = TilingParameters(48, 48, 10, 10)
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 256, size=(3, 80, 80, 3), dtype=np.uint8)
+    det = [0.0, 0.1, 0.1]
+
+    for kw in ({}, {"quantize": "int8"}):
+        inf = TiledInferer(runtime, config, tiling, **kw)
+        lb, sb = inf.infer_arrays_batch(images, detection_levels=det)
+        assert lb.shape == (3, 80, 80) and sb.shape == (3, 80, 80)
+        full = annonet_infer_batch(inf, images, detection_levels=det)
+        for i in range(3):
+            li, si = inf.infer_arrays(images[i], detection_levels=det)
+            np.testing.assert_array_equal(li, lb[i])
+            np.testing.assert_array_equal(si, sb[i])
+            np.testing.assert_array_equal(
+                full[i], annonet_infer(inf, images[i], detection_levels=det)
+            )
+        with pytest.raises(ValueError):
+            inf.infer_arrays_batch(images[0])
