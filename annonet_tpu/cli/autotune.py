@@ -76,10 +76,12 @@ def find_max_minibatch_size(
 
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
-    if not argv or "--help" in argv:
+    wants_help = "--help" in argv or "-h" in argv
+    if not argv or wants_help:
         # every other flag passes through to annonet_train (the .cmd's
-        # contract), so --help must be intercepted here or it would be
-        # forwarded into the probe subprocesses
+        # contract), so --help/-h must be intercepted here or they would
+        # be forwarded into the probe subprocesses (where argparse prints
+        # help, exits 0, and every probe "passes")
         print("usage: annonet_autotune [--start N] <annonet_train args...>")
         print()
         print("Finds the largest trainable minibatch size (-b) by binary")
@@ -90,7 +92,7 @@ def main(argv=None) -> int:
         from annonet_tpu.cli.train import build_parser
 
         build_parser().print_help()
-        return 0 if "--help" in argv else 1
+        return 0 if wants_help else 1
     start = 100
     if "--start" in argv:
         i = argv.index("--start")

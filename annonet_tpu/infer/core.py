@@ -568,15 +568,37 @@ class TiledInferer:
         small same-size images — a single 512² image is a batch-1 forward
         (65 Mpx/s measured) while the same image inside a batch rides the
         full tile batch. Per-image results equal infer_arrays exactly.
+
+        M is bucketed UP to the next power of two by replicating the last
+        image (results sliced back): remainder batches then reuse compiled
+        programs instead of paying a fresh 20-40 s XLA compile each — one
+        redundant partial batch of compute versus a compile is the same
+        trade the canvas bucketing makes for H/W.
         """
         if images.ndim != 4 or images.shape[3] != self.config.in_channels:
             raise ValueError(
                 f"expected (M, H, W, {self.config.in_channels}) input, "
                 f"got {images.shape}"
             )
-        return self._infer(
+        m = images.shape[0]
+        if m < 1:
+            raise ValueError("image batch must contain at least one image")
+        if self.use_pallas_blend and m > 1:
+            raise ValueError(
+                "use_pallas_blend supports a single image per call"
+            )
+        m_b = 1 << (m - 1).bit_length()  # next power of two
+        if m_b != m:
+            images = np.concatenate(
+                [images, np.repeat(images[-1:], m_b - m, axis=0)]
+            )
+        labels, seeds = self._infer(
             images, True, gains, detection_levels, device_output
         )
+        if m_b != m:
+            labels = labels[:m]
+            seeds = None if seeds is None else seeds[:m]
+        return labels, seeds
 
     def _infer(
         self,

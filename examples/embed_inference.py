@@ -45,8 +45,9 @@ def main() -> int:
     if downscale != 1.0:
         from annonet_tpu.data.sample import resize_image_bilinear
 
-        h = round(image.shape[0] / downscale)
-        w = round(image.shape[1] / downscale)
+        # same rounding + min-1 guard as read_sample (data/sample.py)
+        h = max(1, int(round(image.shape[0] / downscale)))
+        w = max(1, int(round(image.shape[1] / downscale)))
         image = resize_image_bilinear(image, w, h)
 
     labels = annonet_infer(inferer, image)  # (H, W) uint16 class indices

@@ -210,3 +210,13 @@ def test_batched_inference_equals_per_image():
             )
         with pytest.raises(ValueError):
             inf.infer_arrays_batch(images[0])
+        with pytest.raises(ValueError):
+            inf.infer_arrays_batch(images[:0])
+
+    # M=3 above already exercises the power-of-two bucketing (padded to 4
+    # internally, sliced back); pallas blend rejects multi-image batches
+    pall = TiledInferer(
+        runtime, config, tiling, use_folded_net=False, use_pallas_blend=True
+    )
+    with pytest.raises(ValueError):
+        pall.infer_arrays_batch(images)
