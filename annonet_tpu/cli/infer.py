@@ -54,6 +54,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Images in flight on the device: the next image is "
                         "dispatched before the current result is read back "
                         "(1 = fully sequential like the reference)")
+    p.add_argument("--image-batch", type=int, default=1, metavar="N",
+                   help="Forward up to N consecutive SAME-SIZE images as "
+                        "one device batch (15x on 512px images: a lone "
+                        "small image underfills the chip). Per-image "
+                        "results are identical; per-image timings become "
+                        "the batch average")
     p.add_argument("--mesh", type=int, default=None, metavar="N",
                    help="Tile-parallel inference over an N-device "
                         "jax.sharding.Mesh: each image's tile batch is "
@@ -187,7 +193,9 @@ def _run(args, input_directory) -> int:
     # (full decoded images — unbounded memory). Requests are taken in index
     # order, so the needed index is always within the window: no deadlock.
     read_ahead = threading.Semaphore(
-        reader_count + max(1, args.pipeline_depth) + 2
+        reader_count
+        + max(1, args.pipeline_depth) * max(1, args.image_batch)
+        + 2
     )
 
     def reader():
@@ -276,65 +284,106 @@ def _run(args, input_directory) -> int:
 
     in_flight = collections.deque()
     pipeline_depth = max(1, args.pipeline_depth)
+    image_batch = max(1, args.image_batch)
     completed = 0
+    dispatched = 0
+    pending_sample = [None]  # one-sample pushback for size-group breaks
 
-    def dispatch_one():
+    def next_sample():
+        if pending_sample[0] is not None:
+            sample, pending_sample[0] = pending_sample[0], None
+            return sample
         sample = ordered_samples.next()
         read_ahead.release()  # one consumed -> one more may be read ahead
         if sample.error:
             raise RuntimeError(sample.error)
+        return sample
+
+    def dispatch_group():
+        # up to --image-batch CONSECUTIVE same-size images share one
+        # forward (TiledInferer.infer_arrays_batch); a size change closes
+        # the group (the odd sample is pushed back, order preserved)
+        nonlocal dispatched
+        group = [next_sample()]
+        dispatched += 1
+        shape = group[0].input_image.shape
+        while len(group) < image_batch and dispatched < len(files):
+            sample = next_sample()
+            if sample.input_image.shape != shape:
+                pending_sample[0] = sample
+                break
+            group.append(sample)
+            dispatched += 1
         t_start = time.monotonic()
-        labels_dev, seeds_dev = inferer.infer_arrays(
-            sample.input_image, gains, detection_levels, device_output=True
-        )
-        in_flight.append((sample, labels_dev, seeds_dev, t_start))
+        if len(group) == 1:
+            labels_dev, seeds_dev = inferer.infer_arrays(
+                group[0].input_image, gains, detection_levels,
+                device_output=True,
+            )
+        else:
+            labels_dev, seeds_dev = inferer.infer_arrays_batch(
+                np.stack([s.input_image for s in group]),
+                gains, detection_levels, device_output=True,
+            )
+        in_flight.append((group, labels_dev, seeds_dev, t_start))
 
-    def complete_one(index):
+    def complete_group():
         nonlocal total_inference, total_inference_excl_first
-        nonlocal max_inference_excl_first, ground_truth_count
-        sample, labels_dev, seeds_dev, t_start = in_flight.popleft()
-        h, w = sample.input_image.shape[:2]
-        labels = np.asarray(labels_dev)[:h, :w].astype(np.int32)
-        seeds = (
-            np.asarray(seeds_dev)[:h, :w] if seeds_dev is not None else None
-        )
-        result = detection_veto(labels, seeds)
+        nonlocal max_inference_excl_first, ground_truth_count, completed
+        group, labels_dev, seeds_dev, t_start = in_flight.popleft()
+        labels_np = np.asarray(labels_dev)
+        seeds_np = None if seeds_dev is None else np.asarray(seeds_dev)
         duration = time.monotonic() - t_start
-        total_inference += duration
-        if index > 0:
-            total_inference_excl_first += duration
-            max_inference_excl_first = max(max_inference_excl_first, duration)
+        share = duration / len(group)
+        for j, sample in enumerate(group):
+            h, w = sample.input_image.shape[:2]
+            sel = (j,) if len(group) > 1 else ()
+            labels = labels_np[sel + (slice(0, h), slice(0, w))].astype(
+                np.int32
+            )
+            seeds = (
+                None if seeds_np is None
+                else seeds_np[sel + (slice(0, h), slice(0, w))]
+            )
+            result = detection_veto(labels, seeds)
+            total_inference += share
+            if completed > 0:
+                total_inference_excl_first += share
+                max_inference_excl_first = max(
+                    max_inference_excl_first, share
+                )
 
-        ground_truth_count += update_confusion_matrix_per_pixel(
-            confusion_matrix_per_pixel, sample.labeled_points_by_class, result
-        )
-        if sample.label_image is not None:
-            update_confusion_matrix_per_region(
-                confusion_matrix_per_region,
+            ground_truth_count += update_confusion_matrix_per_pixel(
+                confusion_matrix_per_pixel,
                 sample.labeled_points_by_class,
-                sample.label_image,
                 result,
             )
-        write_requests.put(
-            (
-                sample.image_filenames.image_filename + "_result.png",
-                sample.original_width,
-                sample.original_height,
-                result,
+            if sample.label_image is not None:
+                update_confusion_matrix_per_region(
+                    confusion_matrix_per_region,
+                    sample.labeled_points_by_class,
+                    sample.label_image,
+                    result,
+                )
+            write_requests.put(
+                (
+                    sample.image_filenames.image_filename + "_result.png",
+                    sample.original_width,
+                    sample.original_height,
+                    result,
+                )
             )
-        )
+            completed += 1
 
     try:
-        for i in range(len(files)):
-            print(f"\rProcessing image {i + 1} of {len(files)}...",
+        while dispatched < len(files):
+            dispatch_group()
+            print(f"\rProcessing image {dispatched} of {len(files)}...",
                   end="", flush=True)
-            dispatch_one()
             if len(in_flight) >= pipeline_depth:
-                complete_one(completed)
-                completed += 1
+                complete_group()
         while in_flight:
-            complete_one(completed)
-            completed += 1
+            complete_group()
 
         profile_ctx.__exit__(None, None, None)
         t1 = time.monotonic()

@@ -362,3 +362,51 @@ def test_infer_corrupt_model_is_clean_error(tmp_path, capsys):
     assert rc == 1
     out = capsys.readouterr().out
     assert "Traceback" not in out
+
+
+@pytest.mark.slow
+def test_cli_infer_image_batch_matches_unbatched(tmp_path, capsys):
+    """--image-batch N groups same-size images into one device forward;
+    results (confusion matrices, result PNGs) are identical to the
+    per-image default."""
+    from annonet_tpu.cli.infer import main as infer_main
+    from annonet_tpu.cli.train import main as train_main
+
+    write_synthetic_dataset(tmp_path, n_images=4, size=48)
+    model_path = str(tmp_path / "annonet.dnn")
+    rc = train_main(
+        [
+            str(tmp_path),
+            "--max-total-steps", "10",
+            "-b", "4",
+            "--level-count", "0",
+            "--net-width-scaler", "0.25",
+            "--input-dimension-multiplier", "1.0",
+            "--data-loader-thread-count", "1",
+            "--output", model_path,
+            "--sync-file", str(tmp_path / "sync.dat"),
+        ]
+    )
+    assert rc == 0
+    capsys.readouterr()
+
+    def run(extra):
+        rc = infer_main([str(tmp_path), "--model", model_path, *extra])
+        assert rc == 0
+        out = capsys.readouterr().out
+        import re
+
+        matrices = out[out.index("Confusion matrix per pixel"):]
+        pngs = {
+            p.name: np.asarray(__import__("PIL.Image", fromlist=["Image"])
+                               .open(p))
+            for p in sorted(tmp_path.glob("*_result.png"))
+        }
+        return matrices, pngs
+
+    base_out, base_pngs = run([])
+    batch_out, batch_pngs = run(["--image-batch", "3"])  # 4 imgs -> 3+1
+    assert base_out == batch_out
+    assert base_pngs.keys() == batch_pngs.keys()
+    for name in base_pngs:
+        np.testing.assert_array_equal(base_pngs[name], batch_pngs[name])
