@@ -24,9 +24,11 @@ import sys
 import threading
 import time
 
+from annonet_tpu.cli._parser import ReferenceParser
+
 
 def build_parser() -> argparse.ArgumentParser:
-    p = argparse.ArgumentParser(
+    p = ReferenceParser(
         prog="annonet_infer",
         description="Do inference using trained semantic-segmentation networks",
         add_help=False,
@@ -53,13 +55,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pipeline-depth", type=int, default=2,
                    help="Images in flight on the device: the next image is "
                         "dispatched before the current result is read back "
-                        "(1 = fully sequential like the reference)")
+                        "(1 = fully sequential like the reference). At "
+                        "depth > 1 the per-image timing stats report "
+                        "device-busy time (overlap with host work is not "
+                        "double-counted)")
     p.add_argument("--image-batch", type=int, default=1, metavar="N",
                    help="Forward up to N consecutive SAME-SIZE images as "
                         "one device batch (15x on 512px images: a lone "
-                        "small image underfills the chip). Per-image "
-                        "results are identical; per-image timings become "
-                        "the batch average")
+                        "small image underfills the chip). Group sizes are "
+                        "bucketed UP to the next power of two to bound "
+                        "compilation, so non-power-of-two N pads every "
+                        "full group with replicated images. Per-image "
+                        "results are numerically equivalent to unbatched "
+                        "runs (bit-identical on the tested backends); "
+                        "per-image timings become the batch average")
     p.add_argument("--mesh", type=int, default=None, metavar="N",
                    help="Tile-parallel inference over an N-device "
                         "jax.sharding.Mesh: each image's tile batch is "
@@ -79,14 +88,26 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
-    input_directory = args.input_directory or args.input_directory_positional
-    if not input_directory:
+    if argv is None:
+        argv = sys.argv[1:]
+    if not argv:
+        # argc == 1: usage to stdout, exit 1 (annonet_infer_main.cpp:285-293)
         print("You call this program like this: ")
         print("annonet_infer /path/to/image/data")
         print()
         print("You will also need a trained 'annonet.dnn' file. ")
         return 1
+
+    parser = build_parser()
+    try:
+        args = parser.parse_args(argv)
+        input_directory = (
+            args.input_directory or args.input_directory_positional
+        )
+        if not input_directory:
+            parser.error("Option 'input-directory' is required but not present")
+    except SystemExit as e:
+        return int(e.code or 0)
     # Top-level catch: print the message and exit 1, parity with the
     # reference's catch(std::exception&) wrapper at the tail of
     # annonet_infer_main.cpp (no traceback, threads shut down in _run's
@@ -99,6 +120,16 @@ def main(argv=None) -> int:
 
 
 def _run(args, input_directory) -> int:
+    # ExitStack scopes the optional select_device context to this call, so
+    # library embedders calling main() repeatedly don't leak device
+    # contexts (they were previously entered and never exited).
+    import contextlib
+
+    with contextlib.ExitStack() as stack:
+        return _run_impl(args, input_directory, stack)
+
+
+def _run_impl(args, input_directory, stack) -> int:
     print(f"Input directory = {input_directory}")
 
     if not args.no_compilation_cache:
@@ -131,14 +162,15 @@ def _run(args, input_directory) -> int:
     anno_classes = parse_anno_classes(anno_classes_json)
     assert len(anno_classes) >= 2
 
-    try:
-        gains = parse_class_specific_values(args.gain, len(anno_classes))
-        detection_levels = parse_class_specific_values(
-            args.detection, len(anno_classes), require_non_negative=True
-        )
-    except ValueError as e:
-        print(e)
-        return 2
+    # Format errors here raise ValueError and reach main()'s outer catch:
+    # message to stdout, exit 1 — the reference's std::runtime_error from
+    # parse_class_specific_value (annonet_infer_main.cpp:36-63) is thrown
+    # after cxxopts parsing, so it hits the outer catch, not the exit-2
+    # parse-error path.
+    gains = parse_class_specific_values(args.gain, len(anno_classes))
+    detection_levels = parse_class_specific_values(
+        args.detection, len(anno_classes), require_non_negative=True
+    )
 
     print("Using gains:", " ".join(
         f"{i}:{g:g}" for i, g in enumerate(gains)))
@@ -153,15 +185,14 @@ def _run(args, input_directory) -> int:
 
         mesh = make_cli_mesh(args.mesh)
 
-    device_ctx = None
     if args.device is not None:
-        device_ctx = select_device(args.device)
-        device_ctx.__enter__()
+        stack.enter_context(select_device(args.device))
 
     min_input_dimension = required_input_dimension(model_config)
     if args.tile_max_width < min_input_dimension or args.tile_max_height < min_input_dimension:
-        print(f"Tile size must be at least {min_input_dimension}")
-        return 2
+        # DLIB_CASSERT at annonet_infer_main.cpp:429-430 throws -> outer
+        # catch -> message + exit 1
+        raise RuntimeError(f"Tile size must be at least {min_input_dimension}")
     tiling = TilingParameters(
         max_tile_width=args.tile_max_width,
         max_tile_height=args.tile_max_height,
@@ -271,6 +302,7 @@ def _run(args, input_directory) -> int:
     total_inference = 0.0
     total_inference_excl_first = 0.0
     max_inference_excl_first = 0.0
+    excl_first_count = 0
 
     profile_ctx = profiler_trace(args.profile)
     profile_ctx.__enter__()
@@ -327,13 +359,34 @@ def _run(args, input_directory) -> int:
             )
         in_flight.append((group, labels_dev, seeds_dev, t_start))
 
+    # End of the previous group's measured interval, for the device-busy
+    # timing at pipeline depth > 1 (see complete_group).
+    prev_group_done = [None]
+    completed_groups = [0]
+
     def complete_group():
         nonlocal total_inference, total_inference_excl_first
         nonlocal max_inference_excl_first, ground_truth_count, completed
+        nonlocal excl_first_count
         group, labels_dev, seeds_dev, t_start = in_flight.popleft()
         labels_np = np.asarray(labels_dev)
         seeds_np = None if seeds_dev is None else np.asarray(seeds_dev)
-        duration = time.monotonic() - t_start
+        t_done = time.monotonic()
+        # The reference times each annonet_infer call strictly sequentially
+        # (annonet_infer_main.cpp:466-480). With groups in flight, wall time
+        # from dispatch to readback would double-count overlap, so charge
+        # each group only the interval after the previous group finished:
+        # the device executes groups in dispatch order, so
+        # t_done - max(t_start, prev_done) is this group's device-busy time
+        # (+ readback). At --pipeline-depth 1 this reduces exactly to
+        # t_done - t_start, the reference's sequential measure.
+        if prev_group_done[0] is None:
+            duration = t_done - t_start
+        else:
+            duration = t_done - max(t_start, prev_group_done[0])
+        prev_group_done[0] = t_done
+        first_group = completed_groups[0] == 0
+        completed_groups[0] += 1
         share = duration / len(group)
         for j, sample in enumerate(group):
             h, w = sample.input_image.shape[:2]
@@ -347,11 +400,17 @@ def _run(args, input_directory) -> int:
             )
             result = detection_veto(labels, seeds)
             total_inference += share
-            if completed > 0:
+            # The whole first group is excluded from the excl-first stats:
+            # the reference excludes the first (compile/warm-up) image
+            # (annonet_infer_main.cpp:475-480), and with --image-batch > 1
+            # every image of the first dispatched group shares that one-time
+            # cost, so none of them reflects steady state.
+            if not first_group:
                 total_inference_excl_first += share
                 max_inference_excl_first = max(
                     max_inference_excl_first, share
                 )
+                excl_first_count += 1
 
             ground_truth_count += update_confusion_matrix_per_pixel(
                 confusion_matrix_per_pixel,
@@ -389,10 +448,10 @@ def _run(args, input_directory) -> int:
         t1 = time.monotonic()
         print(f"\nAll {len(files)} images processed in {t1 - t0:.3f} seconds!"
               f" (actual inference: {total_inference:.6f} seconds)")
-        if len(files) > 1:
+        if len(files) > 1 and excl_first_count > 0:
             print(
                 "Processing time excluding the first image: "
-                f"average = {total_inference_excl_first * 1000.0 / (len(files) - 1):.3f} ms, "
+                f"average = {total_inference_excl_first * 1000.0 / excl_first_count:.3f} ms, "
                 f"max = {max_inference_excl_first * 1000.0:.3f} ms"
             )
 

@@ -26,9 +26,11 @@ import math
 import os
 import sys
 
+from annonet_tpu.cli._parser import ReferenceParser
+
 
 def build_parser() -> argparse.ArgumentParser:
-    p = argparse.ArgumentParser(
+    p = ReferenceParser(
         prog="annonet_train",
         description="Train semantic-segmentation networks using data generated in anno",
     )
@@ -112,22 +114,45 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
-    input_directory = args.input_directory or args.input_directory_positional
-    if not input_directory:
+    if argv is None:
+        argv = sys.argv[1:]
+    if not argv:
+        # argc == 1: usage to stdout, exit 1 (annonet_train_main.cpp:262-269)
         print("To run this program you need data annotated using the anno program.")
         print()
         print("You call this program like this: ")
         print("annonet_train /path/to/anno/data")
         return 1
 
-    if args.initial_downscaling_factor <= 0.0 or args.further_downscaling_factor <= 0.0:
-        print("The downscaling factors have to be strictly positive.")
-        return 2
+    parser = build_parser()
+    try:
+        args = parser.parse_args(argv)
+        input_directory = (
+            args.input_directory or args.input_directory_positional
+        )
+        if not input_directory:
+            parser.error("Option 'input-directory' is required but not present")
+
+        # The reference echoes these three lines inside the parse try-block
+        # (annonet_train_main.cpp:322-328) before validating the factors, so
+        # a validation failure still prints them, then the message + help to
+        # stderr with exit 2 (:329-335).
+        print(f"Input directory = {input_directory}")
+        print(f"Initial downscaling factor = {args.initial_downscaling_factor:g}")
+        print(f"Further downscaling factor = {args.further_downscaling_factor:g}")
+        if (
+            args.initial_downscaling_factor <= 0.0
+            or args.further_downscaling_factor <= 0.0
+        ):
+            parser.error("The downscaling factors have to be strictly positive.")
+    except SystemExit as e:
+        return int(e.code or 0)
 
     # Top-level catch covering setup (dataset scan, class parsing, model
-    # deserialization) AND the training loop: print the message and exit 1,
-    # parity with catch(std::exception&) at annonet_train_main.cpp:640-644.
+    # deserialization): print the message and exit 1, parity with
+    # catch(std::exception&) at annonet_train_main.cpp:640-644. Errors
+    # thrown from inside the training loop exit 2 instead (handled in
+    # _run, annonet_train_main.cpp:616-620).
     try:
         return _run(args, input_directory)
     except Exception as e:  # noqa: BLE001
@@ -136,15 +161,23 @@ def main(argv=None) -> int:
 
 
 def _run(args, input_directory) -> int:
+    # ExitStack scopes the optional select_device context to this call, so
+    # library embedders calling main() repeatedly don't leak device
+    # contexts (they were previously entered and never exited).
+    import contextlib
+
+    with contextlib.ExitStack() as stack:
+        return _run_impl(args, input_directory, stack)
+
+
+def _run_impl(args, input_directory, stack) -> int:
     if not args.no_compilation_cache:
         from annonet_tpu.cli.common import enable_compilation_cache
 
         enable_compilation_cache()
 
-    # echo configuration, parity with annonet_train_main.cpp:322-374
-    print(f"Input directory = {input_directory}")
-    print(f"Initial downscaling factor = {args.initial_downscaling_factor:g}")
-    print(f"Further downscaling factor = {args.further_downscaling_factor:g}")
+    # echo configuration, parity with annonet_train_main.cpp:336-374 (the
+    # first three echo lines print from main(), inside the parse try-block)
     print("Allow flipping input images upside down =",
           "yes" if args.allow_flip_upside_down else "no")
     print(f"Minibatch size = {args.minibatch_size}")
@@ -209,10 +242,8 @@ def _run(args, input_directory) -> int:
 
         mesh = make_cli_mesh(args.mesh)
 
-    device_ctx = None
     if args.device is not None:
-        device_ctx = select_device(args.device)
-        device_ctx.__enter__()
+        stack.enter_context(select_device(args.device))
 
     trainer_config = TrainerConfig(
         initial_learning_rate=args.initial_learning_rate,
@@ -309,26 +340,34 @@ def _run(args, input_directory) -> int:
         queue_depth=2 * args.minibatch_size,
         seed=args.seed,
     ) as pipe:
-        with profiler_trace(args.profile):
-            while True:
-                if trainer.should_stop:
-                    break
-                if (
-                    args.max_total_steps is not None
-                    and minibatch >= args.max_total_steps
-                ):
-                    break
-                images, labels = pipe.next_minibatch(
-                    minibatch_size,
-                    warn=None if args.no_empty_label_image_warning else print,
-                    warnings_already_printed=warnings_already_printed,
-                )
-                trainer.train_step_crops(
-                    images, labels, crop_options, seed=args.seed
-                )
-                if minibatch % args.save_interval == 0:
-                    save_inference_net()
-                minibatch += 1
+        # Errors thrown from inside the training loop (bad crops, device
+        # failures) print the message and exit 2, parity with the loop's
+        # catch at annonet_train_main.cpp:616-620 (the final network save
+        # is skipped, :634-636; loader shutdown is the pipeline context).
+        try:
+            with profiler_trace(args.profile):
+                while True:
+                    if trainer.should_stop:
+                        break
+                    if (
+                        args.max_total_steps is not None
+                        and minibatch >= args.max_total_steps
+                    ):
+                        break
+                    images, labels = pipe.next_minibatch(
+                        minibatch_size,
+                        warn=None if args.no_empty_label_image_warning else print,
+                        warnings_already_printed=warnings_already_printed,
+                    )
+                    trainer.train_step_crops(
+                        images, labels, crop_options, seed=args.seed
+                    )
+                    if minibatch % args.save_interval == 0:
+                        save_inference_net()
+                    minibatch += 1
+        except Exception as e:  # noqa: BLE001
+            print(e)
+            return 2
 
     save_inference_net()
     trainer.save_sync_file()

@@ -14,8 +14,14 @@ The TPU-native re-design of annonet_infer (annonet_infer.cpp:32-240):
   dlib::label_connected_blobs veto (:217-238)      host blob veto (ops.blobs)
 
 Per-class gains are added in LOGIT space after blending and detection levels
-compare blended logit margins, exactly like the reference (gain enters the
-argmax, the seed test uses gain-free outputs, annonet_infer.cpp:170-212).
+compare blended logit margins (gain enters the argmax, the seed test uses
+gain-free outputs, annonet_infer.cpp:170-212) — with one documented
+deviation: the blend is normalized by the ramp sum BEFORE gains are added,
+so gains/detection levels mean the same thing at every pixel, whereas the
+reference compares against unnormalized (ramp-sum-inflated) logits inside
+tile-overlap bands (PARITY.md "Documented behavioral deviations";
+pinned by tests/test_infer.py::
+test_gain_semantics_in_overlap_bands_documented_deviation).
 
 Compilation: one XLA program per (padded size, tile shape, tile-count
 bucket); gains/detection levels are traced arguments so changing them never

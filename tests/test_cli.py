@@ -410,3 +410,160 @@ def test_cli_infer_image_batch_matches_unbatched(tmp_path, capsys):
     assert base_pngs.keys() == batch_pngs.keys()
     for name in base_pngs:
         np.testing.assert_array_equal(base_pngs[name], batch_pngs[name])
+
+
+def test_train_parse_error_exit_codes(tmp_path, capsys):
+    """cxxopts parse-error parity (annonet_train_main.cpp:329-335): the
+    message, a blank line, and the FULL help text go to stderr, exit 2."""
+    from annonet_tpu.cli.train import main as train_main
+
+    # unknown flag
+    rc = train_main(["--no-such-flag", str(tmp_path)])
+    assert rc == 2
+    err = capsys.readouterr().err
+    assert "--initial-downscaling-factor" in err  # full help, not brief usage
+
+    # flags present but no input-directory: parse-error path, NOT the
+    # argc==1 usage blurb (which is stdout + exit 1)
+    rc = train_main(["-b", "4"])
+    assert rc == 2
+    err = capsys.readouterr().err
+    assert "Option 'input-directory' is required but not present" in err
+
+    # non-positive downscaling factor: the three echo lines still print to
+    # stdout first (they sit inside the reference's parse try-block,
+    # annonet_train_main.cpp:322-328), then message + help to stderr
+    rc = train_main([str(tmp_path), "-d", "0"])
+    assert rc == 2
+    captured = capsys.readouterr()
+    assert "Initial downscaling factor = 0" in captured.out
+    assert "strictly positive" in captured.err
+
+
+def test_infer_parse_error_exit_codes(tmp_path, capsys):
+    """Same parity for annonet_infer (annonet_infer_main.cpp:335-340)."""
+    from annonet_tpu.cli.infer import main as infer_main
+
+    rc = infer_main(["--no-such-flag", str(tmp_path)])
+    assert rc == 2
+    err = capsys.readouterr().err
+    assert "--tile-max-width" in err
+
+    rc = infer_main(["-w", "512"])
+    assert rc == 2
+    err = capsys.readouterr().err
+    assert "Option 'input-directory' is required but not present" in err
+
+
+def test_train_loop_error_exits_2(tmp_path, capsys):
+    """Errors thrown from inside the training loop (here: every mask has
+    the wrong size, so the first crop dequeues as an error) print the
+    message and exit 2 (annonet_train_main.cpp:616-620) — unlike setup
+    errors, which exit 1 through the outer catch (:640-644)."""
+    from annonet_tpu.cli.train import main as train_main
+
+    write_synthetic_dataset(tmp_path, n_images=2, size=32)
+    from PIL import Image
+
+    bad = np.zeros((7, 9, 4), np.uint8)
+    for mask in tmp_path.glob("*_mask.png"):
+        Image.fromarray(bad).save(mask)
+
+    rc = train_main(
+        [
+            str(tmp_path),
+            "--max-total-steps", "2",
+            "-b", "2",
+            "--level-count", "0",
+            "--input-dimension-multiplier", "1.0",
+            "--data-loader-thread-count", "1",
+            "--output", str(tmp_path / "m.dnn"),
+            "--sync-file", str(tmp_path / "sync.dat"),
+        ]
+    )
+    assert rc == 2
+    out = capsys.readouterr().out
+    assert "Traceback" not in out
+    assert "mismatch" in out  # the sample error surfaced as the message
+    # the final network save is skipped on loop errors (reference parity)
+    assert not (tmp_path / "m.dnn").exists()
+
+
+def test_infer_gain_format_error_exits_1(tmp_path, capsys):
+    """Gain/detection format errors are thrown AFTER cxxopts parsing
+    (annonet_infer_main.cpp:36-63, called at :357-358), so they hit the
+    outer catch: message to stdout, exit 1 — not the parse-error exit 2."""
+    from annonet_tpu.cli.infer import main as infer_main
+    from annonet_tpu.cli.train import main as train_main
+
+    write_synthetic_dataset(tmp_path, n_images=2, size=32)
+    model_path = str(tmp_path / "annonet.dnn")
+    rc = train_main(
+        [
+            str(tmp_path),
+            "--max-total-steps", "2",
+            "-b", "2",
+            "--level-count", "0",
+            "--input-dimension-multiplier", "1.0",
+            "--data-loader-thread-count", "1",
+            "--output", model_path,
+            "--sync-file", str(tmp_path / "sync.dat"),
+        ]
+    )
+    assert rc == 0
+    capsys.readouterr()
+
+    rc = infer_main([str(tmp_path), "--model", model_path, "-g", "nope"])
+    assert rc == 1
+    captured = capsys.readouterr()
+    assert "index:gain" in captured.out
+
+    # out-of-range class index: same path
+    rc = infer_main([str(tmp_path), "--model", model_path, "-g", "9:1.0"])
+    assert rc == 1
+    assert "only" in capsys.readouterr().out
+
+
+@pytest.mark.slow
+def test_infer_pipelined_timing_not_double_counted(tmp_path, capsys):
+    """At the default --pipeline-depth 2 the per-group timing intervals are
+    disjoint (device-busy time), so the printed 'actual inference' total
+    can never exceed the wall-clock total — the reference's sequential
+    timing invariant (annonet_infer_main.cpp:466-507). Before the fix,
+    dispatch->readback spans overlapped and the sum could exceed wall."""
+    import re
+
+    from annonet_tpu.cli.infer import main as infer_main
+    from annonet_tpu.cli.train import main as train_main
+
+    write_synthetic_dataset(tmp_path, n_images=6, size=48)
+    model_path = str(tmp_path / "annonet.dnn")
+    rc = train_main(
+        [
+            str(tmp_path),
+            "--max-total-steps", "2",
+            "-b", "2",
+            "--level-count", "0",
+            "--input-dimension-multiplier", "1.0",
+            "--data-loader-thread-count", "1",
+            "--output", model_path,
+            "--sync-file", str(tmp_path / "sync.dat"),
+        ]
+    )
+    assert rc == 0
+    capsys.readouterr()
+
+    rc = infer_main(
+        [str(tmp_path), "--model", model_path, "--pipeline-depth", "2"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    m = re.search(
+        r"processed in ([0-9.]+) seconds!"
+        r" \(actual inference: ([0-9.]+) seconds\)",
+        out,
+    )
+    assert m, out
+    wall, inference = float(m.group(1)), float(m.group(2))
+    assert inference <= wall + 0.05
+    assert "Processing time excluding the first image:" in out

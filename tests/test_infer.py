@@ -249,3 +249,77 @@ def test_format_confusion_matrix_smoke():
     assert "90" in text and "50" in text
     # recall of class 0 = 90%
     assert "90.00 %" in text
+
+
+def test_gain_semantics_in_overlap_bands_documented_deviation():
+    """Pins the DOCUMENTED deviation from the reference's overlap-blend
+    semantics under nonzero gains (PARITY.md "Blend semantics").
+
+    The reference accumulates UNNORMALIZED t-ramp contributions in overlap
+    bands (annonet_infer.cpp:146-161): adjacent tile ramps sum to
+    s(p) in (1, ~2-1/ov], and gains/detection margins are compared against
+    those inflated logits (:176-185), so a gain's effective strength is
+    divided by s(p) inside overlap bands. This framework normalizes the
+    blend by the ramp sum (infer/tiling.py::inverse_weight_sum) BEFORE
+    adding gains, so a gain has the same effect at every pixel.
+
+    The test constructs a net with constant logits [0, m] (zero conv
+    weights, head bias = margin m) and a gain g on class 0 with
+    m < g < s_max * m: under this framework's semantics EVERY pixel flips
+    to class 0; under the reference's rule, pixels in overlap bands where
+    s(p) * m > g would have kept class 1 — a real disagreement, pinned
+    here so the deviation stays intentional and visible.
+    """
+    import jax
+
+    from annonet_tpu.infer.core import TiledInferer
+    from annonet_tpu.infer.tiling import (
+        TilingParameters,
+        inverse_weight_sum,
+        plan_tiles,
+    )
+    from annonet_tpu.models.segnet import (
+        SegNetConfig,
+        fold_batchnorm,
+        init_state,
+    )
+
+    mc = SegNetConfig(
+        class_count=2, level_count=1, base_width=4, compute_dtype="float32"
+    )
+    params, stats = init_state(jax.random.PRNGKey(0), mc)
+    runtime = fold_batchnorm(params, stats, mc)
+    # zero every weight and bias, then set the head bias to [0, m]:
+    # the net now outputs exactly these logits at every pixel
+    margin = 0.5
+    runtime = jax.tree_util.tree_map(lambda a: np.zeros_like(a), runtime)
+    runtime["head"]["b"] = np.array([0.0, margin], np.float32)
+
+    tiling = TilingParameters(48, 48, 8, 8)
+    image = np.full((96, 96, 3), 128, np.uint8)
+
+    # the plan really has overlap bands with unnormalized ramp sums > 1
+    plan = plan_tiles(96, 96, mc, tiling)
+    assert plan.tile_count > 1
+    s = 1.0 / inverse_weight_sum(plan)
+    s_max = float(s.max())
+    assert s_max > 1.2, s_max
+
+    gain0 = margin * (1.0 + s_max) / 2.0  # m < g < s_max * m
+    assert margin < gain0 < s_max * margin
+
+    inferer = TiledInferer(runtime, mc, tiling)
+    labels, _ = inferer.infer_arrays(image, gains=[gain0, 0.0])
+
+    # this framework: uniform gain semantics -> ALL pixels flip to class 0
+    assert (labels == 0).all()
+
+    # the simulated reference decision (argmax of s * logits + gain)
+    # disagrees on at least one overlap-band pixel of this very plan
+    ref_keeps_class1 = s[: labels.shape[0], : labels.shape[1]] * margin > gain0
+    assert ref_keeps_class1.any()
+
+    # and with zero gains the two semantics agree everywhere (argmax is
+    # invariant under the positive per-pixel scale s)
+    labels_nogain, _ = inferer.infer_arrays(image)
+    assert (labels_nogain == 1).all()
