@@ -81,9 +81,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--quantize", choices=["none", "int8"], default="none",
                    help="Quantized inference (TPU extension): int8 runs the "
                         "conv stack on the 2x-rate int8 MXU path (~1.45x "
-                        "end-to-end), calibrated on the first image; label "
-                        "maps may differ from the float path on near-tie "
-                        "pixels (accuracy floors are covered by tests)")
+                        "end-to-end), calibrated on the first image (see "
+                        "--calibration-images; the first image is assumed "
+                        "representative of the directory's exposure range); "
+                        "label maps may differ from the float path on "
+                        "near-tie pixels (accuracy floors are covered by "
+                        "tests). An activation clip-saturation figure is "
+                        "printed after the run")
+    p.add_argument("--calibration-images", type=int, default=1, metavar="N",
+                   help="Spread int8 activation calibration over the first "
+                        "N images (with --quantize int8): per-channel "
+                        "maxima accumulate across them, the first N-1 "
+                        "images run the exact float path, and quantization "
+                        "freezes on image N. Raise for directories whose "
+                        "first image is unrepresentative (dark, "
+                        "low-contrast)")
     return p
 
 
@@ -199,9 +211,12 @@ def _run_impl(args, input_directory, stack) -> int:
         overlap_x=min_input_dimension,
         overlap_y=min_input_dimension,
     )
+    if args.calibration_images < 1:
+        raise RuntimeError("--calibration-images must be >= 1")
     inferer = TiledInferer(
         runtime_params, model_config, tiling,
         quantize=None if args.quantize == "none" else args.quantize,
+        calibration_images=args.calibration_images,
         mesh=mesh,
     )
 
@@ -320,6 +335,7 @@ def _run_impl(args, input_directory, stack) -> int:
     completed = 0
     dispatched = 0
     pending_sample = [None]  # one-sample pushback for size-group breaks
+    last_image = [None]  # most recent pixels, for int8 saturation telemetry
 
     def next_sample():
         if pending_sample[0] is not None:
@@ -432,6 +448,7 @@ def _run_impl(args, input_directory, stack) -> int:
                     result,
                 )
             )
+            last_image[0] = sample.input_image
             completed += 1
 
     try:
@@ -460,6 +477,21 @@ def _run_impl(args, input_directory, stack) -> int:
             if isinstance(ok, Exception):
                 raise ok
         print("All result images written!")
+
+        if args.quantize == "int8" and last_image[0] is not None:
+            # clip-saturation telemetry: how far the LAST image's
+            # activations exceed the frozen calibration range (>~1.2x
+            # suggests the calibration images were unrepresentative —
+            # rerun with a larger --calibration-images)
+            overshoot = inferer.calibration_overshoot(last_image[0])
+            if overshoot > 0.0:
+                print(
+                    "int8 calibration: "
+                    f"{inferer.calibration_images} image(s); activation "
+                    f"range overshoot on the last image = {overshoot:.2f}x"
+                    + (" (consider raising --calibration-images)"
+                       if overshoot > 1.2 else "")
+                )
     finally:
         # Clean shutdown on success AND error: stop readers (draining
         # read_results so none stays blocked on a full queue), then send

@@ -339,6 +339,7 @@ class TiledInferer:
         use_pallas_conv: Optional[bool] = None,  # None = default (False)
         use_pallas_blend: bool = False,
         quantize: Optional[str] = None,  # "int8" = quantized conv stack
+        calibration_images: int = 1,
         mesh=None,
         mesh_axis: str = "batch",
     ):
@@ -351,12 +352,23 @@ class TiledInferer:
             raise ValueError("quantize is incompatible with use_pallas_conv")
         if quantize and not use_folded_net:
             raise ValueError("quantize requires the folded net")
-        # int8 applies once the first image has calibrated the activation
-        # scales (models/quantized_runtime.py); geometry that can't fold
-        # (fold0 == 0) falls back to the bf16 path per plan
+        # int8 applies once the first `calibration_images` images have
+        # calibrated the activation scales (models/quantized_runtime.py):
+        # per-channel maxima accumulate across those images, images seen
+        # before the freeze run the exact bf16 path, and everything after
+        # runs int8. The default 1 calibrates on (and quantizes from) the
+        # first image alone — representative first images are assumed;
+        # raise calibration_images for mixed-exposure directories. Geometry
+        # that can't fold (fold0 == 0) falls back to the bf16 path per plan.
         self.quantize = quantize
+        if calibration_images < 1:
+            raise ValueError("calibration_images must be >= 1")
+        self.calibration_images = calibration_images
         self._quantized_cache: Dict[int, Tuple] = {}
         self._calibrate_fns: Dict[Tuple, object] = {}
+        self._calib_accum: Dict[int, list] = {}
+        self._calib_seen: Dict[int, int] = {}
+        self._calib_frozen: Dict[int, list] = {}
         if use_pallas_conv is None:
             # the kernel wins 2.4x per layer in isolation but loses composed
             # (194 vs 359 Mpx/s e2e): pallas_call boundaries and the shifted
@@ -414,7 +426,13 @@ class TiledInferer:
             from annonet_tpu.models.folded_runtime import folding_supported
 
             fold0 = folding_supported(self.config, plan.tile_width)
-        quantized = bool(self.quantize) and fold0 > 0
+        # int8 only once calibration has frozen (the first
+        # calibration_images images run the exact bf16 program)
+        quantized = (
+            bool(self.quantize)
+            and fold0 > 0
+            and fold0 in self._quantized_cache
+        )
         key = (
             plan.padded_height,
             plan.padded_width,
@@ -492,21 +510,10 @@ class TiledInferer:
             self._folded_cache[(fold0, self.use_pallas_conv)] = cached
         return cached
 
-    def _ensure_quantized(self, fold0: int, plan: TilePlan, padded_image):
-        """Calibrate + build the int8 net once, on the first image's tiles.
-
-        The reference's own timing treats the first image as warm-up
-        (annonet_infer_main.cpp:466-480); calibration rides that slot. Up
-        to 4 tiles spread across the plan feed per-channel activation
-        maxima (models/quantized_runtime.py) through the bf16 folded net.
-        """
-        if fold0 in self._quantized_cache:
-            return
-        from annonet_tpu.models.quantized_runtime import (
-            collect_calibration,
-            quantize_folded,
-        )
-
+    def _collect_calib(self, fold0: int, plan: TilePlan, padded_image):
+        """Per-REAL-channel post-ReLU activation maxima of one image: up to
+        4 tiles spread across the plan, through the bf16 folded net
+        (models/quantized_runtime.py::collect_calibration)."""
         (f0, spec), arrays = self._get_folded(fold0)
         positions = list(plan.tile_yx)
         if len(positions) > 4:
@@ -523,6 +530,10 @@ class TiledInferer:
         cal_key = (fold0, tiles.shape)
         cal_fn = self._calibrate_fns.get(cal_key)
         if cal_fn is None:
+            from annonet_tpu.models.quantized_runtime import (
+                collect_calibration,
+            )
+
             cal_fn = jax.jit(
                 partial(
                     collect_calibration,
@@ -532,10 +543,78 @@ class TiledInferer:
                 )
             )
             self._calibrate_fns[cal_key] = cal_fn
-        calib = [np.asarray(m) for m in cal_fn(arrays, jnp.asarray(tiles))]
+        return [np.asarray(m) for m in cal_fn(arrays, jnp.asarray(tiles))]
+
+    def _ensure_quantized(self, fold0: int, plan: TilePlan, padded_image):
+        """Accumulate one image's calibration maxima; freeze the int8 net
+        once ``calibration_images`` images have contributed.
+
+        The reference's own timing treats the first image as warm-up
+        (annonet_infer_main.cpp:466-480); calibration rides that slot.
+        Images seen before the freeze run the exact bf16 program, so
+        raising calibration_images trades a few float-path images for
+        scales that have seen the directory's exposure range.
+        """
+        if fold0 in self._quantized_cache:
+            return
+        calib = self._collect_calib(fold0, plan, padded_image)
+        accum = self._calib_accum.get(fold0)
+        if accum is None:
+            accum = calib
+        else:
+            accum = [np.maximum(a, c) for a, c in zip(accum, calib)]
+        self._calib_accum[fold0] = accum
+        self._calib_seen[fold0] = self._calib_seen.get(fold0, 0) + 1
+        if self._calib_seen[fold0] < self.calibration_images:
+            return
+        from annonet_tpu.models.quantized_runtime import quantize_folded
+
+        (f0, spec), arrays = self._get_folded(fold0)
+        self._calib_frozen[fold0] = accum
         self._quantized_cache[fold0] = quantize_folded(
-            spec, arrays, calib, self.config, f0
+            spec, arrays, accum, self.config, f0
         )
+
+    def calibration_overshoot(self, image: np.ndarray) -> float:
+        """Clip-saturation telemetry: how far ``image``'s activations
+        exceed the frozen int8 calibration range.
+
+        Returns the max over layers/channels of
+        (this image's activation max) / (calibrated max) — 1.0 means the
+        image fits the calibrated range exactly; e.g. 2.0 means some
+        channel's activations reach double the calibrated maximum and are
+        clipped to half their range by the int8 requant. Use it to detect
+        distribution shift (an unrepresentative calibration set). Returns
+        0.0 when no quantized net has been frozen yet.
+        """
+        if not self._calib_frozen:
+            return 0.0
+        h, w = image.shape[:2]
+        plan = self.plan(h, w)
+        from annonet_tpu.models.folded_runtime import folding_supported
+
+        fold0 = folding_supported(self.config, plan.tile_width)
+        frozen = self._calib_frozen.get(fold0)
+        if frozen is None:
+            return 0.0
+        full = np.pad(
+            image,
+            (
+                (0, plan.padded_height - h),
+                (0, plan.padded_width - w),
+                (0, 0),
+            ),
+            mode="edge",
+        )
+        calib = self._collect_calib(fold0, plan, full)
+        worst = 0.0
+        for cal, frz in zip(calib, frozen):
+            if cal.size == 0 or frz.size == 0:
+                continue
+            mask = frz > 0
+            if mask.any():
+                worst = max(worst, float((cal[mask] / frz[mask]).max()))
+        return worst
 
     # ------------------------------------------------------------- inference
 
@@ -662,17 +741,22 @@ class TiledInferer:
 
             q_fold0 = folding_supported(self.config, plan.tile_width)
             if q_fold0 and q_fold0 not in self._quantized_cache:
-                first = image[0] if batched else image
-                full = np.pad(
-                    first,
-                    (
-                        (0, plan.padded_height - first.shape[0]),
-                        (0, plan.padded_width - first.shape[1]),
-                        (0, 0),
-                    ),
-                    mode="edge",
-                )
-                self._ensure_quantized(q_fold0, plan, full)
+                # each not-yet-frozen call contributes one image (or, when
+                # batched, as many of the batch as calibration still needs)
+                candidates = image if batched else image[None]
+                for one in candidates:
+                    full = np.pad(
+                        one,
+                        (
+                            (0, plan.padded_height - one.shape[0]),
+                            (0, plan.padded_width - one.shape[1]),
+                            (0, 0),
+                        ),
+                        mode="edge",
+                    )
+                    self._ensure_quantized(q_fold0, plan, full)
+                    if q_fold0 in self._quantized_cache:
+                        break
 
         fn, fold0, quantized = self._get_compiled(
             plan, with_detection,

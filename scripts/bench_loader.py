@@ -24,6 +24,13 @@ def main():
     parser.add_argument("--images", type=int, default=8)
     parser.add_argument("--size", type=int, default=2048)
     parser.add_argument("--crops", type=int, default=512)
+    parser.add_argument(
+        "--pinned-budget", type=int, action="append", default=None,
+        metavar="BYTES",
+        help="Also sweep pinned_bytes_budget values (0 forces the "
+             "extract-inline fallback at data/pipeline.py::_make_crop); "
+             "default sweeps [default-budget, 0]",
+    )
     args = parser.parse_args()
 
     import numpy as np
@@ -53,26 +60,31 @@ def main():
         files = find_image_files(root, True, verbose=False)
         opts = CropOptions(dim=args.dim)
 
+        budgets = args.pinned_budget or [512 << 20, 0]
         for threads in (2, 4, 8, os.cpu_count() or 8):
-            with CropPipeline(
-                files,
-                anno_classes,
-                opts,
-                thread_count=threads,
-                cached_image_count=args.images,
-                queue_depth=256,
-                seed=1,
-            ) as pipe:
-                # warm the cache (first touch decodes all images)
-                pipe.next_minibatch(64, warn=None)
-                t0 = time.monotonic()
-                pipe.next_minibatch(args.crops, warn=None)
-                dt = time.monotonic() - t0
-            print(
-                f"threads={threads}: {args.crops / dt:.0f} crops/s "
-                f"({args.crops * args.dim * args.dim / dt / 1e6:.1f} Mpx/s)",
-                flush=True,
-            )
+            for budget in budgets:
+                with CropPipeline(
+                    files,
+                    anno_classes,
+                    opts,
+                    thread_count=threads,
+                    cached_image_count=args.images,
+                    queue_depth=256,
+                    seed=1,
+                    pinned_bytes_budget=budget,
+                ) as pipe:
+                    # warm the cache (first touch decodes all images)
+                    pipe.next_minibatch(64, warn=None)
+                    t0 = time.monotonic()
+                    pipe.next_minibatch(args.crops, warn=None)
+                    dt = time.monotonic() - t0
+                print(
+                    f"threads={threads} budget={budget >> 20}M: "
+                    f"{args.crops / dt:.0f} crops/s "
+                    f"({args.crops * args.dim * args.dim / dt / 1e6:.1f} "
+                    f"Mpx/s)",
+                    flush=True,
+                )
 
 
 if __name__ == "__main__":

@@ -521,3 +521,62 @@ def test_pin_budget_fallback_is_identical(tiny_dataset):
     for (fi, fl), (ti, tl) in zip(fast, tight):
         np.testing.assert_array_equal(fi, ti)
         np.testing.assert_array_equal(fl, tl)
+
+
+def test_pin_budget_fallback_throughput_under_stress(tmp_path):
+    """The zero-budget fallback (every producer extracts its own pixels,
+    data/pipeline.py::_make_crop) must keep flowing under multi-threaded
+    stress — no lock serialization, no deadlock — at a throughput
+    comparable to the pinned decision path on the same box.
+
+    Uses larger images than tiny_dataset so pin accounting is exercised
+    with realistic per-sample sizes; the ratio bound is deliberately
+    generous (the fallback adds one extract_crop per crop, which is cheap
+    next to the shared decode) — it exists to catch pathological
+    serialization, not to benchmark."""
+    import time
+
+    from PIL import Image
+
+    from annonet_tpu.classes import default_anno_classes
+
+    anno_classes = default_anno_classes()
+    rng = np.random.default_rng(1)
+    files = []
+    for i in range(4):
+        img = rng.integers(0, 256, size=(256, 256, 3), dtype=np.uint8)
+        mask = np.zeros((256, 256, 4), dtype=np.uint8)
+        mask[:, :128] = anno_classes[0].rgba_label
+        mask[60:90, 160:200] = anno_classes[1].rgba_label
+        img_path = tmp_path / f"im{i}.png"
+        Image.fromarray(img).save(img_path)
+        Image.fromarray(mask, mode="RGBA").save(
+            tmp_path / f"im{i}.png_mask.png"
+        )
+        files.append(
+            ImageFilenames(str(img_path), str(img_path) + "_mask.png")
+        )
+
+    options = CropOptions(dim=64)
+
+    def run(budget):
+        with CropPipeline(
+            files, anno_classes, options, thread_count=4, seed=11,
+            cached_image_count=4, queue_depth=64,
+            pinned_bytes_budget=budget,
+        ) as pipe:
+            pipe.next_minibatch(32, warn=None)  # warm the decode cache
+            t0 = time.monotonic()
+            n = 0
+            for _ in range(8):
+                images, labels = pipe.next_minibatch(32, warn=None)
+                n += images.shape[0]
+            dt = time.monotonic() - t0
+            assert pipe._pinned_bytes <= max(0, budget)
+        return n / dt
+
+    pinned_rate = run(512 << 20)
+    fallback_rate = run(0)
+    # sanity floor + no-serialization bound (both loose for CI boxes)
+    assert fallback_rate > 50, fallback_rate
+    assert fallback_rate > 0.1 * pinned_rate, (fallback_rate, pinned_rate)

@@ -220,3 +220,109 @@ def test_batched_inference_equals_per_image():
     )
     with pytest.raises(ValueError):
         pall.infer_arrays_batch(images)
+
+
+def test_calibration_images_accumulate_and_defer_freeze():
+    """--calibration-images N semantics: the first N-1 images run the exact
+    bf16 float program (bit-identical to the unquantized inferer), maxima
+    accumulate across all N, and quantization freezes on image N."""
+    config = SegNetConfig(class_count=3, level_count=1, base_width=16)
+    params, bn = init_state(jax.random.PRNGKey(0), config)
+    runtime = fold_batchnorm(params, bn, config)
+    tiling = TilingParameters(64, 64, 20, 20)
+    rng = np.random.default_rng(1)
+    images = [
+        rng.integers(0, 256, size=(100, 100, 3), dtype=np.uint8)
+        for _ in range(3)
+    ]
+
+    base = TiledInferer(runtime, config, tiling)
+    quant = TiledInferer(
+        runtime, config, tiling, quantize="int8", calibration_images=3
+    )
+
+    # images 1 and 2: float path, bit-identical to the unquantized inferer
+    for img in images[:2]:
+        np.testing.assert_array_equal(
+            annonet_infer(quant, img), annonet_infer(base, img)
+        )
+        assert not quant._quantized_cache  # not frozen yet
+
+    # image 3 freezes the int8 net and runs quantized
+    l3 = annonet_infer(quant, images[2])
+    assert quant._quantized_cache
+    assert (l3 == annonet_infer(base, images[2])).mean() > 0.9
+
+    # the frozen maxima dominate every contributing image's maxima
+    fold0 = next(iter(quant._calib_frozen))
+    assert quant._calib_seen[fold0] == 3
+
+    with pytest.raises(ValueError, match="calibration_images"):
+        TiledInferer(runtime, config, tiling, quantize="int8",
+                     calibration_images=0)
+
+
+def test_calibration_distribution_shift_detection_and_mitigation():
+    """Calibrate dark -> infer bright: the overshoot telemetry must flag
+    the shift, and spreading calibration over both exposures
+    (calibration_images=2) must restore label agreement with the float
+    path to the representative-calibration level."""
+    config = SegNetConfig(class_count=3, level_count=1, base_width=16)
+    params, bn = init_state(jax.random.PRNGKey(0), config)
+    runtime = fold_batchnorm(params, bn, config)
+    tiling = TilingParameters(64, 64, 20, 20)
+    rng = np.random.default_rng(2)
+    # dark: a narrow low range; bright: full range
+    dark = rng.integers(0, 32, size=(100, 100, 3), dtype=np.uint8)
+    bright = rng.integers(0, 256, size=(100, 100, 3), dtype=np.uint8)
+
+    base = TiledInferer(runtime, config, tiling)
+    bright_float = annonet_infer(base, bright)
+
+    # calibrated on the dark image only
+    q_dark = TiledInferer(runtime, config, tiling, quantize="int8")
+    annonet_infer(q_dark, dark)  # calibrates + freezes on dark
+    agree_shifted = (annonet_infer(q_dark, bright) == bright_float).mean()
+
+    # telemetry detects the shift: bright activations overshoot the
+    # dark-calibrated range; the dark image itself fits (~1.0)
+    overshoot_bright = q_dark.calibration_overshoot(bright)
+    overshoot_dark = q_dark.calibration_overshoot(dark)
+    assert overshoot_bright > 1.2, overshoot_bright
+    assert overshoot_dark <= 1.05, overshoot_dark
+
+    # mitigation: calibrate over BOTH images
+    q_both = TiledInferer(
+        runtime, config, tiling, quantize="int8", calibration_images=2
+    )
+    annonet_infer(q_both, dark)
+    annonet_infer(q_both, bright)  # freeze includes bright maxima
+    assert q_both._quantized_cache
+    agree_mitigated = (annonet_infer(q_both, bright) == bright_float).mean()
+    assert q_both.calibration_overshoot(bright) <= 1.05
+
+    # representative calibration keeps the float-agreement floor; the
+    # mitigated calibration must reach it and beat the shifted one
+    assert agree_mitigated >= 0.95, (agree_shifted, agree_mitigated)
+    assert agree_mitigated >= agree_shifted
+
+
+def test_batched_calibration_uses_multiple_batch_images():
+    """infer_arrays_batch feeds as many of its first batch as calibration
+    still needs, so a single batched call can satisfy
+    calibration_images > 1."""
+    config = SegNetConfig(class_count=3, level_count=1, base_width=16)
+    params, bn = init_state(jax.random.PRNGKey(0), config)
+    runtime = fold_batchnorm(params, bn, config)
+    tiling = TilingParameters(64, 64, 20, 20)
+    rng = np.random.default_rng(3)
+    images = rng.integers(0, 256, size=(4, 100, 100, 3), dtype=np.uint8)
+
+    quant = TiledInferer(
+        runtime, config, tiling, quantize="int8", calibration_images=3
+    )
+    labels, _ = quant.infer_arrays_batch(images)
+    assert labels.shape == (4, 100, 100)
+    assert quant._quantized_cache  # froze inside the one batched call
+    fold0 = next(iter(quant._calib_frozen))
+    assert quant._calib_seen[fold0] == 3
