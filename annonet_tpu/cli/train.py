@@ -104,6 +104,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Disable the persistent XLA compilation cache "
                         "(~/.cache/annonet_tpu/jax; see also "
                         "ANNONET_TPU_COMPILATION_CACHE)")
+    p.add_argument("--device-image-cache", choices=["auto", "on", "off"],
+                   default="auto",
+                   help="Keep the decoded-image cache in device HBM and "
+                        "extract crops on device, so each step uploads "
+                        "~20 bytes/crop of indices instead of the crop "
+                        "pixels (TPU extension; the host LRU still owns "
+                        "decode lifetimes). auto = on for single-device "
+                        "training when --further-downscaling-factor <= 1; "
+                        "off = always upload pixels (reference-like)")
     p.add_argument("--loss-sync-interval", type=int, default=1,
                    help="Read device losses back every N steps. The default "
                         "1 blocks per step exactly like the reference "
@@ -327,6 +336,24 @@ def _run_impl(args, input_directory, stack) -> int:
     warnings_already_printed = set()
     minibatch = 0
 
+    # Device-resident image cache (TPU extension, docs/DESIGN.md round 3):
+    # crops are gathered on device from an HBM pool mirroring the host LRU;
+    # only the further-downscaling path and DP meshes use the classic
+    # pixel-upload loop. Any batch that fell back to pixels (pin budget)
+    # still trains identically through train_step_crops.
+    device_pool = None
+    if args.device_image_cache != "off" and not args.mesh and (
+        args.further_downscaling_factor <= 1.0
+    ):
+        from annonet_tpu.train.device_cache import DeviceImagePool
+
+        device_pool = DeviceImagePool(slots=max(1, args.cached_image_count))
+    elif args.device_image_cache == "on":
+        raise RuntimeError(
+            "--device-image-cache on requires single-device training "
+            "(no --mesh) and --further-downscaling-factor <= 1"
+        )
+
     with CropPipeline(
         image_files,
         anno_classes,
@@ -354,14 +381,33 @@ def _run_impl(args, input_directory, stack) -> int:
                         and minibatch >= args.max_total_steps
                     ):
                         break
-                    images, labels = pipe.next_minibatch(
-                        minibatch_size,
-                        warn=None if args.no_empty_label_image_warning else print,
-                        warnings_already_printed=warnings_already_printed,
+                    warn = (
+                        None if args.no_empty_label_image_warning else print
                     )
-                    trainer.train_step_crops(
-                        images, labels, crop_options, seed=args.seed
-                    )
+                    if device_pool is not None:
+                        kind, a, b = pipe.next_decisions(
+                            minibatch_size,
+                            warn=warn,
+                            warnings_already_printed=warnings_already_printed,
+                        )
+                        if kind == "decisions":
+                            trainer.train_step_decisions(
+                                device_pool, a, b, crop_options,
+                                seed=args.seed,
+                            )
+                        else:
+                            trainer.train_step_crops(
+                                a, b, crop_options, seed=args.seed
+                            )
+                    else:
+                        images, labels = pipe.next_minibatch(
+                            minibatch_size,
+                            warn=warn,
+                            warnings_already_printed=warnings_already_printed,
+                        )
+                        trainer.train_step_crops(
+                            images, labels, crop_options, seed=args.seed
+                        )
                     if minibatch % args.save_interval == 0:
                         save_inference_net()
                     minibatch += 1

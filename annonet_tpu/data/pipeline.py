@@ -256,6 +256,47 @@ class CropPipeline:
         :597-602). Returns (images [N,dim,dim,C] uint8, labels [N,dim,dim]
         uint16), C-contiguous.
         """
+        crops = self._collect_crops(
+            minibatch_size, warn, warnings_already_printed
+        )
+        return self._assemble(crops)
+
+    def next_decisions(
+        self,
+        minibatch_size: int,
+        warn: Optional[Callable[[str], None]] = print,
+        warnings_already_printed: Optional[Set[str]] = None,
+    ):
+        """Collect ``minibatch_size`` good crops WITHOUT extracting pixels.
+
+        The device-image-pool path (train.device_cache): when every crop
+        arrived as a decision, returns ``("decisions", samples, rects)`` —
+        one (Sample, ltrb rect) per crop, pixels never touched on the
+        host. If any crop was materialized (pin-budget fallback, or the
+        further-downscaling per-crop path), the whole batch is assembled
+        as pixels instead and ``("pixels", images, labels)`` is returned —
+        the caller feeds that through the classic upload path. Either way
+        the crops and the random stream are identical to next_minibatch.
+        """
+        crops = self._collect_crops(
+            minibatch_size, warn, warnings_already_printed
+        )
+        if all(c.sample is not None for c in crops):
+            samples = [c.sample for c in crops]
+            rects = [c.rect for c in crops]
+            # dequeued decisions are no longer queued: release their pins
+            # (consumers of the samples hold their own references)
+            self._unpin_many(samples)
+            return "decisions", samples, rects
+        images, labels = self._assemble(crops)
+        return "pixels", images, labels
+
+    def _collect_crops(
+        self,
+        minibatch_size: int,
+        warn,
+        warnings_already_printed,
+    ) -> List[Crop]:
         crops: List[Crop] = []
         while len(crops) < minibatch_size:
             crop = self._queue.get()
@@ -271,7 +312,9 @@ class CropPipeline:
                         warnings_already_printed.add(crop.warning)
                 continue
             crops.append(crop)
+        return crops
 
+    def _assemble(self, crops: List[Crop]) -> Tuple[np.ndarray, np.ndarray]:
         # Assemble the batch arrays. Crops arrive in two shapes (possibly
         # mixed when the pin budget kicked in): materialized pixels are
         # copied into their slots; decisions are extracted straight into
@@ -279,9 +322,9 @@ class CropPipeline:
         dim = self._crop_dim
         channels = 1 if self._grayscale else 3
         images = np.empty(
-            (minibatch_size, dim, dim, channels), dtype=np.uint8
+            (len(crops), dim, dim, channels), dtype=np.uint8
         )
-        labels = np.empty((minibatch_size, dim, dim), dtype=np.uint16)
+        labels = np.empty((len(crops), dim, dim), dtype=np.uint16)
 
         decision_slots = []
         for i, c in enumerate(crops):

@@ -203,8 +203,7 @@ class DataParallelTrainer(Trainer):
                 self.model_config, self.config, crop_options, self.mesh,
                 self.axis,
             )
-            self._fused_key = jax.random.PRNGKey(seed ^ 0x5EED)
-        self._fused_key, step_key = jax.random.split(self._fused_key)
+        step_key = self._next_fused_key(seed)
 
         batch_sharding = NamedSharding(self.mesh, P(self.axis))
         images_dev = jax.device_put(np.asarray(images), batch_sharding)

@@ -213,6 +213,48 @@ def make_fused_train_step(
     return step
 
 
+def make_fused_pool_step(
+    model_config: SegNetConfig,
+    trainer_config: TrainerConfig,
+    crop_options,  # annonet_tpu.data.crop.CropOptions (duck-typed)
+    dim: int,
+) -> Callable:
+    """The fused step fed from the HBM-resident image pool, as ONE program.
+
+    (params, bn_stats, velocity, lr, bn_momentum, key,
+     pool_images, pool_labels, slot, y0, x0, valid_h, valid_w)
+        -> (params, bn_stats, velocity, loss)
+
+    Identical math to make_fused_train_step: the on-device gather
+    (ops/crop_gather.py) reproduces extract_crop bit-for-bit, so only
+    ~20 bytes/crop of indices cross the host->device boundary instead of
+    ~dim^2*(C+2) bytes of pixels.
+
+    NOTE: the Trainer does NOT use this single-program composition — on
+    v5e, fusing the pool gather into the train step costs 116.6 ms/step
+    vs 24.4 ms for the same gather as its OWN program feeding the pixel
+    step (batch 128 @ 192^2; scripts/bench_pool_step.py — XLA fuses the
+    pool's strided windows into the conv stack's consumers). Kept for the
+    equivalence tests and as the recorded negative result; the shipped
+    path is Trainer.train_step_decisions' two-dispatch split."""
+    from annonet_tpu.ops.crop_gather import gather_crops
+
+    inner = make_fused_train_step(model_config, trainer_config, crop_options)
+
+    def step(params, bn_stats, velocity, lr, bn_momentum, key,
+             pool_images, pool_labels, slot, y0, x0, valid_h, valid_w):
+        images, labels = gather_crops(
+            pool_images, pool_labels, slot, y0, x0, valid_h, valid_w, dim
+        )
+        # labels are already int32 with IGNORE applied; the inner step's
+        # astype(int32) is a no-op on them
+        return inner(
+            params, bn_stats, velocity, lr, bn_momentum, key, images, labels
+        )
+
+    return step
+
+
 class Trainer:
     """Stateful wrapper: owns params/optimizer/LR schedule, checks plateaus,
     writes the sync file, and exports the BN-folded runtime net."""
@@ -237,6 +279,7 @@ class Trainer:
         self._step_fn = jax.jit(make_train_step(model_config, trainer_config))
         self._fused_step_fn = None
         self._fused_key = None
+        self._pool_step_fns: Dict[int, Callable] = {}
         self._loss_window_cap = (
             trainer_config.iterations_without_progress_threshold
             + trainer_config.previous_loss_values_dump_amount
@@ -283,8 +326,7 @@ class Trainer:
                     self.model_config, self.config, crop_options
                 )
             )
-            self._fused_key = jax.random.PRNGKey(seed ^ 0x5EED)
-        self._fused_key, step_key = jax.random.split(self._fused_key)
+        step_key = self._next_fused_key(seed)
         self.params, self.bn_stats, self.velocity, loss = self._fused_step_fn(
             self.params,
             self.bn_stats,
@@ -296,6 +338,66 @@ class Trainer:
             jnp.asarray(labels),  # uint16: half the transfer of int32
         )
         return self._finish_step(loss)
+
+    def _next_fused_key(self, seed: int):
+        """One shared augmentation-key stream for BOTH fused entries
+        (pixel crops and pool decisions), so a run that mixes the two —
+        e.g. the pin-budget fallback interleaving pixel batches — draws
+        the same augmentations as either path alone."""
+        if self._fused_key is None:
+            self._fused_key = jax.random.PRNGKey(seed ^ 0x5EED)
+        self._fused_key, step_key = jax.random.split(self._fused_key)
+        return step_key
+
+    def train_step_decisions(
+        self,
+        pool,  # annonet_tpu.train.device_cache.DeviceImagePool
+        samples,  # list[Sample], one per crop (repeats allowed)
+        rects,  # list[(l, t, r, b)] inclusive crop rects
+        crop_options,  # annonet_tpu.data.crop.CropOptions
+        seed: int = 0,
+    ) -> Optional[float]:
+        """One minibatch update from crop DECISIONS against the device
+        image pool: the pixels never leave the device (round-3 path; the
+        host ships ~20 bytes per crop). Bit-identical to
+        train_step_crops on the same decisions.
+
+        Two dispatches by design: the gather runs as its OWN XLA program
+        and its [B,dim,dim,C] output feeds the SAME fused pixel step
+        train_step_crops uses. One fused program measured 116.6 ms/step
+        vs 24.4 ms split (batch 128 @ 192^2 v5e, scripts/bench_pool_step
+        .py): XLA fuses the pool's strided windows into the conv stack.
+        The split also makes bit-equality with train_step_crops trivially
+        true — the second program IS the same program."""
+        fdf = crop_options.further_downscaling_factor
+        if fdf > 1.0:
+            raise ValueError(
+                "train_step_decisions requires further_downscaling_factor "
+                "<= 1 (the resize path materializes pixels on the host)"
+            )
+        dim = int(round(crop_options.dim * fdf))
+        slot_idx = pool.ensure(samples)
+        valid_h, valid_w = pool.valid_dims(slot_idx)
+        y0 = np.asarray([r[1] for r in rects], np.int32)
+        x0 = np.asarray([r[0] for r in rects], np.int32)
+
+        gather_fn = self._pool_step_fns.get(dim)
+        if gather_fn is None:
+            from annonet_tpu.ops.crop_gather import gather_crops
+            from functools import partial as _partial
+
+            gather_fn = jax.jit(_partial(gather_crops, dim=dim))
+            self._pool_step_fns[dim] = gather_fn
+        images, labels = gather_fn(
+            pool.images,
+            pool.labels,
+            jnp.asarray(slot_idx),
+            jnp.asarray(y0),
+            jnp.asarray(x0),
+            jnp.asarray(valid_h),
+            jnp.asarray(valid_w),
+        )
+        return self.train_step_crops(images, labels, crop_options, seed=seed)
 
     def _bn_momentum(self) -> float:
         """Windowed BN running-stats momentum for the NEXT update; tracks

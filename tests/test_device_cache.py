@@ -1,0 +1,294 @@
+"""Device-resident training data path (round 3, VERDICT item 1).
+
+The HBM image pool + on-device crop gather must reproduce the host
+extraction path bit-for-bit — same crops, same random stream, same
+training trajectory — while moving only ~20 bytes/crop host->device.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from annonet_tpu.classes import IGNORE_LABEL
+from annonet_tpu.data.crop import CropOptions, extract_crop
+from annonet_tpu.models.segnet import SegNetConfig
+from annonet_tpu.ops.crop_gather import gather_crops
+from annonet_tpu.train.device_cache import DeviceImagePool
+from annonet_tpu.train.trainer import Trainer, TrainerConfig
+
+
+class FakeSample:
+    def __init__(self, rng, h, w, c=3):
+        self.input_image = rng.integers(
+            0, 256, size=(h, w, c), dtype=np.uint8
+        )
+        self.label_image = rng.integers(
+            0, 3, size=(h, w), dtype=np.uint16
+        )
+
+
+def test_gather_crops_matches_extract_crop_bit_exact():
+    """The device gather (clamped-slice + in-tile takes + IGNORE mask)
+    equals data/crop.py::extract_crop for interior, edge-overhanging,
+    corner, and smaller-than-crop images."""
+    rng = np.random.default_rng(0)
+    dim = 24
+    samples = [
+        FakeSample(rng, 64, 80),
+        FakeSample(rng, 40, 40),
+        FakeSample(rng, 16, 20),  # smaller than the crop dim
+    ]
+    pool = DeviceImagePool(slots=4)
+
+    cases = [
+        (0, (10, 10, 33, 33)),      # interior
+        (0, (-5, -7, 18, 16)),      # top-left overhang
+        (0, (60, 45, 83, 68)),      # bottom-right overhang
+        (1, (20, 20, 43, 43)),      # bottom-right edge
+        (2, (-4, -2, 19, 21)),      # image smaller than dim
+        (2, (0, 0, 23, 23)),
+    ]
+    batch_samples = [samples[i] for i, _ in cases]
+    rects = [r for _, r in cases]
+    slot_idx = pool.ensure(batch_samples)
+    vh, vw = pool.valid_dims(slot_idx)
+    y0 = np.asarray([r[1] for r in rects], np.int32)
+    x0 = np.asarray([r[0] for r in rects], np.int32)
+
+    images, labels = jax.jit(
+        lambda *a: gather_crops(*a, dim=dim)
+    )(
+        pool.images, pool.labels,
+        jnp.asarray(slot_idx), jnp.asarray(y0), jnp.asarray(x0),
+        jnp.asarray(vh), jnp.asarray(vw),
+    )
+    images = np.asarray(images)
+    labels = np.asarray(labels)
+
+    for b, (si, rect) in enumerate(cases):
+        exp_img, exp_lab = extract_crop(
+            samples[si].input_image, samples[si].label_image, rect
+        )
+        np.testing.assert_array_equal(images[b], exp_img)
+        np.testing.assert_array_equal(labels[b], exp_lab.astype(np.int64))
+        if rect[0] < 0 or rect[1] < 0:
+            assert (labels[b] == IGNORE_LABEL).any()
+
+
+def test_pool_residency_lru_growth_and_telemetry():
+    rng = np.random.default_rng(1)
+    pool = DeviceImagePool(slots=2)
+    a, b, c = (FakeSample(rng, 32, 32) for _ in range(3))
+
+    idx1 = pool.ensure([a, b, a])
+    assert pool.uploads == 2
+    assert idx1[0] == idx1[2] != idx1[1]
+
+    # cache hit: no new uploads
+    pool.ensure([b, a])
+    assert pool.uploads == 2
+
+    # third distinct sample evicts the least recently used (a was used
+    # last, so b is evicted... both used in the last call; LRU by tick:
+    # a and b share the last tick, c must evict ONE of them)
+    pool.ensure([c])
+    assert pool.uploads == 3
+    resident_ids = set(pool._by_id.keys())
+    assert id(c) in resident_ids and len(resident_ids) == 2
+
+    # geometry growth (bigger image) re-uploads residents once
+    big = FakeSample(rng, 300, 200)
+    before = pool.uploads
+    pool.ensure([big])
+    assert pool.shape[1] >= 300 and pool.shape[2] >= 256
+    # big upload + re-upload of the surviving residents
+    assert pool.uploads >= before + 1
+    # a batch with more distinct samples than slots grows the slot count
+    many = [FakeSample(rng, 32, 32) for _ in range(5)]
+    idx = pool.ensure(many)
+    assert pool.shape[0] >= 5
+    assert len(set(int(i) for i in idx)) == 5
+
+
+def test_train_step_decisions_matches_train_step_crops():
+    """Same decisions, same seed: the pool path and the pixel-upload path
+    produce the same losses and parameters (the gather is bit-exact, the
+    inner step is the same function)."""
+    rng = np.random.default_rng(2)
+    mc = SegNetConfig(
+        class_count=3, level_count=1, base_width=4, compute_dtype="float32"
+    )
+    tc = TrainerConfig(initial_learning_rate=0.05)
+    co = CropOptions(
+        dim=16, allow_flip_left_right=True, noise_level_stddev=1.0
+    )
+    samples = [FakeSample(rng, 48, 64), FakeSample(rng, 30, 30)]
+    pool = DeviceImagePool(slots=4)
+
+    t_pix = Trainer(mc, tc, seed=0)
+    t_pool = Trainer(mc, tc, seed=0)
+
+    for step in range(4):
+        batch_samples, rects = [], []
+        for _ in range(8):
+            s = samples[int(rng.integers(0, 2))]
+            h, w = s.label_image.shape
+            y = int(rng.integers(-8, h))
+            x = int(rng.integers(-8, w))
+            batch_samples.append(s)
+            rects.append((x, y, x + co.dim - 1, y + co.dim - 1))
+
+        images = np.stack(
+            [
+                extract_crop(s.input_image, s.label_image, r)[0]
+                for s, r in zip(batch_samples, rects)
+            ]
+        )
+        labels = np.stack(
+            [
+                extract_crop(s.input_image, s.label_image, r)[1]
+                for s, r in zip(batch_samples, rects)
+            ]
+        )
+        loss_pix = t_pix.train_step_crops(images, labels, co, seed=5)
+        loss_pool = t_pool.train_step_decisions(
+            pool, batch_samples, rects, co, seed=5
+        )
+        assert np.isclose(loss_pix, loss_pool, rtol=1e-5), (
+            step, loss_pix, loss_pool,
+        )
+
+    for p1, p2 in zip(
+        jax.tree_util.tree_leaves(t_pix.params),
+        jax.tree_util.tree_leaves(t_pool.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(p1), np.asarray(p2), rtol=1e-5, atol=1e-7
+        )
+    # steady state: only the two distinct images ever uploaded
+    assert pool.uploads == 2
+
+
+def test_pipeline_next_decisions_matches_next_minibatch(tmp_path):
+    """next_decisions consumes the same random stream as next_minibatch:
+    extracting its decisions on the host reproduces the pixel batches."""
+    from PIL import Image
+
+    from annonet_tpu.classes import default_anno_classes
+    from annonet_tpu.data.dataset import ImageFilenames
+    from annonet_tpu.data.pipeline import CropPipeline
+
+    anno_classes = default_anno_classes()
+    rng = np.random.default_rng(3)
+    files = []
+    for i in range(2):
+        img = rng.integers(0, 256, size=(40, 40, 3), dtype=np.uint8)
+        mask = np.zeros((40, 40, 4), dtype=np.uint8)
+        mask[:, :20] = anno_classes[0].rgba_label
+        mask[5:9, 25:30] = anno_classes[1].rgba_label
+        p = tmp_path / f"im{i}.png"
+        Image.fromarray(img).save(p)
+        Image.fromarray(mask, mode="RGBA").save(
+            tmp_path / f"im{i}.png_mask.png"
+        )
+        files.append(ImageFilenames(str(p), str(p) + "_mask.png"))
+
+    options = CropOptions(dim=16)
+
+    with CropPipeline(
+        files, anno_classes, options, thread_count=1, seed=42
+    ) as pipe:
+        batches_px = [pipe.next_minibatch(4, warn=None) for _ in range(2)]
+    with CropPipeline(
+        files, anno_classes, options, thread_count=1, seed=42
+    ) as pipe:
+        batches_dec = [pipe.next_decisions(4, warn=None) for _ in range(2)]
+
+    for (pi, pl), (kind, samples, rects) in zip(batches_px, batches_dec):
+        assert kind == "decisions"
+        for j, (s, r) in enumerate(zip(samples, rects)):
+            img, lab = extract_crop(s.input_image, s.label_image, r)
+            np.testing.assert_array_equal(pi[j], img)
+            np.testing.assert_array_equal(pl[j], lab)
+
+
+def test_next_decisions_pixel_fallback(tmp_path):
+    """With a zero pin budget every crop materializes, so next_decisions
+    degrades to the classic pixel batch — same contents."""
+    from PIL import Image
+
+    from annonet_tpu.classes import default_anno_classes
+    from annonet_tpu.data.dataset import ImageFilenames
+    from annonet_tpu.data.pipeline import CropPipeline
+
+    anno_classes = default_anno_classes()
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    mask = np.zeros((32, 32, 4), dtype=np.uint8)
+    mask[...] = anno_classes[0].rgba_label
+    mask[4:8, 4:8] = anno_classes[1].rgba_label
+    p = tmp_path / "im.png"
+    Image.fromarray(img).save(p)
+    Image.fromarray(mask, mode="RGBA").save(tmp_path / "im.png_mask.png")
+    files = [ImageFilenames(str(p), str(p) + "_mask.png")]
+    options = CropOptions(dim=16)
+
+    with CropPipeline(
+        files, anno_classes, options, thread_count=1, seed=9,
+        pinned_bytes_budget=0,
+    ) as pipe:
+        kind, images, labels = pipe.next_decisions(4, warn=None)
+    assert kind == "pixels"
+    with CropPipeline(
+        files, anno_classes, options, thread_count=1, seed=9,
+        pinned_bytes_budget=0,
+    ) as pipe:
+        images2, labels2 = pipe.next_minibatch(4, warn=None)
+    np.testing.assert_array_equal(images, images2)
+    np.testing.assert_array_equal(labels, labels2)
+
+
+@pytest.mark.slow
+def test_cli_train_device_image_cache_round_trip(tmp_path, capsys):
+    """annonet_train with the device image cache (default auto=on) trains
+    end-to-end and exports a working model."""
+    from tests.test_end_to_end import write_synthetic_dataset
+    from annonet_tpu.cli.infer import main as infer_main
+    from annonet_tpu.cli.train import main as train_main
+
+    write_synthetic_dataset(tmp_path, n_images=3, size=48)
+    model_path = str(tmp_path / "annonet.dnn")
+    rc = train_main(
+        [
+            str(tmp_path),
+            "--max-total-steps", "12",
+            "-b", "4",
+            "--level-count", "1",
+            "--net-width-scaler", "0.5",
+            "--input-dimension-multiplier", "1.0",
+            "--initial-learning-rate", "0.05",
+            "--data-loader-thread-count", "2",
+            "--device-image-cache", "on",
+            "--output", model_path,
+            "--sync-file", str(tmp_path / "sync.dat"),
+        ]
+    )
+    assert rc == 0
+    capsys.readouterr()
+    rc = infer_main([str(tmp_path), "--model", model_path])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "All result images written!" in out
+
+    # --mesh + explicit on is rejected cleanly
+    rc = train_main(
+        [
+            str(tmp_path),
+            "--mesh", "2",
+            "--device-image-cache", "on",
+            "--max-total-steps", "1",
+        ]
+    )
+    assert rc == 1
+    assert "single-device" in capsys.readouterr().out
