@@ -100,6 +100,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--remat", action="store_true",
                    help="Rematerialize activations in the backward pass "
                         "(fits larger minibatches; ~1/3 more compute)")
+    p.add_argument("--int8-training", action="store_true",
+                   help="Quantization-aware training: run the forward's "
+                        "convs through int8 (dynamic symmetric scales) "
+                        "while gradients flow through the exact bf16 conv "
+                        "(straight-through). Trains the net under the same "
+                        "grid noise annonet_infer --quantize adds, closing "
+                        "the int8 deployment gap; ~9%% slower per step")
     p.add_argument("--no-compilation-cache", action="store_true",
                    help="Disable the persistent XLA compilation cache "
                         "(~/.cache/annonet_tpu/jax; see also "
@@ -113,12 +120,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "decode lifetimes). auto = on for single-device "
                         "training when --further-downscaling-factor <= 1; "
                         "off = always upload pixels (reference-like)")
-    p.add_argument("--loss-sync-interval", type=int, default=1,
-                   help="Read device losses back every N steps. The default "
-                        "1 blocks per step exactly like the reference "
-                        "trainer; larger values overlap host data prep with "
-                        "device compute at the cost of the plateau detector "
-                        "seeing losses up to N-1 steps late")
+    p.add_argument("--loss-sync-interval", type=int, default=8,
+                   help="Read device losses back every N steps (default 8). "
+                        "dlib's dnn_trainer behind the reference's "
+                        "StartTraining (annonet_train_main.cpp:609) runs "
+                        "steps on its own thread and surfaces losses with a "
+                        "lag, so batched readback matches its semantics; the "
+                        "plateau detector sees losses up to N-1 steps late. "
+                        "1 = block per step (fully synchronous)")
     return p
 
 
@@ -266,6 +275,7 @@ def _run_impl(args, input_directory, stack) -> int:
         ),
         bn_stats_window=int(round(relative_training_length * 100)),
         remat=args.remat,
+        int8_forward=args.int8_training,
         loss_sync_interval=max(1, args.loss_sync_interval),
         sync_file=args.sync_file,
         sync_interval_seconds=600.0,
@@ -371,9 +381,13 @@ def _run_impl(args, input_directory, stack) -> int:
         # failures) print the message and exit 2, parity with the loop's
         # catch at annonet_train_main.cpp:616-620 (the final network save
         # is skipped, :634-636; loader shutdown is the pipeline context).
+        import time as _time
+
+        step_timing = os.environ.get("ANNONET_TPU_STEP_TIMING") == "1"
         try:
             with profiler_trace(args.profile):
                 while True:
+                    _t0 = _time.monotonic()
                     if trainer.should_stop:
                         break
                     if (
@@ -407,6 +421,15 @@ def _run_impl(args, input_directory, stack) -> int:
                         )
                         trainer.train_step_crops(
                             images, labels, crop_options, seed=args.seed
+                        )
+                    if step_timing:
+                        extra = ""
+                        if device_pool is not None:
+                            extra = f" uploads={device_pool.uploads}"
+                        print(
+                            f"[step {minibatch}] "
+                            f"{_time.monotonic() - _t0:.3f}s{extra}",
+                            flush=True,
                         )
                     if minibatch % args.save_interval == 0:
                         save_inference_net()

@@ -320,6 +320,7 @@ def apply_train(
     bn_momentum: float = 0.99,
     axis_name=None,
     remat: bool = False,
+    conv_impl=None,
 ) -> Tuple[jnp.ndarray, Params]:
     """Training forward pass: batch-stat BN, returns (logits f32, new stats).
 
@@ -330,17 +331,22 @@ def apply_train(
     ``remat`` rematerializes each conv+BN+ReLU unit in the backward pass
     (jax.checkpoint), trading ~1/3 more FLOPs for activation memory — this
     is what lets the batch-size autotuner reach large minibatches.
+    ``conv_impl`` overrides the standard conv for the encoder/decoder 3x3
+    units only (ops/int8_train.py's STE conv) — transpose convs and the
+    head stay exact.
     """
     _check_input(x_uint8, config)
     dtype = jnp.dtype(config.compute_dtype)
     L = config.level_count
     new_stats: Params = {k: dict(v) for k, v in bn_stats.items()}
 
+    conv = conv_impl or _conv
+
     def unit(x, p, bn, name, stride):
         if name == "bnu":
             h = _conv_transpose(x, p, dtype)
         else:
-            h = _conv(x, p, stride, dtype)
+            h = conv(x, p, stride, dtype)
         h, mean, var = _bn_train(h, bn, axis_name)
         return jnp.maximum(h, 0.0).astype(dtype), mean, var
 

@@ -199,22 +199,36 @@ class DataParallelTrainer(Trainer):
                 f"mesh batch-axis size {n}"
             )
         if self._dp_step_fn is None:
-            self._dp_step_fn = make_dp_train_step(
-                self.model_config, self.config, crop_options, self.mesh,
-                self.axis,
+            from annonet_tpu.train.trainer import with_key_carry
+
+            # the key split runs inside the same jit (one dispatch/step);
+            # the inner jitted DP program is inlined by the outer trace
+            self._dp_step_fn = jax.jit(
+                with_key_carry(
+                    make_dp_train_step(
+                        self.model_config, self.config, crop_options,
+                        self.mesh, self.axis,
+                    )
+                )
             )
-        step_key = self._next_fused_key(seed)
+        self._ensure_fused_key(seed)
 
         batch_sharding = NamedSharding(self.mesh, P(self.axis))
         images_dev = jax.device_put(np.asarray(images), batch_sharding)
         labels_dev = jax.device_put(np.asarray(labels), batch_sharding)
-        self.params, self.bn_stats, self.velocity, loss = self._dp_step_fn(
+        (
             self.params,
             self.bn_stats,
             self.velocity,
-            jnp.float32(self.learning_rate),
-            jnp.float32(self._bn_momentum()),
-            step_key,
+            loss,
+            self._fused_key,
+        ) = self._dp_step_fn(
+            self.params,
+            self.bn_stats,
+            self.velocity,
+            np.float32(self.learning_rate),
+            np.float32(self._bn_momentum()),
+            self._fused_key,
             images_dev,
             labels_dev,
         )

@@ -68,6 +68,10 @@ class TrainerConfig:
     # 10.8 ms folded, batch 128 @ 192^2; scripts/profile_train.py), so
     # folding only pays on inference's few-large-tiles shapes.
     folded_training: bool = False
+    # int8 FORWARD convs with exact bf16 backward (straight-through;
+    # ops/int8_train.py): dynamic abs-max scales, opt-in. A/B numbers in
+    # docs/DESIGN.md §12.
+    int8_forward: bool = False
     # Device losses are read back in batches of this size: with 1 every step
     # blocks on the device (reference-like); larger values let the host
     # prepare the next minibatches while steps are in flight, at the cost of
@@ -122,6 +126,11 @@ def make_train_step(
                 bn_momentum=bn_momentum, fold0=8,
             )
         else:
+            conv_impl = None
+            if trainer_config.int8_forward:
+                from annonet_tpu.ops.int8_train import int8_conv_ste
+
+                conv_impl = int8_conv_ste
             logits, new_stats = apply_train(
                 params,
                 bn_stats,
@@ -129,6 +138,7 @@ def make_train_step(
                 model_config,
                 bn_momentum=bn_momentum,
                 remat=trainer_config.remat,
+                conv_impl=conv_impl,
             )
         loss = weighted_pixel_cross_entropy(logits, labels, weights)
         return loss, new_stats
@@ -255,6 +265,31 @@ def make_fused_pool_step(
     return step
 
 
+def with_key_carry(step_fn: Callable) -> Callable:
+    """Wrap a fused step so the per-step augmentation-key split happens
+    INSIDE the step's XLA program:
+
+    (params, bn_stats, velocity, lr, bn_momentum, carry_key, images, labels)
+        -> (params, bn_stats, velocity, loss, next_carry)
+
+    Replaces the host-side ``jax.random.split`` per step — a separate
+    tiny-op dispatch whose round-trip latency can dominate the ~20 ms step
+    itself on a congested or tunneled link (measured 2026-08-17: the same
+    fused step runs 63.6 ms/step with a host-side split in the loop vs
+    23.3 ms with the split folded in). The key STREAM is bit-identical to
+    the old host-side unpacking: split(carry) row 0 is the next carry,
+    row 1 the step key."""
+
+    def stepped(params, bn_stats, velocity, lr, bn_momentum, carry_key,
+                images, labels):
+        next_carry, step_key = jax.random.split(carry_key)
+        out = step_fn(params, bn_stats, velocity, lr, bn_momentum, step_key,
+                      images, labels)
+        return (*out, next_carry)
+
+    return stepped
+
+
 class Trainer:
     """Stateful wrapper: owns params/optimizer/LR schedule, checks plateaus,
     writes the sync file, and exports the BN-folded runtime net."""
@@ -322,32 +357,41 @@ class Trainer:
         StartTraining)."""
         if self._fused_step_fn is None:
             self._fused_step_fn = jax.jit(
-                make_fused_train_step(
-                    self.model_config, self.config, crop_options
+                with_key_carry(
+                    make_fused_train_step(
+                        self.model_config, self.config, crop_options
+                    )
                 )
             )
-        step_key = self._next_fused_key(seed)
-        self.params, self.bn_stats, self.velocity, loss = self._fused_step_fn(
+        self._ensure_fused_key(seed)
+        (
             self.params,
             self.bn_stats,
             self.velocity,
-            jnp.float32(self.learning_rate),
-            jnp.float32(self._bn_momentum()),
-            step_key,
+            loss,
+            self._fused_key,
+        ) = self._fused_step_fn(
+            self.params,
+            self.bn_stats,
+            self.velocity,
+            # host scalars: uploaded WITH the step dispatch (an eager
+            # jnp.float32() would be its own tiny transfer per step)
+            np.float32(self.learning_rate),
+            np.float32(self._bn_momentum()),
+            self._fused_key,
             jnp.asarray(images),
             jnp.asarray(labels),  # uint16: half the transfer of int32
         )
         return self._finish_step(loss)
 
-    def _next_fused_key(self, seed: int):
+    def _ensure_fused_key(self, seed: int) -> None:
         """One shared augmentation-key stream for BOTH fused entries
         (pixel crops and pool decisions), so a run that mixes the two —
         e.g. the pin-budget fallback interleaving pixel batches — draws
-        the same augmentations as either path alone."""
+        the same augmentations as either path alone. The carry advances
+        on device inside each step (with_key_carry)."""
         if self._fused_key is None:
             self._fused_key = jax.random.PRNGKey(seed ^ 0x5EED)
-        self._fused_key, step_key = jax.random.split(self._fused_key)
-        return step_key
 
     def train_step_decisions(
         self,
@@ -384,19 +428,23 @@ class Trainer:
         gather_fn = self._pool_step_fns.get(dim)
         if gather_fn is None:
             from annonet_tpu.ops.crop_gather import gather_crops
-            from functools import partial as _partial
 
-            gather_fn = jax.jit(_partial(gather_crops, dim=dim))
+            def _gather_packed(pool_images, pool_labels, packed, _dim=dim):
+                return gather_crops(
+                    pool_images, pool_labels,
+                    packed[0], packed[1], packed[2], packed[3], packed[4],
+                    dim=_dim,
+                )
+
+            gather_fn = jax.jit(_gather_packed)
             self._pool_step_fns[dim] = gather_fn
-        images, labels = gather_fn(
-            pool.images,
-            pool.labels,
-            jnp.asarray(slot_idx),
-            jnp.asarray(y0),
-            jnp.asarray(x0),
-            jnp.asarray(valid_h),
-            jnp.asarray(valid_w),
+        # one [5,B] host array passed straight to the jitted call: the
+        # upload rides the dispatch instead of five eager transfers
+        packed = np.stack(
+            [np.asarray(slot_idx, np.int32), y0, x0,
+             np.asarray(valid_h, np.int32), np.asarray(valid_w, np.int32)]
         )
+        images, labels = gather_fn(pool.images, pool.labels, packed)
         return self.train_step_crops(images, labels, crop_options, seed=seed)
 
     def _bn_momentum(self) -> float:

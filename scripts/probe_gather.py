@@ -30,6 +30,11 @@ def main():
     args = parser.parse_args()
 
     import jax
+
+    import os as _os
+    if _os.environ.get("JAX_PLATFORMS") == "cpu":
+        # the axon plugin pre-sets jax_platforms, overriding the env
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
 
