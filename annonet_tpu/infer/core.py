@@ -88,9 +88,14 @@ def _tiled_forward(
     #
     # An optional leading image-batch dim M rides through the whole program
     # (tile gather, forward batch = M*T tiles, blend, argmax): same-sized
-    # images share one plan, and batching them fixes the tiny-tile-batch
-    # underutilization of small images (a single 512² image is ONE tile =
-    # batch-1 convs, measured 65 Mpx/s vs 522 at 4096²).
+    # images share one plan, and batching amortizes per-call host overhead
+    # for directories of small images. The DEVICE program itself is fast
+    # even at batch 1 — a lone 512² image forwards in 0.49 ms (538 Mpx/s,
+    # folded-float; scripts/probe_small_image.py): width-folding keeps the
+    # MXU fed without a tile batch. The round-2 "65 Mpx/s at 512²" was the
+    # per-CALL rate on the dev harness, which is 100% host->device
+    # transfer-bound there (786 KB at ~33 MB/s = 23.6 ms; DESIGN.md §13
+    # has the roofline — ~300 Mpx/s per-call on a PCIe host).
     batched = image.ndim == 4
     if not batched:
         image = image[None]
