@@ -117,9 +117,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "extract crops on device, so each step uploads "
                         "~20 bytes/crop of indices instead of the crop "
                         "pixels (TPU extension; the host LRU still owns "
-                        "decode lifetimes). auto = on for single-device "
-                        "training when --further-downscaling-factor <= 1; "
-                        "off = always upload pixels (reference-like)")
+                        "decode lifetimes). Under --mesh the pool is "
+                        "replicated across the mesh and each device "
+                        "gathers its shard of the batch. auto = on when "
+                        "--further-downscaling-factor <= 1; off = always "
+                        "upload pixels (reference-like)")
     p.add_argument("--loss-sync-interval", type=int, default=8,
                    help="Read device losses back every N steps (default 8). "
                         "dlib's dnn_trainer behind the reference's "
@@ -348,20 +350,29 @@ def _run_impl(args, input_directory, stack) -> int:
 
     # Device-resident image cache (TPU extension, docs/DESIGN.md round 3):
     # crops are gathered on device from an HBM pool mirroring the host LRU;
-    # only the further-downscaling path and DP meshes use the classic
-    # pixel-upload loop. Any batch that fell back to pixels (pin budget)
+    # only the further-downscaling path uses the classic pixel-upload loop.
+    # Under --mesh the pool is REPLICATED over the DP mesh (one upload +
+    # broadcast per decoded image) and each device gathers its own shard of
+    # the crop batch. Any batch that fell back to pixels (pin budget)
     # still trains identically through train_step_crops.
     device_pool = None
-    if args.device_image_cache != "off" and not args.mesh and (
+    if args.device_image_cache != "off" and (
         args.further_downscaling_factor <= 1.0
     ):
         from annonet_tpu.train.device_cache import DeviceImagePool
 
-        device_pool = DeviceImagePool(slots=max(1, args.cached_image_count))
+        pool_sharding = None
+        if args.mesh:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            pool_sharding = NamedSharding(trainer.mesh, PartitionSpec())
+        device_pool = DeviceImagePool(
+            slots=max(1, args.cached_image_count), sharding=pool_sharding
+        )
     elif args.device_image_cache == "on":
         raise RuntimeError(
-            "--device-image-cache on requires single-device training "
-            "(no --mesh) and --further-downscaling-factor <= 1"
+            "--device-image-cache on requires "
+            "--further-downscaling-factor <= 1"
         )
 
     with CropPipeline(

@@ -185,6 +185,13 @@ class DataParallelTrainer(Trainer):
     def device_count(self) -> int:
         return int(self.mesh.shape[self.axis])
 
+    def _gather_shardings(self):
+        # pool gather outputs land batch-sharded: each device extracts its
+        # own crops from the replicated pool (no collectives), and the DP
+        # step consumes them in place
+        s = NamedSharding(self.mesh, P(self.axis))
+        return (s, s)
+
     def train_step_crops(
         self,
         images: np.ndarray,
@@ -214,8 +221,17 @@ class DataParallelTrainer(Trainer):
         self._ensure_fused_key(seed)
 
         batch_sharding = NamedSharding(self.mesh, P(self.axis))
-        images_dev = jax.device_put(np.asarray(images), batch_sharding)
-        labels_dev = jax.device_put(np.asarray(labels), batch_sharding)
+        # device arrays (the pool gather's output, already batch-sharded)
+        # pass straight through — np.asarray would round-trip the crop
+        # pixels through the host
+        images_dev = (
+            images if isinstance(images, jax.Array)
+            else jax.device_put(np.asarray(images), batch_sharding)
+        )
+        labels_dev = (
+            labels if isinstance(labels, jax.Array)
+            else jax.device_put(np.asarray(labels), batch_sharding)
+        )
         (
             self.params,
             self.bn_stats,

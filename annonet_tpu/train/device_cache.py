@@ -36,9 +36,15 @@ def _bucket(v: int, b: int = 256) -> int:
 class DeviceImagePool:
     """Device-side LRU of decoded samples, host-managed."""
 
-    def __init__(self, slots: int = 8):
+    def __init__(self, slots: int = 8, sharding=None):
+        """``sharding``: an optional replicated NamedSharding(mesh, P()).
+        When set, the pool arrays live replicated across the mesh so the
+        data-parallel gather reads them without collectives — each image
+        is uploaded once and broadcast, then every DP step ships only
+        crop indices (the multi-chip version of the §11 design)."""
         if slots < 1:
             raise ValueError("slots must be >= 1")
+        self._sharding = sharding
         self._slots = 1 << (slots - 1).bit_length()  # power of two
         self._height = 0
         self._width = 0
@@ -78,14 +84,21 @@ class DeviceImagePool:
         self._slots, self._height, self._width, self._channels = (
             new_slots, new_h, new_w, new_c,
         )
-        self.images = jnp.zeros(
-            (new_slots, new_h, new_w, new_c), jnp.uint8
-        )
-        self.labels = jnp.zeros((new_slots, new_h, new_w), jnp.uint16)
+        self.images = self._zeros((new_slots, new_h, new_w, new_c), jnp.uint8)
+        self.labels = self._zeros((new_slots, new_h, new_w), jnp.uint16)
         self._update_fns.clear()
         # re-upload the residents the host still references
         for slot, (sid, sample, sh, sw) in residents:
             self._upload(slot, sample)
+
+    def _zeros(self, shape, dtype):
+        if self._sharding is None:
+            return jnp.zeros(shape, dtype)
+        # allocate directly with the replicated sharding (no host round
+        # trip, no reshard copy)
+        return jax.jit(
+            lambda: jnp.zeros(shape, dtype), out_shardings=self._sharding
+        )()
 
     # ------------------------------------------------------------ residency
 
@@ -107,7 +120,14 @@ class DeviceImagePool:
                 )
                 return pool_img, pool_lab
 
-            fn = jax.jit(update, donate_argnums=(0, 1))
+            if self._sharding is None:
+                fn = jax.jit(update, donate_argnums=(0, 1))
+            else:
+                fn = jax.jit(
+                    update,
+                    donate_argnums=(0, 1),
+                    out_shardings=(self._sharding, self._sharding),
+                )
             self._update_fns[key] = fn
         self.images, self.labels = fn(
             self.images, self.labels, img, lab, jnp.int32(slot)

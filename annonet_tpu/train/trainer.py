@@ -436,7 +436,12 @@ class Trainer:
                     dim=_dim,
                 )
 
-            gather_fn = jax.jit(_gather_packed)
+            out_sh = self._gather_shardings()
+            gather_fn = (
+                jax.jit(_gather_packed, out_shardings=out_sh)
+                if out_sh is not None
+                else jax.jit(_gather_packed)
+            )
             self._pool_step_fns[dim] = gather_fn
         # one [5,B] host array passed straight to the jitted call: the
         # upload rides the dispatch instead of five eager transfers
@@ -446,6 +451,13 @@ class Trainer:
         )
         images, labels = gather_fn(pool.images, pool.labels, packed)
         return self.train_step_crops(images, labels, crop_options, seed=seed)
+
+    def _gather_shardings(self):
+        """Output shardings for the pool gather (None = single device).
+        DataParallelTrainer returns batch-axis shardings so each device
+        gathers only ITS crops from the replicated pool — no collectives,
+        no pixel resharding before the DP step."""
+        return None
 
     def _bn_momentum(self) -> float:
         """Windowed BN running-stats momentum for the NEXT update; tracks

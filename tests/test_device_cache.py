@@ -281,14 +281,98 @@ def test_cli_train_device_image_cache_round_trip(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "All result images written!" in out
 
-    # --mesh + explicit on is rejected cleanly
+    # --mesh + pool: the pool replicates over the DP mesh and the run
+    # trains end-to-end (round-3 multi-chip extension)
     rc = train_main(
         [
             str(tmp_path),
             "--mesh", "2",
             "--device-image-cache", "on",
-            "--max-total-steps", "1",
+            "--max-total-steps", "4",
+            "-b", "4",
+            "--level-count", "1",
+            "--net-width-scaler", "0.5",
+            "--input-dimension-multiplier", "1.0",
+            "--output", str(tmp_path / "annonet_dp.dnn"),
+            "--sync-file", str(tmp_path / "sync_dp.dat"),
         ]
     )
-    assert rc == 1
-    assert "single-device" in capsys.readouterr().out
+    assert rc == 0
+    capsys.readouterr()
+
+
+def test_dp_pool_decisions_match_dp_pixels():
+    """The replicated-pool DP path == the DP pixel path: the pool is
+    replicated over the mesh, the gather's output is batch-sharded, and
+    the DP step consumes it with no pixel resharding (round-3 multi-chip
+    extension of the §11 design). Single-device comparison is only valid
+    without stochastic augmentation (each DP shard draws its own local
+    augment stream — see test_parallel.py), so the cross-check here is
+    DP-vs-DP with augmentation on."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from annonet_tpu.parallel.mesh import make_mesh
+    from annonet_tpu.parallel.train import DataParallelTrainer
+
+    rng = np.random.default_rng(7)
+    mc = SegNetConfig(
+        class_count=3, level_count=1, base_width=4, compute_dtype="float32"
+    )
+    tc = TrainerConfig(initial_learning_rate=0.05)
+    co = CropOptions(
+        dim=16, allow_flip_left_right=True, noise_level_stddev=1.0
+    )
+    samples = [FakeSample(rng, 48, 64), FakeSample(rng, 30, 30)]
+
+    mesh = make_mesh(axis_names=("batch",))
+    t_dp_pool = DataParallelTrainer(mc, tc, seed=0, mesh=mesh)
+    t_dp_pix = DataParallelTrainer(mc, tc, seed=0, mesh=mesh)
+    pool_dp = DeviceImagePool(
+        slots=4, sharding=NamedSharding(mesh, P())
+    )
+
+    for step in range(3):
+        batch_samples, rects = [], []
+        for _ in range(8):
+            s = samples[int(rng.integers(0, 2))]
+            h, w = s.label_image.shape
+            y = int(rng.integers(-8, h))
+            x = int(rng.integers(-8, w))
+            batch_samples.append(s)
+            rects.append((x, y, x + co.dim - 1, y + co.dim - 1))
+
+        loss_dp_pool = t_dp_pool.train_step_decisions(
+            pool_dp, batch_samples, rects, co, seed=5
+        )
+        images = np.stack(
+            [
+                extract_crop(s.input_image, s.label_image, r)[0]
+                for s, r in zip(batch_samples, rects)
+            ]
+        )
+        labels = np.stack(
+            [
+                extract_crop(s.input_image, s.label_image, r)[1]
+                for s, r in zip(batch_samples, rects)
+            ]
+        )
+        loss_dp_pix = t_dp_pix.train_step_crops(images, labels, co, seed=5)
+        assert np.isclose(loss_dp_pix, loss_dp_pool, rtol=1e-5), (
+            step, loss_dp_pix, loss_dp_pool,
+        )
+
+    for p1, p2 in zip(
+        jax.tree_util.tree_leaves(t_dp_pix.params),
+        jax.tree_util.tree_leaves(t_dp_pool.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(p1), np.asarray(p2), rtol=1e-5, atol=1e-7
+        )
+    # the gather output really is batch-sharded over the mesh
+    gather_fn = t_dp_pool._pool_step_fns[co.dim]
+    packed = np.zeros((5, 8), np.int32)
+    packed[3:] = 16
+    imgs, labs = gather_fn(pool_dp.images, pool_dp.labels, packed)
+    assert imgs.sharding.spec == P("batch")
+    assert pool_dp.images.sharding.spec in (P(), P(None, None, None, None))
+    assert pool_dp.uploads == 2
