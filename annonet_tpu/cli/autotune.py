@@ -75,6 +75,9 @@ def find_max_minibatch_size(
 
 
 def main(argv=None) -> int:
+    from annonet_tpu.cli.common import apply_platform_env
+
+    apply_platform_env()  # ANNONET_TPU_PLATFORM=cpu pins the backend
     argv = list(sys.argv[1:] if argv is None else argv)
     wants_help = "--help" in argv or "-h" in argv
     if not argv or wants_help:

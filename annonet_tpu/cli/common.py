@@ -77,6 +77,23 @@ class IndexOrderedResults:
         return item
 
 
+def apply_platform_env() -> None:
+    """Honor ANNONET_TPU_PLATFORM=cpu|tpu|... before backend init.
+
+    The JAX_PLATFORMS environment variable alone is NOT reliable: device
+    plugins (e.g. a TPU plugin) can pre-set the jax_platforms config at
+    import time, silently overriding the env var — a run you meant to
+    pin to CPU then goes to the accelerator. Both CLIs call this first;
+    it must run before anything initializes the JAX backend."""
+    import os
+
+    platform = os.environ.get("ANNONET_TPU_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
+
 def select_device(device_index):
     """--device N -> make jax device N the default (the TPU analog of
     --primary-cuda-device -> dlib::cuda::set_device,

@@ -100,6 +100,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    from annonet_tpu.cli.common import apply_platform_env
+
+    apply_platform_env()  # ANNONET_TPU_PLATFORM=cpu pins the backend
     if argv is None:
         argv = sys.argv[1:]
     if not argv:

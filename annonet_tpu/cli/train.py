@@ -128,12 +128,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "StartTraining (annonet_train_main.cpp:609) runs "
                         "steps on its own thread and surfaces losses with a "
                         "lag, so batched readback matches its semantics; the "
-                        "plateau detector sees losses up to N-1 steps late. "
+                        "plateau detector sees losses up to 2N-1 steps late "
+                        "(the flush lags a full interval so it never stalls "
+                        "the in-flight pipeline). "
                         "1 = block per step (fully synchronous)")
     return p
 
 
 def main(argv=None) -> int:
+    from annonet_tpu.cli.common import apply_platform_env
+
+    apply_platform_env()  # ANNONET_TPU_PLATFORM=cpu pins the backend
     if argv is None:
         argv = sys.argv[1:]
     if not argv:

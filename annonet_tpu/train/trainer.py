@@ -232,29 +232,31 @@ def make_fused_pool_step(
     """The fused step fed from the HBM-resident image pool, as ONE program.
 
     (params, bn_stats, velocity, lr, bn_momentum, key,
-     pool_images, pool_labels, slot, y0, x0, valid_h, valid_w)
+     pool_images, pool_labels, packed)
         -> (params, bn_stats, velocity, loss)
 
-    Identical math to make_fused_train_step: the on-device gather
-    (ops/crop_gather.py) reproduces extract_crop bit-for-bit, so only
-    ~20 bytes/crop of indices cross the host->device boundary instead of
-    ~dim^2*(C+2) bytes of pixels.
+    ``packed`` is one [5, B] int32 host array — rows (slot, y0, x0,
+    valid_h, valid_w) — so the per-step index upload rides the single
+    dispatch. Identical math to make_fused_train_step: the on-device
+    gather (ops/crop_gather.py) reproduces extract_crop bit-for-bit, so
+    only ~20 bytes/crop of indices cross the host->device boundary
+    instead of ~dim^2*(C+2) bytes of pixels.
 
-    NOTE: the Trainer does NOT use this single-program composition — on
-    v5e, fusing the pool gather into the train step costs 116.6 ms/step
-    vs 24.4 ms for the same gather as its OWN program feeding the pixel
-    step (batch 128 @ 192^2; scripts/bench_pool_step.py — XLA fuses the
-    pool's strided windows into the conv stack's consumers). Kept for the
-    equivalence tests and as the recorded negative result; the shipped
-    path is Trainer.train_step_decisions' two-dispatch split."""
+    This single program IS the shipped single-device path (one XLA
+    dispatch per train step). An earlier round-3 measurement that put the
+    fused composition at 116.6 ms/step vs 24.4 split turned out to be a
+    degraded-tunnel artifact: re-measured clean (pre-split keys, healthy
+    link), fused / barrier-separated / split all land at 24.7-26 ms
+    (scripts/bench_pool_step.py, batch 128 @ 192^2 v5e)."""
     from annonet_tpu.ops.crop_gather import gather_crops
 
     inner = make_fused_train_step(model_config, trainer_config, crop_options)
 
     def step(params, bn_stats, velocity, lr, bn_momentum, key,
-             pool_images, pool_labels, slot, y0, x0, valid_h, valid_w):
+             pool_images, pool_labels, packed):
         images, labels = gather_crops(
-            pool_images, pool_labels, slot, y0, x0, valid_h, valid_w, dim
+            pool_images, pool_labels,
+            packed[0], packed[1], packed[2], packed[3], packed[4], dim,
         )
         # labels are already int32 with IGNORE applied; the inner step's
         # astype(int32) is a no-op on them
@@ -281,10 +283,10 @@ def with_key_carry(step_fn: Callable) -> Callable:
     row 1 the step key."""
 
     def stepped(params, bn_stats, velocity, lr, bn_momentum, carry_key,
-                images, labels):
+                *data):
         next_carry, step_key = jax.random.split(carry_key)
         out = step_fn(params, bn_stats, velocity, lr, bn_momentum, step_key,
-                      images, labels)
+                      *data)
         return (*out, next_carry)
 
     return stepped
@@ -404,15 +406,14 @@ class Trainer:
         """One minibatch update from crop DECISIONS against the device
         image pool: the pixels never leave the device (round-3 path; the
         host ships ~20 bytes per crop). Bit-identical to
-        train_step_crops on the same decisions.
+        train_step_crops on the same decisions (tested).
 
-        Two dispatches by design: the gather runs as its OWN XLA program
-        and its [B,dim,dim,C] output feeds the SAME fused pixel step
-        train_step_crops uses. One fused program measured 116.6 ms/step
-        vs 24.4 ms split (batch 128 @ 192^2 v5e, scripts/bench_pool_step
-        .py): XLA fuses the pool's strided windows into the conv stack.
-        The split also makes bit-equality with train_step_crops trivially
-        true — the second program IS the same program."""
+        Single-device, this is ONE XLA dispatch: the on-device gather and
+        the fused step trace into one program (make_fused_pool_step) with
+        the key carry folded in and the packed [5,B] index array uploaded
+        as a call argument. DataParallelTrainer overrides
+        _gather_shardings to use the two-dispatch form instead (gather
+        with batch-axis out_shardings feeding the shard_mapped step)."""
         fdf = crop_options.further_downscaling_factor
         if fdf > 1.0:
             raise ValueError(
@@ -424,33 +425,63 @@ class Trainer:
         valid_h, valid_w = pool.valid_dims(slot_idx)
         y0 = np.asarray([r[1] for r in rects], np.int32)
         x0 = np.asarray([r[0] for r in rects], np.int32)
-
-        gather_fn = self._pool_step_fns.get(dim)
-        if gather_fn is None:
-            from annonet_tpu.ops.crop_gather import gather_crops
-
-            def _gather_packed(pool_images, pool_labels, packed, _dim=dim):
-                return gather_crops(
-                    pool_images, pool_labels,
-                    packed[0], packed[1], packed[2], packed[3], packed[4],
-                    dim=_dim,
-                )
-
-            out_sh = self._gather_shardings()
-            gather_fn = (
-                jax.jit(_gather_packed, out_shardings=out_sh)
-                if out_sh is not None
-                else jax.jit(_gather_packed)
-            )
-            self._pool_step_fns[dim] = gather_fn
         # one [5,B] host array passed straight to the jitted call: the
         # upload rides the dispatch instead of five eager transfers
         packed = np.stack(
             [np.asarray(slot_idx, np.int32), y0, x0,
              np.asarray(valid_h, np.int32), np.asarray(valid_w, np.int32)]
         )
-        images, labels = gather_fn(pool.images, pool.labels, packed)
-        return self.train_step_crops(images, labels, crop_options, seed=seed)
+
+        out_sh = self._gather_shardings()
+        if out_sh is not None:
+            # DP: gather as its own program with batch-sharded outputs,
+            # feeding the shard_mapped pixel step
+            gather_fn = self._pool_step_fns.get(("gather", dim))
+            if gather_fn is None:
+                from annonet_tpu.ops.crop_gather import gather_crops
+
+                def _gather_packed(pool_images, pool_labels, pk, _dim=dim):
+                    return gather_crops(
+                        pool_images, pool_labels,
+                        pk[0], pk[1], pk[2], pk[3], pk[4], dim=_dim,
+                    )
+
+                gather_fn = jax.jit(_gather_packed, out_shardings=out_sh)
+                self._pool_step_fns[("gather", dim)] = gather_fn
+            images, labels = gather_fn(pool.images, pool.labels, packed)
+            return self.train_step_crops(
+                images, labels, crop_options, seed=seed
+            )
+
+        step_fn = self._pool_step_fns.get(("fused", dim))
+        if step_fn is None:
+            step_fn = jax.jit(
+                with_key_carry(
+                    make_fused_pool_step(
+                        self.model_config, self.config, crop_options, dim
+                    )
+                )
+            )
+            self._pool_step_fns[("fused", dim)] = step_fn
+        self._ensure_fused_key(seed)
+        (
+            self.params,
+            self.bn_stats,
+            self.velocity,
+            loss,
+            self._fused_key,
+        ) = step_fn(
+            self.params,
+            self.bn_stats,
+            self.velocity,
+            np.float32(self.learning_rate),
+            np.float32(self._bn_momentum()),
+            self._fused_key,
+            pool.images,
+            pool.labels,
+            packed,
+        )
+        return self._finish_step(loss)
 
     def _gather_shardings(self):
         """Output shardings for the pool gather (None = single device).
@@ -478,17 +509,28 @@ class Trainer:
             self._maybe_sync()
             return loss_value
         self._pending_losses.append(loss)
-        if len(self._pending_losses) >= self.config.loss_sync_interval:
-            self.flush_losses()
+        # LAGGED flush: only once 2x the interval is pending, pull the
+        # OLDEST interval's losses. Those steps are interval dispatches
+        # behind the newest, so by readback time the device has already
+        # produced them — the host never drains the in-flight pipeline
+        # (a flush of the NEWEST losses would stall for
+        # interval x step_time every interval steps). Plateau/LR logic
+        # sees losses at most 2*interval-1 steps late.
+        if len(self._pending_losses) >= 2 * self.config.loss_sync_interval:
+            self.flush_losses(self.config.loss_sync_interval)
         return None
 
-    def flush_losses(self) -> None:
-        """Pull all pending device losses to the host and run the plateau
-        logic on them, in order."""
+    def flush_losses(self, count: Optional[int] = None) -> None:
+        """Pull pending device losses (the oldest ``count``, default all)
+        to the host and run the plateau logic on them, in order."""
         if not self._pending_losses:
             return
-        values = np.asarray(jnp.stack(self._pending_losses)).tolist()
-        self._pending_losses = []
+        if count is None or count >= len(self._pending_losses):
+            batch, self._pending_losses = self._pending_losses, []
+        else:
+            batch = self._pending_losses[:count]
+            self._pending_losses = self._pending_losses[count:]
+        values = np.asarray(jnp.stack(batch)).tolist()
         for value in values:
             self._record_loss(float(value))
         self._maybe_sync()

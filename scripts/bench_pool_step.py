@@ -124,9 +124,7 @@ def main():
     s, y, x, vh, vw = decisions()
     out = pool_step(
         params, bn_stats, velocity, lr, jnp.float32(0.0), key,
-        pool.images, pool.labels,
-        jnp.asarray(s), jnp.asarray(y), jnp.asarray(x),
-        jnp.asarray(vh), jnp.asarray(vw),
+        pool.images, pool.labels, np.stack([s, y, x, vh, vw]),
     )
     float(out[3])
     out = pixel_step(
@@ -143,13 +141,18 @@ def main():
     rtt = (time.monotonic() - t0) / 3
     print(f"scalar round trip: {rtt * 1000:.1f} ms", flush=True)
 
+    # PRE-SPLIT keys: a host-side jax.random.split inside the timed loop
+    # is its own tiny dispatch (~30-40 ms round trip on a degraded
+    # tunnel) and would mask the variants' real differences
+    subkeys = [jax.random.PRNGKey(500 + i) for i in range(args.iters)]
+    for k_ in subkeys:
+        k_.block_until_ready()
+
     def timed(run_iter):
         p, b, v = params, bn_stats, velocity
-        k = key
         t0 = time.monotonic()
-        for _ in range(args.iters):
-            k, sub = jax.random.split(k)
-            p, b, v, loss = run_iter(p, b, v, sub)
+        for i in range(args.iters):
+            p, b, v, loss = run_iter(p, b, v, subkeys[i])
         float(loss)
         return max(1e-9, time.monotonic() - t0 - rtt) / args.iters
 
@@ -157,9 +160,7 @@ def main():
         s, y, x, vh, vw = decisions()
         return pool_step(
             p, b, v, lr, jnp.float32(0.99), sub,
-            pool.images, pool.labels,
-            jnp.asarray(s), jnp.asarray(y), jnp.asarray(x),
-            jnp.asarray(vh), jnp.asarray(vw),
+            pool.images, pool.labels, np.stack([s, y, x, vh, vw]),
         )
 
     def pixel_iter_staged(p, b, v, sub):
@@ -196,9 +197,39 @@ def main():
     out = pool_iter_split(params, bn_stats, velocity, key)
     float(out[3])
 
+    # barrier variant: gather + step in ONE program, with
+    # lax.optimization_barrier between them — tests whether the barrier
+    # alone stops the pathological gather-into-convs fusion that makes
+    # the plain fused pool step 5x slower (one host dispatch instead of
+    # two if it works)
+    from jax import lax as _lax
+
+    def pool_barrier(p, b, v, lr_, mom, sub, pi, pl, s, y, x, vh, vw):
+        img, lab = gather_crops(pi, pl, s, y, x, vh, vw, dim=args.dim)
+        img, lab = _lax.optimization_barrier((img, lab))
+        return pixel_step_inner(p, b, v, lr_, mom, sub, img, lab)
+
+    pixel_step_inner = make_fused_train_step(
+        config, trainer_config, crop_options
+    )
+    pool_barrier_step = jax.jit(pool_barrier)
+
+    def pool_iter_barrier(p, b, v, sub):
+        s, y, x, vh, vw = decisions()
+        return pool_barrier_step(
+            p, b, v, lr, jnp.float32(0.99), sub,
+            pool.images, pool.labels,
+            jnp.asarray(s), jnp.asarray(y), jnp.asarray(x),
+            jnp.asarray(vh), jnp.asarray(vw),
+        )
+
+    out = pool_iter_barrier(params, bn_stats, velocity, key)
+    float(out[3])
+
     results = {}
     for name, it in (
         ("pool", pool_iter),
+        ("pool_barrier", pool_iter_barrier),
         ("pool_split", pool_iter_split),
         ("pixels_staged", pixel_iter_staged),
         ("pixels_upload", pixel_iter_upload),
@@ -216,6 +247,9 @@ def main():
             {
                 "metric": "pool_step_overhead",
                 "pool_ms": round(results["pool"] * 1000, 2),
+                "pool_barrier_ms": round(
+                    results["pool_barrier"] * 1000, 2
+                ),
                 "pool_split_ms": round(results["pool_split"] * 1000, 2),
                 "pixels_staged_ms": round(
                     results["pixels_staged"] * 1000, 2

@@ -60,7 +60,8 @@ def test_deferred_loss_sync_matches_blocking():
     ]
     for _ in range(6):
         assert deferred.train_step_crops(images, labels, opts) is None
-    # 4 flushed automatically; flush the rest
+    # the lagged auto-flush triggers at 2x the interval (8 pending);
+    # at 6 steps everything is still queued — drain explicitly
     deferred.flush_losses()
     np.testing.assert_allclose(
         deferred.previous_loss_values, block_losses, rtol=1e-6

@@ -369,7 +369,7 @@ def test_dp_pool_decisions_match_dp_pixels():
             np.asarray(p1), np.asarray(p2), rtol=1e-5, atol=1e-7
         )
     # the gather output really is batch-sharded over the mesh
-    gather_fn = t_dp_pool._pool_step_fns[co.dim]
+    gather_fn = t_dp_pool._pool_step_fns[("gather", co.dim)]
     packed = np.zeros((5, 8), np.int32)
     packed[3:] = 16
     imgs, labs = gather_fn(pool_dp.images, pool_dp.labels, packed)
