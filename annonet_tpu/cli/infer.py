@@ -91,11 +91,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--calibration-images", type=int, default=1, metavar="N",
                    help="Spread int8 activation calibration over the first "
                         "N images (with --quantize int8): per-channel "
-                        "maxima accumulate across them, the first N-1 "
-                        "images run the exact float path, and quantization "
-                        "freezes on image N. Raise for directories whose "
-                        "first image is unrepresentative (dark, "
-                        "low-contrast)")
+                        "maxima accumulate across them, pre-freeze images "
+                        "run the exact float path, and quantization "
+                        "freezes on image N. With --image-batch > 1 the "
+                        "granularity is the batch: the whole batch "
+                        "containing image N (including its earlier images) "
+                        "runs quantized. Raise for directories whose first "
+                        "image is unrepresentative (dark, low-contrast)")
     return p
 
 
@@ -108,9 +110,10 @@ def main(argv=None) -> int:
     if not argv:
         # argc == 1: usage to stdout, exit 1 (annonet_infer_main.cpp:285-293)
         print("You call this program like this: ")
-        print("annonet_infer /path/to/image/data")
+        print("./annonet_infer /path/to/image/data")
         print()
         print("You will also need a trained 'annonet.dnn' file. ")
+        print()
         return 1
 
     parser = build_parser()

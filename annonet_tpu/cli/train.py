@@ -146,7 +146,7 @@ def main(argv=None) -> int:
         print("To run this program you need data annotated using the anno program.")
         print()
         print("You call this program like this: ")
-        print("annonet_train /path/to/anno/data")
+        print("./annonet_train /path/to/anno/data")
         return 1
 
     parser = build_parser()

@@ -340,7 +340,13 @@ def apply_train(
     L = config.level_count
     new_stats: Params = {k: dict(v) for k, v in bn_stats.items()}
 
-    conv = conv_impl or _conv
+    if conv_impl is None:
+        conv = _conv
+    else:
+        # conv_impl sees the mesh axis too (e.g. the int8 STE conv pmax'es
+        # its activation scale cross-replica, like the sync BN statistics)
+        def conv(x, p, stride, dtype):
+            return conv_impl(x, p, stride, dtype, axis_name=axis_name)
 
     def unit(x, p, bn, name, stride):
         if name == "bnu":

@@ -27,20 +27,23 @@ from jax import lax
 _DN = ("NHWC", "HWIO", "NHWC")
 
 
-def _quantize_sym(v: jnp.ndarray, axes, eps=1e-12):
+def _quantize_sym(v: jnp.ndarray, axes, eps=1e-12, axis_name=None):
     """Symmetric int8 quantization along all-but-``axes``: returns
-    (q int8, scale f32 broadcastable against v)."""
+    (q int8, scale f32 broadcastable against v). ``axis_name`` also
+    reduces the abs-max across a mesh axis (global-batch scale)."""
     vf = v.astype(jnp.float32)
     amax = jnp.max(jnp.abs(vf), axis=axes, keepdims=True)
+    if axis_name is not None:
+        amax = lax.pmax(amax, axis_name)
     scale = jnp.maximum(amax, eps) / 127.0
     q = jnp.clip(jnp.round(vf / scale), -127, 127).astype(jnp.int8)
     return q, scale
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _int8_conv(x, w, stride):
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _int8_conv(x, w, stride, axis_name):
     # forward: int8 x int8 -> int32 on the MXU, dequantized to x.dtype
-    xq, sx = _quantize_sym(x, axes=None)  # per-tensor activation scale
+    xq, sx = _quantize_sym(x, axes=None, axis_name=axis_name)
     wq, sw = _quantize_sym(w, axes=(0, 1, 2))  # per-output-channel
     acc = lax.conv_general_dilated(
         xq,
@@ -54,11 +57,11 @@ def _int8_conv(x, w, stride):
     return out.astype(x.dtype)
 
 
-def _int8_conv_fwd(x, w, stride):
-    return _int8_conv(x, w, stride), (x, w)
+def _int8_conv_fwd(x, w, stride, axis_name):
+    return _int8_conv(x, w, stride, axis_name), (x, w)
 
 
-def _int8_conv_bwd(stride, res, g):
+def _int8_conv_bwd(stride, axis_name, res, g):
     # straight-through: gradients of the EXACT conv at the unquantized
     # operands (dgrad + wgrad identical to the bf16 step's)
     x, w = res
@@ -75,6 +78,11 @@ def _int8_conv_bwd(stride, res, g):
 _int8_conv.defvjp(_int8_conv_fwd, _int8_conv_bwd)
 
 
-def int8_conv_ste(x, w, stride, dtype):
-    """Drop-in for models.segnet._conv on the training forward path."""
-    return _int8_conv(x.astype(dtype), w.astype(dtype), stride)
+def int8_conv_ste(x, w, stride, dtype, axis_name=None):
+    """Drop-in for models.segnet._conv on the training forward path.
+
+    ``axis_name``: under data parallelism the per-tensor activation scale
+    is pmax'd over the mesh axis, so DP quantization sees the GLOBAL
+    batch's abs-max — the DP int8 step then computes the same function as
+    the single-device int8 step (the scale analog of sync BN)."""
+    return _int8_conv(x.astype(dtype), w.astype(dtype), stride, axis_name)

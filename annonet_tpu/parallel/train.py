@@ -72,6 +72,11 @@ def make_dp_train_step(
                 bn_momentum=bn_momentum, axis_name=axis, fold0=8,
             )
         else:
+            conv_impl = None
+            if trainer_config.int8_forward:
+                from annonet_tpu.ops.int8_train import int8_conv_ste
+
+                conv_impl = int8_conv_ste
             logits, new_stats = apply_train(
                 params,
                 bn_stats,
@@ -80,6 +85,7 @@ def make_dp_train_step(
                 bn_momentum=bn_momentum,
                 axis_name=axis,  # sync BN over the mesh
                 remat=trainer_config.remat,
+                conv_impl=conv_impl,
             )
         loss = weighted_pixel_cross_entropy(logits, labels, weights)
         # all-reduce the loss BEFORE differentiation: with sync BN the loss

@@ -45,7 +45,12 @@ class DeviceImagePool:
         if slots < 1:
             raise ValueError("slots must be >= 1")
         self._sharding = sharding
-        self._slots = 1 << (slots - 1).bit_length()  # power of two
+        # LRU capacity (--cached-image-count analog). Slot ALLOCATION is
+        # lazy: it grows in powers of two with the distinct residents
+        # actually seen, so `--cached-image-count 64` on 4k-px images does
+        # not eagerly pin 64 x bucketed-image HBM the run may never use.
+        self._capacity = 1 << (slots - 1).bit_length()
+        self._slots = 0  # allocated slots (grown by _ensure_geometry)
         self._height = 0
         self._width = 0
         self._channels = 0
@@ -69,7 +74,7 @@ class DeviceImagePool:
     def _ensure_geometry(self, h: int, w: int, c: int, needed_slots: int):
         """Grow the pool (slots and/or spatial dims) to fit; re-upload
         residents on growth."""
-        new_slots = self._slots
+        new_slots = max(self._slots, 1)
         while new_slots < needed_slots:
             new_slots *= 2
         new_h = max(self._height, _bucket(h))
@@ -139,22 +144,36 @@ class DeviceImagePool:
         self.uploads += 1
         self.upload_bytes += img.nbytes + lab.nbytes
 
-    def ensure(self, samples: List[object]) -> np.ndarray:
+    def ensure(self, samples: List[object], min_dim: int = 0) -> np.ndarray:
         """Make every sample resident; returns per-sample slot indices
         (int32 [len(samples)]). Grows the pool if the batch references
-        more distinct samples than it has slots, or a bigger image than
-        it has seen."""
+        more distinct samples than it has allocated, or a bigger image
+        than it has seen.
+
+        ``min_dim``: minimum spatial size of the pool's slots. The crop
+        gather pulls a [min_dim, min_dim] dynamic_slice from a slot, so
+        slots must be at least that large even when every IMAGE is
+        smaller (images smaller than the crop dim are legal — the gather
+        replicate-pads from the valid area, like host outpainting)."""
         distinct: Dict[int, object] = {}
         for s in samples:
             distinct.setdefault(id(s), s)
         max_h = max(s.input_image.shape[0] for s in distinct.values())
         max_w = max(s.input_image.shape[1] for s in distinct.values())
         channels = next(iter(distinct.values())).input_image.shape[2]
-        self._ensure_geometry(max_h, max_w, channels, len(distinct))
-
         missing = [
             s for sid, s in distinct.items() if sid not in self._by_id
         ]
+        # lazy allocation target: everything resident after this call,
+        # capped at the LRU capacity (beyond which eviction holds the
+        # count) unless a single batch needs more distinct slots
+        target_slots = max(
+            len(distinct),
+            min(len(self._resident) + len(missing), self._capacity),
+        )
+        self._ensure_geometry(
+            max(max_h, min_dim), max(max_w, min_dim), channels, target_slots
+        )
         if missing:
             # evict least-recently-used slots NOT referenced by this batch
             batch_ids = set(distinct.keys())

@@ -309,6 +309,11 @@ class Trainer:
         self.velocity = jax.tree_util.tree_map(jnp.zeros_like, self.params)
         self.learning_rate = trainer_config.initial_learning_rate
         self.step_count = 0
+        # step index of the last RECORDED loss: with batched loss flushes
+        # step_count runs ahead of the losses being recorded, so verbose
+        # progress lines key off this counter (== step_count when
+        # loss_sync_interval == 1)
+        self._recorded_steps = 0
         self.previous_loss_values: list = []
         self._pending_losses: list = []
         self.steps_without_progress = 0
@@ -421,7 +426,10 @@ class Trainer:
                 "<= 1 (the resize path materializes pixels on the host)"
             )
         dim = int(round(crop_options.dim * fdf))
-        slot_idx = pool.ensure(samples)
+        # the gather dynamic_slices a [dim, dim] window from a slot, so
+        # slots must be at least crop-sized even when every image is
+        # smaller than the crop
+        slot_idx = pool.ensure(samples, min_dim=dim)
         valid_h, valid_w = pool.valid_dims(slot_idx)
         y0 = np.asarray([r[1] for r in rects], np.int32)
         x0 = np.asarray([r[0] for r in rects], np.int32)
@@ -536,6 +544,7 @@ class Trainer:
         self._maybe_sync()
 
     def _record_loss(self, loss_value: float) -> None:
+        self._recorded_steps += 1
         self.previous_loss_values.append(loss_value)
         if len(self.previous_loss_values) > self._loss_window_cap:
             del self.previous_loss_values[
@@ -553,16 +562,17 @@ class Trainer:
                 self.steps_without_progress = 0
                 if self.config.verbose:
                     print(
-                        f"step {self.step_count}: learning rate shrunk to "
-                        f"{self.learning_rate:g}"
+                        f"step {self._recorded_steps}: learning rate "
+                        f"shrunk to {self.learning_rate:g}"
                     )
-        if self.config.verbose and self.step_count % 100 == 0:
+        if self.config.verbose and self._recorded_steps % 100 == 0:
             dump = self.previous_loss_values[
                 -self.config.previous_loss_values_dump_amount :
             ]
             avg = sum(dump) / max(1, len(dump))
             print(
-                f"step {self.step_count}: learning rate {self.learning_rate:g}, "
+                f"step {self._recorded_steps}: learning rate "
+                f"{self.learning_rate:g}, "
                 f"average loss {avg:.6f}, steps without apparent progress "
                 f"{self.steps_without_progress}"
             )
@@ -634,6 +644,7 @@ class Trainer:
         self.velocity = as_jnp(trees["velocity"])
         self.learning_rate = float(meta["learning_rate"])
         self.step_count = int(meta["step_count"])
+        self._recorded_steps = self.step_count  # all prior losses recorded
         self.previous_loss_values = [float(v) for v in meta["previous_loss_values"]]
         if self.config.verbose:
             print(

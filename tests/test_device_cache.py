@@ -376,3 +376,41 @@ def test_dp_pool_decisions_match_dp_pixels():
     assert imgs.sharding.spec == P("batch")
     assert pool_dp.images.sharding.spec in (P(), P(None, None, None, None))
     assert pool_dp.uploads == 2
+
+
+def test_pool_slots_allocate_lazily_and_crop_dim_floor():
+    """Slot allocation grows with distinct residents (not eagerly to
+    --cached-image-count), and slots are at least crop-dim-sized even
+    when every image is smaller than the crop (the gather dynamic_slice
+    needs a [dim, dim] window)."""
+    rng = np.random.default_rng(11)
+    pool = DeviceImagePool(slots=64)  # capacity 64, nothing allocated yet
+    assert pool.shape[0] == 0
+
+    small = [FakeSample(rng, 40, 48) for _ in range(2)]
+    dim = 300  # larger than both the images and the 256-px bucket
+    slot_idx = pool.ensure([small[0], small[1], small[0]], min_dim=dim)
+    s, h, w, _c = pool.shape
+    assert s == 2  # pow2(resident count), NOT 64
+    assert h >= dim and w >= dim
+
+    vh, vw = pool.valid_dims(slot_idx)
+    rects = [(-4, -6, -4 + dim - 1, -6 + dim - 1)] * 3
+    y0 = np.asarray([r[1] for r in rects], np.int32)
+    x0 = np.asarray([r[0] for r in rects], np.int32)
+    images, labels = jax.jit(
+        lambda *a: gather_crops(*a, dim=dim)
+    )(pool.images, pool.labels, jnp.asarray(slot_idx),
+      jnp.asarray(y0), jnp.asarray(x0), jnp.asarray(vh), jnp.asarray(vw))
+    for i, (sample, r) in enumerate(zip([small[0], small[1], small[0]], rects)):
+        ref_img, ref_lab = extract_crop(
+            sample.input_image, sample.label_image, r
+        )
+        np.testing.assert_array_equal(np.asarray(images[i]), ref_img)
+        np.testing.assert_array_equal(
+            np.asarray(labels[i]), ref_lab.astype(np.int32)
+        )
+
+    # LRU still honors capacity: adding a third image grows to 4 slots
+    pool.ensure([FakeSample(rng, 40, 48)], min_dim=dim)
+    assert pool.shape[0] == 4

@@ -165,3 +165,33 @@ def test_int8_forward_composes_with_remat():
     assert np.isfinite(float(val))
     leaves = jax.tree_util.tree_leaves(grads)
     assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+
+
+def test_int8_forward_active_under_data_parallel():
+    """TrainerConfig(int8_forward=True) must reach the DP step's convs
+    (annonet_train --mesh N --int8-training): without augmentation and
+    with sync BN, the DP int8 step equals the single-device int8 step,
+    and both differ from the bf16 forward's loss."""
+    from annonet_tpu.parallel.mesh import make_mesh
+    from annonet_tpu.parallel.train import DataParallelTrainer
+    from annonet_tpu.train.trainer import Trainer
+
+    mc = SegNetConfig(
+        class_count=2, level_count=1, base_width=8, compute_dtype="float32"
+    )
+    co = CropOptions(dim=32)  # no stochastic augmentation
+    rng = np.random.default_rng(3)
+    images = rng.integers(0, 256, (8, 32, 32, 3), np.uint8)
+    labels = rng.integers(0, 2, (8, 32, 32)).astype(np.uint16)
+
+    tc_int8 = TrainerConfig(initial_learning_rate=0.01, int8_forward=True)
+    single = Trainer(mc, tc_int8, seed=0)
+    dp = DataParallelTrainer(mc, tc_int8, seed=0, mesh=make_mesh(8))
+    loss_single = single.train_step_crops(images, labels, co)
+    loss_dp = dp.train_step_crops(images, labels, co)
+    assert np.isclose(loss_single, loss_dp, rtol=1e-4), (loss_single, loss_dp)
+
+    bf16 = Trainer(mc, TrainerConfig(initial_learning_rate=0.01), seed=0)
+    loss_bf16 = bf16.train_step_crops(images, labels, co)
+    # int8 grid noise makes the forward (and loss) measurably different
+    assert abs(loss_bf16 - loss_dp) > 1e-7

@@ -297,3 +297,37 @@ def test_train_step_lowers_without_gathers():
         if re.search(r"stablehlo\.[a-z_]*(gather|scatter)", line)
     ]
     assert not offenders, offenders
+
+
+def test_verbose_progress_lines_with_batched_flush(capsys):
+    """With loss_sync_interval > 1, the per-100-step progress line must
+    print exactly once per 100 RECORDED losses (keyed on the recorded
+    count, not step_count — a batched flush records several losses under
+    one step_count)."""
+    from annonet_tpu.models.segnet import SegNetConfig
+    from annonet_tpu.data.crop import CropOptions
+    from annonet_tpu.train import Trainer, TrainerConfig
+
+    mc = SegNetConfig(
+        class_count=2, level_count=0, base_width=4, compute_dtype="float32"
+    )
+    co = CropOptions(dim=16)
+    trainer = Trainer(
+        mc,
+        TrainerConfig(
+            initial_learning_rate=0.01, loss_sync_interval=8, verbose=True
+        ),
+        seed=0,
+    )
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 256, (2, 16, 16, 3), dtype=np.uint8)
+    labels = rng.integers(0, 2, (2, 16, 16)).astype(np.uint16)
+    for _ in range(210):
+        trainer.train_step_crops(images, labels, co)
+    trainer.flush_losses()
+    out = capsys.readouterr().out
+    lines = [
+        ln for ln in out.splitlines()
+        if ln.startswith("step ") and "average loss" in ln
+    ]
+    assert [ln.split(":")[0] for ln in lines] == ["step 100", "step 200"], lines
