@@ -25,6 +25,7 @@ import argparse
 import math
 import os
 import sys
+import time
 
 from annonet_tpu.cli._parser import ReferenceParser
 
@@ -397,13 +398,11 @@ def _run_impl(args, input_directory, stack) -> int:
         # failures) print the message and exit 2, parity with the loop's
         # catch at annonet_train_main.cpp:616-620 (the final network save
         # is skipped, :634-636; loader shutdown is the pipeline context).
-        import time as _time
-
         step_timing = os.environ.get("ANNONET_TPU_STEP_TIMING") == "1"
         try:
             with profiler_trace(args.profile):
                 while True:
-                    _t0 = _time.monotonic()
+                    _t0 = time.monotonic()
                     if trainer.should_stop:
                         break
                     if (
@@ -444,7 +443,7 @@ def _run_impl(args, input_directory, stack) -> int:
                             extra = f" uploads={device_pool.uploads}"
                         print(
                             f"[step {minibatch}] "
-                            f"{_time.monotonic() - _t0:.3f}s{extra}",
+                            f"{time.monotonic() - _t0:.3f}s{extra}",
                             flush=True,
                         )
                     if minibatch % args.save_interval == 0:

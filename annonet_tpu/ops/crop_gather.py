@@ -91,3 +91,13 @@ def gather_crops(
         return img, lab
 
     return jax.vmap(_gather_one)(slot, y0, x0, valid_h, valid_w)
+
+
+def gather_crops_packed(pool_images, pool_labels, packed, dim: int):
+    """gather_crops with the decisions packed as ONE [5, B] int32 array —
+    rows (slot, y0, x0, valid_h, valid_w) — so a host caller ships a
+    single argument whose upload rides the dispatch."""
+    return gather_crops(
+        pool_images, pool_labels,
+        packed[0], packed[1], packed[2], packed[3], packed[4], dim,
+    )

@@ -248,15 +248,14 @@ def make_fused_pool_step(
     degraded-tunnel artifact: re-measured clean (pre-split keys, healthy
     link), fused / barrier-separated / split all land at 24.7-26 ms
     (scripts/bench_pool_step.py, batch 128 @ 192^2 v5e)."""
-    from annonet_tpu.ops.crop_gather import gather_crops
+    from annonet_tpu.ops.crop_gather import gather_crops_packed
 
     inner = make_fused_train_step(model_config, trainer_config, crop_options)
 
     def step(params, bn_stats, velocity, lr, bn_momentum, key,
              pool_images, pool_labels, packed):
-        images, labels = gather_crops(
-            pool_images, pool_labels,
-            packed[0], packed[1], packed[2], packed[3], packed[4], dim,
+        images, labels = gather_crops_packed(
+            pool_images, pool_labels, packed, dim
         )
         # labels are already int32 with IGNORE applied; the inner step's
         # astype(int32) is a no-op on them
@@ -446,15 +445,14 @@ class Trainer:
             # feeding the shard_mapped pixel step
             gather_fn = self._pool_step_fns.get(("gather", dim))
             if gather_fn is None:
-                from annonet_tpu.ops.crop_gather import gather_crops
+                from functools import partial
 
-                def _gather_packed(pool_images, pool_labels, pk, _dim=dim):
-                    return gather_crops(
-                        pool_images, pool_labels,
-                        pk[0], pk[1], pk[2], pk[3], pk[4], dim=_dim,
-                    )
+                from annonet_tpu.ops.crop_gather import gather_crops_packed
 
-                gather_fn = jax.jit(_gather_packed, out_shardings=out_sh)
+                gather_fn = jax.jit(
+                    partial(gather_crops_packed, dim=dim),
+                    out_shardings=out_sh,
+                )
                 self._pool_step_fns[("gather", dim)] = gather_fn
             images, labels = gather_fn(pool.images, pool.labels, packed)
             return self.train_step_crops(
