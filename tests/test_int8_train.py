@@ -195,3 +195,47 @@ def test_int8_forward_active_under_data_parallel():
     loss_bf16 = bf16.train_step_crops(images, labels, co)
     # int8 grid noise makes the forward (and loss) measurably different
     assert abs(loss_bf16 - loss_dp) > 1e-7
+
+
+def test_qat_trained_net_serves_int8_with_high_agreement():
+    """The QAT loop end-to-end: train under int8 forward noise
+    (--int8-training), fold BN, deploy through the int8 quantized
+    inference runtime — the trained task must be solved and int8 labels
+    must agree with the float path (the deployment the flag exists for)."""
+    from annonet_tpu.infer.core import TiledInferer
+    from annonet_tpu.infer.tiling import TilingParameters
+    from annonet_tpu.models.segnet import fold_batchnorm
+    from annonet_tpu.train.trainer import Trainer
+
+    config = SegNetConfig(class_count=2, level_count=1, base_width=8)
+    trainer = Trainer(
+        config,
+        TrainerConfig(initial_learning_rate=0.05, int8_forward=True),
+        seed=0,
+    )
+    co = CropOptions(dim=48)
+    rng = np.random.default_rng(5)
+    for i in range(25):
+        lab = rng.integers(0, 2, (8, 48, 48)).astype(np.uint16)
+        img = np.repeat(
+            np.where(lab[..., None] == 1, 200, 50).astype(np.uint8), 3, -1
+        )
+        trainer.train_step_crops(img, lab, co, seed=1)
+
+    runtime = fold_batchnorm(trainer.params, trainer.bn_stats, config)
+    tiling = TilingParameters(64, 64, 16, 16)
+    lab = rng.integers(0, 2, (96, 96)).astype(np.uint16)
+    img = np.repeat(
+        np.where(lab[..., None] == 1, 200, 50).astype(np.uint8), 3, -1
+    )
+    float_inf = TiledInferer(runtime, config, tiling)
+    int8_inf = TiledInferer(runtime, config, tiling, quantize="int8")
+    labels_f, _ = float_inf.infer_arrays(img)
+    int8_inf.infer_arrays(img)  # image 1 calibrates (float output)
+    labels_q, _ = int8_inf.infer_arrays(img)  # quantized from image 2
+    acc_f = (labels_f == lab).mean()
+    acc_q = (labels_q == lab).mean()
+    agreement = (labels_f == labels_q).mean()
+    assert acc_f > 0.95, acc_f
+    assert acc_q > 0.95, acc_q
+    assert agreement > 0.98, agreement
