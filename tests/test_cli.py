@@ -567,3 +567,32 @@ def test_infer_pipelined_timing_not_double_counted(tmp_path, capsys):
     wall, inference = float(m.group(1)), float(m.group(2))
     assert inference <= wall + 0.05
     assert "Processing time excluding the first image:" in out
+
+
+def test_platform_env_pins_backend_in_subprocess():
+    """ANNONET_TPU_PLATFORM=cpu must pin the backend even where a device
+    plugin pre-sets jax_platforms (overriding JAX_PLATFORMS silently) —
+    the CLIs call apply_platform_env before backend init."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["ANNONET_TPU_PLATFORM"] = "cpu"
+    code = (
+        "from annonet_tpu.cli.common import apply_platform_env;"
+        "apply_platform_env();"
+        "import jax;"
+        "print(jax.devices()[0].platform)"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=120,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 0, out.stderr
+    assert out.stdout.strip().splitlines()[-1] == "cpu"
