@@ -38,6 +38,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from annonet_tpu.utils.compile_opts import opt_jit
+
 from annonet_tpu.models.segnet import (
     SegNetConfig,
     apply_runtime,
@@ -473,7 +475,9 @@ class TiledInferer:
                 folded = (fold0, qspec)
             elif fold0:
                 folded = self._get_folded(fold0)[0]
-            fn = jax.jit(
+            # opt_jit == jax.jit unless ANNONET_TPU_COMPILER_OPTIONS is set
+            # (per-program TPU compiler flags, utils/compile_opts.py)
+            fn = opt_jit(
                 partial(
                     _tiled_forward,
                     config=self.config,

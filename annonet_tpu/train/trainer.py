@@ -41,6 +41,7 @@ from annonet_tpu.models.segnet import (
     init_state,
 )
 from annonet_tpu.ops.augment import augment_batch
+from annonet_tpu.utils.compile_opts import opt_jit
 from annonet_tpu.ops.loss import weighted_pixel_cross_entropy
 from annonet_tpu.ops.weighting import batched_label_weights
 from annonet_tpu.train.plateau import (
@@ -317,7 +318,9 @@ class Trainer:
         self._pending_losses: list = []
         self.steps_without_progress = 0
         self._last_sync = time.monotonic()
-        self._step_fn = jax.jit(make_train_step(model_config, trainer_config))
+        # opt_jit == jax.jit unless ANNONET_TPU_COMPILER_OPTIONS is set
+        # (per-program TPU compiler flags, utils/compile_opts.py)
+        self._step_fn = opt_jit(make_train_step(model_config, trainer_config))
         self._fused_step_fn = None
         self._fused_key = None
         self._pool_step_fns: Dict[int, Callable] = {}
@@ -362,7 +365,7 @@ class Trainer:
         replacement for the reference's host-side per-crop work +
         StartTraining)."""
         if self._fused_step_fn is None:
-            self._fused_step_fn = jax.jit(
+            self._fused_step_fn = opt_jit(
                 with_key_carry(
                     make_fused_train_step(
                         self.model_config, self.config, crop_options
@@ -461,7 +464,7 @@ class Trainer:
 
         step_fn = self._pool_step_fns.get(("fused", dim))
         if step_fn is None:
-            step_fn = jax.jit(
+            step_fn = opt_jit(
                 with_key_carry(
                     make_fused_pool_step(
                         self.model_config, self.config, crop_options, dim
