@@ -78,6 +78,7 @@ def _tiled_forward(
     with_detection: bool,
     folded=None,  # (fold0, spec): params is then the folded array tuple
     quantized: bool = False,  # spec/params are the int8 qspec/qarrays
+    blend_dtype=jnp.float32,  # accumulation dtype of the blend epilogue
     use_pallas_blend: bool = False,
     mesh=None,
     mesh_axis: str = "batch",
@@ -230,11 +231,22 @@ def _tiled_forward(
         # wide and tile updates contiguous (each width-block owns its full
         # K*f lane group).
         twb = tile_w // f
+        # the blend epilogue re-traverses a [M, Hp, WPb*K*f] accumulator
+        # (201 MB f32 at 4096²) several times — ramp multiply, 25-step add
+        # chain, inv-wsum multiply, argmax relayout — all HBM-bound. On the
+        # int8 path (already non-bit-exact, floors asserted) the whole
+        # chain runs in bf16: the convert fuses into the head epilogue and
+        # every pass moves half the bytes. The float path stays f32 for
+        # bit-parity with the unbatched/unfolded paths.
+        bd = jnp.dtype(blend_dtype)
         ramp_cm = jnp.broadcast_to(
             ramp.reshape(tile_h, twb, 1, f), (tile_h, twb, k, f)
-        ).reshape(tile_h, twb * kf)
-        weighted = logits.reshape(n, m, tile_h, twb * kf) * ramp_cm[None, None]
-        acc = jnp.zeros((m, hp, wpb * kf), jnp.float32)
+        ).reshape(tile_h, twb * kf).astype(bd)
+        weighted = (
+            logits.reshape(n, m, tile_h, twb * kf).astype(bd)
+            * ramp_cm[None, None]
+        )
+        acc = jnp.zeros((m, hp, wpb * kf), bd)
         for i, (y, x) in enumerate(tile_yx):
             xb = (x // f) * kf
             acc = acc.at[:, y : y + tile_h, xb : xb + twb * kf].add(
@@ -242,10 +254,10 @@ def _tiled_forward(
             )
         inv_cm = jnp.broadcast_to(
             inv_wsum.reshape(hp, wpb, 1, f), (hp, wpb, k, f)
-        ).reshape(hp, wpb * kf)
+        ).reshape(hp, wpb * kf).astype(bd)
         b4 = (acc * inv_cm[None]).reshape(m, hp, wpb, k, f)
         labels4 = jnp.argmax(
-            b4 + gains[None, None, None, :, None], axis=3
+            b4 + gains.astype(bd)[None, None, None, :, None], axis=3
         ).astype(jnp.int32)  # [M, Hp, WPb, f]
         out_dtype = jnp.uint8 if k <= 255 else jnp.int32
         labels = labels4.reshape(m, hp, wp)
@@ -258,15 +270,18 @@ def _tiled_forward(
             labels4[:, :, :, None, :]
             == jnp.arange(k, dtype=jnp.int32)[None, None, None, :, None]
         )
-        label_output = jnp.sum(jnp.where(onehot4, b4, 0.0), axis=3)
+        dlev = detection_levels.astype(bd)
+        label_output = jnp.sum(
+            jnp.where(onehot4, b4, jnp.zeros((), bd)), axis=3
+        )
         label_level = jnp.sum(
             jnp.where(
-                onehot4, detection_levels[None, None, None, :, None], 0.0
+                onehot4, dlev[None, None, None, :, None], jnp.zeros((), bd)
             ),
             axis=3,
         )
         seeds4 = (labels4 > 0) & (
-            label_output - clean4 > label_level - detection_levels[0]
+            label_output - clean4 > label_level - dlev[0]
         )
         seeds = seeds4.reshape(m, hp, wp)
         if not batched:
@@ -347,6 +362,7 @@ class TiledInferer:
         use_pallas_blend: bool = False,
         quantize: Optional[str] = None,  # "int8" = quantized conv stack
         calibration_images: int = 1,
+        blend_dtype: Optional[str] = None,  # None = auto (bf16 iff int8)
         mesh=None,
         mesh_axis: str = "batch",
     ):
@@ -371,6 +387,17 @@ class TiledInferer:
         if calibration_images < 1:
             raise ValueError("calibration_images must be >= 1")
         self.calibration_images = calibration_images
+        # blend accumulation dtype: the int8 path defaults to bf16 (every
+        # pass over the HBM-bound blend accumulator moves half the bytes —
+        # measured composed win, DESIGN.md §15); the float path stays f32
+        # for bit-parity. Override with "float32"/"bfloat16" to pin either.
+        if blend_dtype is None:
+            blend_dtype = "bfloat16" if quantize else "float32"
+        self.blend_dtype = jnp.dtype(blend_dtype)
+        if self.blend_dtype not in (
+            jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)
+        ):
+            raise ValueError(f"unsupported blend_dtype: {blend_dtype!r}")
         self._quantized_cache: Dict[int, Tuple] = {}
         self._calibrate_fns: Dict[Tuple, object] = {}
         self._calib_accum: Dict[int, list] = {}
@@ -451,6 +478,7 @@ class TiledInferer:
             self.use_pallas_conv,
             quantized,
             image_batch,
+            str(self.blend_dtype),
         )
         fn = self._compiled.get(key)
         if fn is None:
@@ -490,6 +518,7 @@ class TiledInferer:
                     with_detection=with_detection,
                     folded=folded,
                     quantized=quantized,
+                    blend_dtype=self.blend_dtype,
                     use_pallas_blend=self.use_pallas_blend,
                     mesh=self.mesh,
                     mesh_axis=self.mesh_axis,

@@ -326,3 +326,36 @@ def test_batched_calibration_uses_multiple_batch_images():
     assert quant._quantized_cache  # froze inside the one batched call
     fold0 = next(iter(quant._calib_frozen))
     assert quant._calib_seen[fold0] == 3
+
+
+def test_blend_dtype_default_and_override():
+    """bf16 blend is the default iff the conv stack is int8 (measured
+    +14% composed win, docs/DESIGN.md §15); float paths keep f32 for
+    bit-parity. Explicit overrides pin either; labels stay in high
+    agreement across blend dtypes."""
+    config = SegNetConfig(class_count=3, level_count=1, base_width=16)
+    params, bn = init_state(jax.random.PRNGKey(0), config)
+    runtime = fold_batchnorm(params, bn, config)
+    tiling = TilingParameters(64, 64, 20, 20)
+
+    assert TiledInferer(runtime, config, tiling).blend_dtype == jnp.float32
+    q_auto = TiledInferer(runtime, config, tiling, quantize="int8")
+    assert q_auto.blend_dtype == jnp.bfloat16
+    q_f32 = TiledInferer(
+        runtime, config, tiling, quantize="int8", blend_dtype="float32"
+    )
+    assert q_f32.blend_dtype == jnp.float32
+    with pytest.raises(ValueError):
+        TiledInferer(runtime, config, tiling, blend_dtype="float16")
+
+    rng = np.random.default_rng(1)
+    image = rng.integers(0, 256, size=(100, 100, 3), dtype=np.uint8)
+    l_bf16 = annonet_infer(q_auto, image)
+    l_f32 = annonet_infer(q_f32, image)
+    assert (l_bf16 == l_f32).mean() > 0.99
+
+    # the detection/seed path also runs under the bf16 blend
+    labels, seeds = q_auto.infer_arrays(
+        image, detection_levels=[0.0, 0.2, 0.2]
+    )
+    assert seeds is not None and seeds.shape == labels.shape
