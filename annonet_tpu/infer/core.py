@@ -167,7 +167,6 @@ def _tiled_forward(
         run_net = lambda batch: apply_folded_int8(  # noqa: E731
             params, batch, config, fold0=fold0, qspec=qspec,
             folded_output=folded_out, pre_folded=pre_quantize,
-            head_padded_output=folded_out,
         )
     elif folded is not None:
         # fully width-folded net: every conv runs at MXU-native channel
@@ -222,7 +221,7 @@ def _tiled_forward(
         # per-pixel constants (ramp, inv_wsum) fold with free reshapes, and
         # only the final uint8 label map unfolds. Unfolding f32 planes
         # instead measured ~5.4 ms/image of relayout chains on v5e.
-        f = folded[0]  # head lanes may be padded past K*f — see below
+        f = logits.shape[-1] // k
         wpb = wp // f
         kf = k * f
         # FLAT 2-D accumulation: a [Hp, WPb, K*f] accumulator would put the
@@ -240,29 +239,13 @@ def _tiled_forward(
         # every pass moves half the bytes. The float path stays f32 for
         # bit-parity with the unbatched/unfolded paths.
         bd = jnp.dtype(blend_dtype)
-        if logits.shape[-1] != kf:
-            # the int8 head kept its lane-padded 128-channel store (a
-            # 24-lane-minor head output forces the conv emitter into a
-            # tiles-in-lanes layout padded ~5x — measured 5.2 ms/image;
-            # DESIGN.md §16). Materialize the clean 128-lane logits
-            # (optimization_barrier stops XLA re-fusing the slice back
-            # into the conv epilogue) and compact the K*f real lanes
-            # inside the ramp multiply — one fused pass.
-            lg = lax.optimization_barrier(logits.astype(bd))
-            ramp4 = jnp.broadcast_to(
-                ramp.reshape(tile_h, twb, 1, f), (tile_h, twb, k, f)
-            ).reshape(tile_h, twb, kf).astype(bd)
-            weighted = (lg[..., :kf] * ramp4[None, None]).reshape(
-                n, m, tile_h, twb * kf
-            )
-        else:
-            ramp_cm = jnp.broadcast_to(
-                ramp.reshape(tile_h, twb, 1, f), (tile_h, twb, k, f)
-            ).reshape(tile_h, twb * kf).astype(bd)
-            weighted = (
-                logits.reshape(n, m, tile_h, twb * kf).astype(bd)
-                * ramp_cm[None, None]
-            )
+        ramp_cm = jnp.broadcast_to(
+            ramp.reshape(tile_h, twb, 1, f), (tile_h, twb, k, f)
+        ).reshape(tile_h, twb * kf).astype(bd)
+        weighted = (
+            logits.reshape(n, m, tile_h, twb * kf).astype(bd)
+            * ramp_cm[None, None]
+        )
         acc = jnp.zeros((m, hp, wpb * kf), bd)
         for i, (y, x) in enumerate(tile_yx):
             xb = (x // f) * kf

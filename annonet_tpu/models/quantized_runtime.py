@@ -255,22 +255,7 @@ def quantize_folded(
         w_q = np.clip(np.rint(w_scaled / s_w), -127, 127).astype(np.int8)
 
         if kind == "head":
-            # Pad the 1x1 head to 128 OUTPUT channels (zero kernels, unit
-            # scales): with only K*f (e.g. 24) real channels the TPU conv
-            # emitter has nothing to put in the lane dimension and falls
-            # back to tiles-in-lanes (EmitOutputBatchInLanes), storing a
-            # 25-lane-minor output padded 5x — measured 5.2 ms of the
-            # 27 ms/image program. 128 channels keep the store lane-clean;
-            # the consumer slices the real lanes (apply_folded_int8, or
-            # fused into the blend's ramp multiply under
-            # head_padded_output). DESIGN.md §16.
-            cout = w_q.shape[-1]
-            if cout < 128:
-                pad = 128 - cout
-                w_q = np.pad(w_q, ((0, 0), (0, 0), (0, 0), (0, pad)))
-                s_w = np.pad(s_w, (0, pad), constant_values=1.0)
-                b = np.pad(np.asarray(b, np.float32), (0, pad))
-            qspec.append(f"qhead:{cout}")
+            qspec.append("qhead")
             qarrays.append(
                 (jnp.asarray(w_q), jnp.asarray(s_w), jnp.asarray(b))
             )
@@ -320,16 +305,11 @@ def quantize_input(x_uint8: jnp.ndarray, fold0: int, qspec) -> jnp.ndarray:
 
 def apply_folded_int8(
     qarrays, x_uint8: jnp.ndarray, config: SegNetConfig, *, fold0: int, qspec,
-    folded_output: bool = False, pre_folded: bool = False,
-    head_padded_output: bool = False,
+    folded_output: bool = False, pre_folded: bool = False
 ) -> jnp.ndarray:
     """[N,H,W,C]u8 -> [N,H,W,K]f32 logits via the int8 folded net (or
     class-major folded logits [N,H,W/f,K*f] with ``folded_output``). With
-    ``pre_folded`` the input is already quantize_input-processed int8.
-    With ``head_padded_output`` (requires ``folded_output``) the head's
-    lane-padded 128-channel logits are returned UNSLICED — the caller
-    fuses the K*f-lane slice into its own epilogue so the head conv keeps
-    a lane-clean store (see quantize_folded's head padding)."""
+    ``pre_folded`` the input is already quantize_input-processed int8."""
     dtype = jnp.dtype(config.compute_dtype)
     if pre_folded:
         assert x_uint8.dtype == jnp.int8
@@ -377,13 +357,10 @@ def apply_folded_int8(
                 padding="SAME", dimension_numbers=_DN,
             )
             x = requant(out, scale, offset)
-        elif kind.split(":")[0] == "qhead":
+        elif kind == "qhead":
             w_q, s_w, b = entry
-            cout = int(kind.split(":")[1]) if ":" in kind else w_q.shape[-1]
             acc = qconv(x, w_q, (1, 1), "SAME")
             x = acc.astype(jnp.float32) * s_w + b
-            if not (head_padded_output and folded_output):
-                x = x[..., :cout]
         else:  # pragma: no cover
             raise ValueError(kind)
 

@@ -359,33 +359,3 @@ def test_blend_dtype_default_and_override():
         image, detection_levels=[0.0, 0.2, 0.2]
     )
     assert seeds is not None and seeds.shape == labels.shape
-
-
-def test_head_padded_output_slices_to_folded():
-    """quantize_folded pads the 1x1 head to 128 output channels (lane-clean
-    store on TPU, DESIGN.md §16); head_padded_output returns them unsliced
-    and the real K*f lanes must equal the sliced folded output exactly."""
-    config = SegNetConfig(class_count=3, level_count=1, base_width=16)
-    shape = (1, 32, 32, 3)
-    _, (fold0, _spec, _arrays), (qspec, qarrays), x = _quantized_setup(
-        config, shape
-    )
-    head_kinds = [kd for kd in qspec if kd.startswith("qhead")]
-    assert head_kinds and ":" in head_kinds[0]
-    kf = int(head_kinds[0].split(":")[1])
-    assert kf == config.class_count * fold0
-
-    folded = apply_folded_int8(
-        qarrays, jnp.asarray(x), config, fold0=fold0, qspec=qspec,
-        folded_output=True,
-    )
-    padded = apply_folded_int8(
-        qarrays, jnp.asarray(x), config, fold0=fold0, qspec=qspec,
-        folded_output=True, head_padded_output=True,
-    )
-    assert padded.shape[-1] == 128
-    np.testing.assert_array_equal(np.asarray(padded)[..., :kf], folded)
-    # padded lanes are zero-weight, zero-bias: exactly 0 everywhere
-    np.testing.assert_array_equal(
-        np.asarray(padded)[..., kf:], 0.0 * np.asarray(padded)[..., kf:]
-    )
