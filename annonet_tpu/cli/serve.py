@@ -1,0 +1,359 @@
+"""annonet_serve: persistent inference server (TPU-native extension).
+
+The reference ships batch CLIs only; production deployments re-pay model
+deserialization and XLA compilation per process. This server loads the
+self-describing artifact once, keeps the compiled per-bucket programs
+warm in one long-lived :class:`TiledInferer`, and serves inference over
+plain HTTP (stdlib only — no framework dependency):
+
+  GET  /healthz          -> JSON: model metadata, classes, ready state
+  POST /infer            -> body: an encoded image (PNG/JPEG/...);
+                            response: the label map in the requested form
+
+`POST /infer` query parameters:
+
+  gain=<class>:<value>        repeatable, same syntax/semantics as the
+                              CLI's -g (annonet_infer_main.cpp:36-63);
+                              overrides the server-level default for
+                              this request only
+  detection=<class>:<value>   repeatable, the CLI's -d; detection-level
+                              blob filtering runs exactly as in
+                              annonet_infer.cpp:187-238
+  format=png                  (default) RGBA class-color mask encoded as
+                              PNG, upscaled to the input's original size
+                              — byte-compatible with the batch CLI's
+                              `<image>_result.png`
+  format=labels               raw uint16 label indices, little-endian,
+                              row-major; X-Label-Shape: <h>,<w> header
+  format=counts               JSON per-class pixel counts
+
+Gains/detection levels are traced arguments of the compiled program
+(infer/core.py), so per-request values never trigger recompilation. The
+device section is serialized with a lock (one chip executes one program
+at a time anyway); image decode/encode run concurrently in the server's
+request threads.
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import sys
+import threading
+import time
+from typing import Optional
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="annonet_serve",
+        description="Serve a trained annonet model over HTTP",
+    )
+    p.add_argument("--model", default="annonet.dnn",
+                   help="Model artifact path (default: annonet.dnn)")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8096,
+                   help="TCP port (0 = ephemeral; the bound port is printed)")
+    p.add_argument("-g", "--gain", action="append", default=[],
+                   help="Server-default class-specific gain, e.g. 1:-0.5")
+    p.add_argument("-d", "--detection", action="append", default=[],
+                   help="Server-default class-specific detection level")
+    p.add_argument("-w", "--tile-max-width", type=int, default=1024)
+    p.add_argument("--tile-max-height", type=int, default=1024)
+    p.add_argument("--quantize", choices=["none", "int8"], default="none",
+                   help="int8 = 2x-MXU quantized conv stack (calibrated on "
+                        "the first inferred or warm-up image)")
+    p.add_argument("--calibration-images", type=int, default=1)
+    p.add_argument("--device", type=int, default=None,
+                   help="Device (TPU core) index")
+    p.add_argument("--warmup", action="append", default=[], metavar="HxW",
+                   help="Pre-compile (and, with --quantize, calibrate) the "
+                        "program for this image size at startup, e.g. "
+                        "--warmup 2048x2048 (repeatable). Warm-up uses a "
+                        "mid-gray image; first real requests then skip the "
+                        "20-40s XLA compile.")
+    p.add_argument("--no-compilation-cache", action="store_true",
+                   help="Disable the persistent XLA compilation cache")
+    return p
+
+
+class _ModelService:
+    """The shared model state behind the HTTP handlers."""
+
+    def __init__(self, args):
+        from annonet_tpu import serialization
+        from annonet_tpu.classes import parse_anno_classes
+        from annonet_tpu.cli.common import parse_class_specific_values
+        from annonet_tpu.infer.core import TiledInferer
+        from annonet_tpu.infer.tiling import TilingParameters
+        from annonet_tpu.models.segnet import required_input_dimension
+
+        (self.params, self.config, self.anno_classes_json,
+         self.downscaling_factor) = serialization.load_model(args.model)
+        self.anno_classes = parse_anno_classes(self.anno_classes_json)
+        self.default_gains = parse_class_specific_values(
+            args.gain, len(self.anno_classes))
+        self.default_detection = parse_class_specific_values(
+            args.detection, len(self.anno_classes),
+            require_non_negative=True)
+        min_dim = required_input_dimension(self.config)
+        if (args.tile_max_width < min_dim
+                or args.tile_max_height < min_dim):
+            raise RuntimeError(f"Tile size must be at least {min_dim}")
+        self.required_input_dimension = min_dim
+        self.inferer = TiledInferer(
+            self.params, self.config,
+            TilingParameters(
+                max_tile_width=args.tile_max_width,
+                max_tile_height=args.tile_max_height,
+                overlap_x=min_dim, overlap_y=min_dim,
+            ),
+            quantize=None if args.quantize == "none" else args.quantize,
+            calibration_images=args.calibration_images,
+        )
+        self.quantize = args.quantize
+        self.model_path = args.model
+        # one chip runs one program at a time; decode/encode stay parallel
+        self.device_lock = threading.Lock()
+        self.requests_served = 0
+
+    # -- image pipeline (mirrors the batch CLI per-image flow) -----------
+
+    def decode(self, body: bytes):
+        """Encoded image bytes -> (H, W, C) uint8 in the model's channel
+        layout (exact grayscale conversion parity with data.sample)."""
+        from PIL import Image
+
+        with Image.open(io.BytesIO(body)) as im:
+            im = im.convert("L" if self.config.grayscale else "RGB")
+            arr = __import__("numpy").asarray(im, dtype="uint8")
+        if self.config.grayscale:
+            arr = arr[..., None]
+        return arr
+
+    def infer(self, image, gains, detection_levels):
+        """Full single-image flow: downscale -> tiled forward -> blob veto
+        -> labels upscaled to the original size (annonet_infer.cpp flow)."""
+        import numpy as np
+
+        from annonet_tpu.data.sample import (
+            resize_image_bilinear,
+            resize_label_image,
+        )
+        from annonet_tpu.infer.core import detection_veto
+
+        orig_h, orig_w = image.shape[:2]
+        if self.downscaling_factor != 1.0:
+            h = max(1, int(round(orig_h / self.downscaling_factor)))
+            w = max(1, int(round(orig_w / self.downscaling_factor)))
+            image = resize_image_bilinear(image, w, h)
+        with_detection = bool(np.any(np.asarray(detection_levels) != 0.0))
+        with self.device_lock:
+            if with_detection:
+                labels, seeds = self.inferer.infer_arrays(
+                    image, gains=gains, detection_levels=detection_levels
+                )
+            else:
+                labels, _ = self.inferer.infer_arrays(image, gains=gains)
+                seeds = None
+        labels = np.asarray(labels)
+        if seeds is not None:
+            labels = detection_veto(labels, np.asarray(seeds))
+        if labels.shape != (orig_h, orig_w):
+            labels = resize_label_image(labels, orig_w, orig_h)
+        self.requests_served += 1
+        return labels
+
+    def encode_png(self, labels) -> bytes:
+        from PIL import Image
+
+        from annonet_tpu.data.codec import (
+            index_label_image_to_rgba_label_image,
+        )
+
+        rgba = index_label_image_to_rgba_label_image(
+            labels, self.anno_classes
+        )
+        buf = io.BytesIO()
+        Image.fromarray(rgba, mode="RGBA").save(buf, format="PNG")
+        return buf.getvalue()
+
+    def healthz(self) -> dict:
+        return {
+            "status": "ok",
+            "model": self.model_path,
+            "downscaling_factor": self.downscaling_factor,
+            "required_input_dimension": self.required_input_dimension,
+            "quantize": self.quantize,
+            "requests_served": self.requests_served,
+            "classes": [
+                {
+                    "label": c.classlabel,
+                    "color_rgba": list(map(int, c.rgba_label)),
+                }
+                for c in self.anno_classes
+            ],
+        }
+
+
+def _parse_query_values(service, query, key, *, require_non_negative=False):
+    from annonet_tpu.cli.common import parse_class_specific_values
+
+    items = query.get(key)
+    if not items:
+        return None
+    return parse_class_specific_values(
+        items, len(service.anno_classes),
+        require_non_negative=require_non_negative,
+    )
+
+
+def make_server(args, service: Optional[_ModelService] = None):
+    """Build (server, service); exposed separately so tests can bind an
+    ephemeral port and drive requests in-process."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    svc = service if service is not None else _ModelService(args)
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *log_args):  # quiet by default
+            pass
+
+        def _send(self, code, content_type, body: bytes, extra=None):
+            self.send_response(code)
+            self.send_header("Content-Type", content_type)
+            self.send_header("Content-Length", str(len(body)))
+            for k, v in (extra or {}).items():
+                self.send_header(k, v)
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _send_json(self, code, obj):
+            self._send(code, "application/json",
+                       json.dumps(obj).encode("utf-8"))
+
+        def do_GET(self):
+            if urlparse(self.path).path in ("/healthz", "/"):
+                self._send_json(200, svc.healthz())
+            else:
+                self._send_json(404, {"error": "not found"})
+
+        def do_POST(self):
+            url = urlparse(self.path)
+            if url.path != "/infer":
+                self._send_json(404, {"error": "not found"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                if length <= 0:
+                    raise ValueError("empty request body")
+                body = self.rfile.read(length)
+                query = parse_qs(url.query)
+                gains = _parse_query_values(svc, query, "gain")
+                if gains is None:
+                    gains = svc.default_gains
+                detection = _parse_query_values(
+                    svc, query, "detection", require_non_negative=True
+                )
+                if detection is None:
+                    detection = svc.default_detection
+                fmt = query.get("format", ["png"])[0]
+                if fmt not in ("png", "labels", "counts"):
+                    raise ValueError(f"unknown format: {fmt}")
+                image = svc.decode(body)
+            except Exception as e:  # bad input -> 400 with the message
+                self._send_json(400, {"error": str(e)})
+                return
+            try:
+                t0 = time.monotonic()
+                labels = svc.infer(image, gains, detection)
+                elapsed_ms = (time.monotonic() - t0) * 1000.0
+                timing = {"X-Inference-Ms": f"{elapsed_ms:.1f}"}
+                if fmt == "png":
+                    self._send(200, "image/png", svc.encode_png(labels),
+                               timing)
+                elif fmt == "labels":
+                    import numpy as np
+
+                    raw = np.ascontiguousarray(
+                        labels.astype("<u2")
+                    ).tobytes()
+                    timing["X-Label-Shape"] = (
+                        f"{labels.shape[0]},{labels.shape[1]}"
+                    )
+                    self._send(200, "application/octet-stream", raw,
+                               timing)
+                else:  # counts
+                    import numpy as np
+
+                    counts = np.bincount(
+                        labels.ravel(), minlength=len(svc.anno_classes)
+                    )
+                    self._send_json(200, {
+                        "counts": {
+                            c.classlabel: int(n)
+                            for c, n in zip(svc.anno_classes, counts)
+                        },
+                        "inference_ms": elapsed_ms,
+                    })
+            except Exception as e:  # inference failure -> 500
+                self._send_json(500, {"error": str(e)})
+
+    server = ThreadingHTTPServer((args.host, args.port), Handler)
+    server.daemon_threads = True
+    return server, svc
+
+
+def _warmup(service: _ModelService, sizes) -> None:
+    import numpy as np
+
+    for spec in sizes:
+        h, w = (int(v) for v in spec.lower().split("x"))
+        print(f"Warming up {h}x{w}...", flush=True)
+        t0 = time.monotonic()
+        image = np.full(
+            (h, w, 1 if service.config.grayscale else 3), 127, np.uint8
+        )
+        service.infer(image, service.default_gains,
+                      service.default_detection)
+        print(f"  compiled + ran in {time.monotonic() - t0:.1f} s",
+              flush=True)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if not args.no_compilation_cache:
+        from annonet_tpu.cli.common import enable_compilation_cache
+
+        enable_compilation_cache()
+    try:
+        if args.device is not None:
+            from annonet_tpu.cli.common import select_device
+
+            ctx = select_device(args.device)
+            ctx.__enter__()  # held for the server's lifetime
+        service = _ModelService(args)
+    except Exception as e:
+        print(str(e))
+        return 1
+    if args.warmup:
+        _warmup(service, args.warmup)
+    server, _ = make_server(args, service)
+    host, port = server.server_address[:2]
+    print(f"annonet_serve: listening on http://{host}:{port} "
+          f"(model={args.model}, quantize={args.quantize})", flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        print("shutting down")
+    finally:
+        server.server_close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

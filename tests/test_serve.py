@@ -1,0 +1,164 @@
+"""annonet_serve: in-process HTTP server tests (TPU-native extension).
+
+Drives the real ThreadingHTTPServer on an ephemeral port with urllib —
+the same request path production clients use.
+"""
+
+import io
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax
+
+from annonet_tpu import serialization
+from annonet_tpu.classes import default_anno_classes, anno_classes_to_json
+from annonet_tpu.cli.serve import build_parser, make_server
+from annonet_tpu.models.segnet import SegNetConfig, fold_batchnorm, init_state
+
+
+@pytest.fixture(scope="module")
+def server_url(tmp_path_factory):
+    model_path = str(tmp_path_factory.mktemp("serve") / "annonet.dnn")
+    config = SegNetConfig(class_count=3, level_count=0, base_width=16)
+    params, bn = init_state(jax.random.PRNGKey(0), config)
+    runtime = fold_batchnorm(params, bn, config)
+    serialization.save_model(
+        model_path, runtime, config,
+        anno_classes_to_json(default_anno_classes()), 1.0,
+    )
+    args = build_parser().parse_args(
+        ["--model", model_path, "--port", "0",
+         "--tile-max-width", "64", "--tile-max-height", "64"]
+    )
+    server, service = make_server(args)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    host, port = server.server_address[:2]
+    yield f"http://{host}:{port}", service
+    server.shutdown()
+    server.server_close()
+
+
+def _png_bytes(h=80, w=96, seed=0):
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def _post(url, body, **kw):
+    req = urllib.request.Request(url, data=body, method="POST", **kw)
+    return urllib.request.urlopen(req, timeout=120)
+
+
+def test_healthz_reports_model_metadata(server_url):
+    url, _service = server_url
+    with urllib.request.urlopen(url + "/healthz", timeout=30) as r:
+        info = json.loads(r.read())
+    assert info["status"] == "ok"
+    assert info["downscaling_factor"] == 1.0
+    assert info["quantize"] == "none"
+    assert [c["label"] for c in info["classes"]] == [
+        "clean", "minor defect", "major defect"
+    ]
+    assert info["required_input_dimension"] > 0
+
+
+def test_infer_png_roundtrip(server_url):
+    from PIL import Image
+
+    url, _service = server_url
+    with _post(url + "/infer", _png_bytes(80, 96)) as r:
+        assert r.headers["Content-Type"] == "image/png"
+        assert float(r.headers["X-Inference-Ms"]) > 0
+        png = r.read()
+    with Image.open(io.BytesIO(png)) as im:
+        assert im.mode == "RGBA"
+        assert im.size == (96, 80)  # original size, (w, h)
+
+
+def test_infer_labels_format(server_url):
+    url, _service = server_url
+    with _post(url + "/infer?format=labels", _png_bytes(64, 64)) as r:
+        assert r.headers["Content-Type"] == "application/octet-stream"
+        assert r.headers["X-Label-Shape"] == "64,64"
+        labels = np.frombuffer(r.read(), dtype="<u2").reshape(64, 64)
+    assert labels.max() < 3
+
+
+def test_infer_counts_format_and_gain_override(server_url):
+    url, _service = server_url
+    with _post(url + "/infer?format=counts", _png_bytes(64, 64)) as r:
+        counts = json.loads(r.read())["counts"]
+    assert sum(counts.values()) == 64 * 64
+    assert set(counts) == {"clean", "minor defect", "major defect"}
+
+    # an extreme gain forces every pixel to that class (logit-space add,
+    # annonet_infer.cpp:170-185)
+    with _post(
+        url + "/infer?format=counts&gain=2:1000", _png_bytes(64, 64)
+    ) as r:
+        counts = json.loads(r.read())["counts"]
+    assert counts["major defect"] == 64 * 64
+
+
+def test_infer_detection_levels_run_blob_veto(server_url):
+    url, _service = server_url
+    with _post(
+        url + "/infer?format=labels&detection=1:0.5&detection=2:0.5",
+        _png_bytes(64, 64),
+    ) as r:
+        labels = np.frombuffer(r.read(), dtype="<u2").reshape(64, 64)
+    assert labels.max() < 3
+
+
+def test_bad_requests_are_400_not_500(server_url):
+    url, _service = server_url
+    for path, body in [
+        ("/infer", b"this is not an image"),
+        ("/infer?format=bogus", _png_bytes()),
+        ("/infer?gain=notaclass", _png_bytes()),
+        ("/infer", b""),
+    ]:
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            _post(url + path, body)
+        assert exc_info.value.code == 400
+        assert "error" in json.loads(exc_info.value.read())
+
+
+def test_unknown_route_is_404(server_url):
+    url, _service = server_url
+    with pytest.raises(urllib.error.HTTPError) as exc_info:
+        urllib.request.urlopen(url + "/nope", timeout=30)
+    assert exc_info.value.code == 404
+
+
+def test_concurrent_requests_serialize_on_device(server_url):
+    url, service = server_url
+    before = service.requests_served
+    errors = []
+
+    def one(seed):
+        try:
+            with _post(
+                url + "/infer?format=counts", _png_bytes(seed=seed)
+            ) as r:
+                assert r.status == 200
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=one, args=(s,)) for s in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert service.requests_served == before + 6
