@@ -98,6 +98,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "containing image N (including its earlier images) "
                         "runs quantized. Raise for directories whose first "
                         "image is unrepresentative (dark, low-contrast)")
+    p.add_argument("--calibration", default=None, metavar="PATH",
+                   help="Load persisted int8 activation calibration "
+                        "(written by --save-calibration): skips runtime "
+                        "calibration so EVERY image (including the first) "
+                        "runs int8, reproducibly across runs")
+    p.add_argument("--save-calibration", default=None, metavar="PATH",
+                   help="After the run, persist the frozen int8 "
+                        "calibration maxima for --calibration / "
+                        "annonet_serve --calibration")
     return p
 
 
@@ -219,10 +228,21 @@ def _run_impl(args, input_directory, stack) -> int:
     )
     if args.calibration_images < 1:
         raise RuntimeError("--calibration-images must be >= 1")
+    if (args.calibration or args.save_calibration) and args.quantize != "int8":
+        raise RuntimeError(
+            "--calibration/--save-calibration require --quantize int8"
+        )
+    calibration = None
+    if args.calibration:
+        calibration = serialization.load_calibration(
+            args.calibration, model_config
+        )
+        print(f"Loaded int8 calibration from {args.calibration}")
     inferer = TiledInferer(
         runtime_params, model_config, tiling,
         quantize=None if args.quantize == "none" else args.quantize,
         calibration_images=args.calibration_images,
+        calibration=calibration,
         mesh=mesh,
     )
 
@@ -498,6 +518,16 @@ def _run_impl(args, input_directory, stack) -> int:
                     + (" (consider raising --calibration-images)"
                        if overshoot > 1.2 else "")
                 )
+        if args.save_calibration:
+            exported = inferer.export_calibration()
+            if exported is None:
+                print("No int8 net was frozen; nothing to save "
+                      "(fewer images than --calibration-images?)")
+            else:
+                serialization.save_calibration(
+                    args.save_calibration, exported, model_config
+                )
+                print(f"Saved int8 calibration to {args.save_calibration}")
     finally:
         # Clean shutdown on success AND error: stop readers (draining
         # read_results so none stays blocked on a full queue), then send

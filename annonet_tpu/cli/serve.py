@@ -65,6 +65,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="int8 = 2x-MXU quantized conv stack (calibrated on "
                         "the first inferred or warm-up image)")
     p.add_argument("--calibration-images", type=int, default=1)
+    p.add_argument("--calibration", default=None, metavar="PATH",
+                   help="Persisted int8 calibration (annonet_infer "
+                        "--save-calibration): skips runtime calibration, "
+                        "every request runs int8 reproducibly")
     p.add_argument("--device", type=int, default=None,
                    help="Device (TPU core) index")
     p.add_argument("--warmup", action="append", default=[], metavar="HxW",
@@ -102,6 +106,15 @@ class _ModelService:
                 or args.tile_max_height < min_dim):
             raise RuntimeError(f"Tile size must be at least {min_dim}")
         self.required_input_dimension = min_dim
+        calibration = None
+        if getattr(args, "calibration", None):
+            if args.quantize != "int8":
+                raise RuntimeError(
+                    "--calibration requires --quantize int8"
+                )
+            calibration = serialization.load_calibration(
+                args.calibration, self.config
+            )
         self.inferer = TiledInferer(
             self.params, self.config,
             TilingParameters(
@@ -111,6 +124,7 @@ class _ModelService:
             ),
             quantize=None if args.quantize == "none" else args.quantize,
             calibration_images=args.calibration_images,
+            calibration=calibration,
         )
         self.quantize = args.quantize
         self.model_path = args.model

@@ -362,6 +362,7 @@ class TiledInferer:
         use_pallas_blend: bool = False,
         quantize: Optional[str] = None,  # "int8" = quantized conv stack
         calibration_images: int = 1,
+        calibration=None,  # pre-computed per-layer maxima (export/…load)
         blend_dtype: Optional[str] = None,  # None = auto (bf16 iff int8)
         mesh=None,
         mesh_axis: str = "batch",
@@ -403,6 +404,17 @@ class TiledInferer:
         self._calib_accum: Dict[int, list] = {}
         self._calib_seen: Dict[int, int] = {}
         self._calib_frozen: Dict[int, list] = {}
+        # pre-computed calibration (serialization.load_calibration or
+        # export_calibration): per-REAL-channel activation maxima are
+        # fold-agnostic, so a loaded set freezes the int8 net immediately
+        # for ANY tile plan — every image (including the first) runs int8
+        # and deployments are reproducible across restarts
+        if calibration is not None and quantize is None:
+            raise ValueError("calibration requires quantize='int8'")
+        self._preloaded_calib = (
+            [np.asarray(v, np.float32) for v in calibration]
+            if calibration is not None else None
+        )
         if use_pallas_conv is None:
             # the kernel wins 2.4x per layer in isolation but loses composed
             # (194 vs 359 Mpx/s e2e): pallas_call boundaries and the shifted
@@ -595,6 +607,21 @@ class TiledInferer:
         """
         if fold0 in self._quantized_cache:
             return
+        if self._preloaded_calib is not None:
+            from annonet_tpu.models.quantized_runtime import quantize_folded
+
+            (f0, spec), arrays = self._get_folded(fold0)
+            expected = len(spec)
+            if len(self._preloaded_calib) != expected:
+                raise ValueError(
+                    f"calibration has {len(self._preloaded_calib)} layer "
+                    f"vectors, model expects {expected} (wrong model?)"
+                )
+            self._calib_frozen[fold0] = self._preloaded_calib
+            self._quantized_cache[fold0] = quantize_folded(
+                spec, arrays, self._preloaded_calib, self.config, f0
+            )
+            return
         calib = self._collect_calib(fold0, plan, padded_image)
         accum = self._calib_accum.get(fold0)
         if accum is None:
@@ -612,6 +639,19 @@ class TiledInferer:
         self._quantized_cache[fold0] = quantize_folded(
             spec, arrays, accum, self.config, f0
         )
+
+    def export_calibration(self):
+        """The frozen per-layer, per-REAL-channel activation maxima, or
+        None if no int8 net has been frozen yet (run at least
+        ``calibration_images`` images first). Fold-agnostic: persist with
+        serialization.save_calibration and pass back as
+        ``TiledInferer(..., calibration=...)`` to skip runtime
+        calibration entirely (reproducible deployments; the first image
+        then runs int8 too)."""
+        if not self._calib_frozen:
+            return None
+        frozen = next(iter(self._calib_frozen.values()))
+        return [np.asarray(v, np.float32) for v in frozen]
 
     def calibration_overshoot(self, image: np.ndarray) -> float:
         """Clip-saturation telemetry: how far ``image``'s activations

@@ -147,3 +147,56 @@ def load_trainer_state(path: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
             }
             trees[name] = unflatten_tree(flat)
     return trees, payload["meta"]
+
+
+def save_calibration(
+    path: str,
+    calibration,
+    config: SegNetConfig,
+) -> None:
+    """Persist int8 activation-calibration maxima (TPU-native extension).
+
+    ``calibration`` is TiledInferer.export_calibration()'s list of
+    per-layer, per-REAL-channel post-ReLU activation maxima. Persisting
+    them makes int8 deployments reproducible across restarts — a server
+    or CLI started with the saved set skips runtime calibration and runs
+    int8 from the very first image. The model config travels along and is
+    verified at load so a calibration cannot silently apply to a
+    different architecture.
+    """
+    if not calibration:
+        raise ValueError("empty calibration (no frozen int8 net to export)")
+    meta = {
+        "format": _FORMAT,
+        "kind": "int8_calibration",
+        "model_config": config.to_dict(),
+        "layer_count": len(calibration),
+    }
+    arrays = {
+        f"layer{_SEP}{i:03d}": np.asarray(v, np.float32)
+        for i, v in enumerate(calibration)
+    }
+    arrays["__meta__"] = np.frombuffer(
+        json.dumps(meta).encode("utf-8"), dtype=np.uint8
+    )
+    _atomic_savez(path, **arrays)
+
+
+def load_calibration(path: str, config: SegNetConfig):
+    """Read back a save_calibration file; raises if it was produced for a
+    different model config."""
+    with np.load(path) as z:
+        meta = json.loads(bytes(z["__meta__"]).decode("utf-8"))
+        if (meta.get("format") != _FORMAT
+                or meta.get("kind") != "int8_calibration"):
+            raise RuntimeError(
+                f"{path} is not an annonet-tpu calibration file"
+            )
+        if meta["model_config"] != config.to_dict():
+            raise RuntimeError(
+                f"{path} was calibrated for a different model config "
+                f"({meta['model_config']} != {config.to_dict()})"
+            )
+        return [
+            z[f"layer{_SEP}{i:03d}"] for i in range(meta["layer_count"])
+        ]

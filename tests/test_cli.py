@@ -596,3 +596,65 @@ def test_platform_env_pins_backend_in_subprocess():
     )
     assert out.returncode == 0, out.stderr
     assert out.stdout.strip().splitlines()[-1] == "cpu"
+
+
+def test_cli_infer_save_and_load_calibration(tmp_path, capsys):
+    """--save-calibration persists the frozen int8 scales; --calibration
+    loads them so the run skips runtime calibration (TPU extension)."""
+    from annonet_tpu.cli.infer import main as infer_main
+    from annonet_tpu.cli.train import main as train_main
+
+    write_synthetic_dataset(tmp_path, n_images=2, size=32)
+    model_path = str(tmp_path / "annonet.dnn")
+    rc = train_main(
+        [
+            str(tmp_path),
+            "--max-total-steps", "2",
+            "-b", "2",
+            "--level-count", "0",
+            "--net-width-scaler", "0.25",
+            "--input-dimension-multiplier", "1.0",
+            "--data-loader-thread-count", "1",
+            "--output", model_path,
+            "--sync-file", str(tmp_path / "sync.dat"),
+        ]
+    )
+    assert rc == 0
+    capsys.readouterr()
+
+    calib_path = str(tmp_path / "annonet.calib")
+    rc = infer_main(
+        [
+            str(tmp_path),
+            "--model", model_path,
+            "--quantize", "int8",
+            "--save-calibration", calib_path,
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert f"Saved int8 calibration to {calib_path}" in out
+    import os
+
+    assert os.path.exists(calib_path)
+
+    rc = infer_main(
+        [
+            str(tmp_path),
+            "--model", model_path,
+            "--quantize", "int8",
+            "--calibration", calib_path,
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert f"Loaded int8 calibration from {calib_path}" in out
+    assert "All result images written!" in out
+
+    # both flags require --quantize int8 (reference-style outer catch ->
+    # message + exit 1)
+    rc = infer_main(
+        [str(tmp_path), "--model", model_path,
+         "--calibration", calib_path]
+    )
+    assert rc == 1
