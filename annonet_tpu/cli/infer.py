@@ -98,6 +98,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "containing image N (including its earlier images) "
                         "runs quantized. Raise for directories whose first "
                         "image is unrepresentative (dark, low-contrast)")
+    p.add_argument("--blend-dtype", choices=["auto", "float32", "bfloat16"],
+                   default="auto",
+                   help="Accumulation dtype of the tile-blend epilogue. "
+                        "auto = bfloat16 iff --quantize int8 (+14%% "
+                        "measured; the int8 path is already "
+                        "non-bit-exact), float32 otherwise. Pin float32 "
+                        "to make the int8 path's blending match the "
+                        "float path's bit-for-bit")
     p.add_argument("--calibration", default=None, metavar="PATH",
                    help="Load persisted int8 activation calibration "
                         "(written by --save-calibration): skips runtime "
@@ -243,6 +251,8 @@ def _run_impl(args, input_directory, stack) -> int:
         quantize=None if args.quantize == "none" else args.quantize,
         calibration_images=args.calibration_images,
         calibration=calibration,
+        blend_dtype=(None if args.blend_dtype == "auto"
+                     else args.blend_dtype),
         mesh=mesh,
     )
 

@@ -658,3 +658,38 @@ def test_cli_infer_save_and_load_calibration(tmp_path, capsys):
          "--calibration", calib_path]
     )
     assert rc == 1
+
+
+def test_cli_infer_blend_dtype_flag(tmp_path, capsys):
+    """--blend-dtype float32 pins the pre-bf16 blend on the int8 path
+    (escape hatch for bit-parity with the float path's blending)."""
+    from annonet_tpu.cli.infer import main as infer_main
+    from annonet_tpu.cli.train import main as train_main
+
+    write_synthetic_dataset(tmp_path, n_images=2, size=32)
+    model_path = str(tmp_path / "annonet.dnn")
+    rc = train_main(
+        [
+            str(tmp_path),
+            "--max-total-steps", "2",
+            "-b", "2",
+            "--level-count", "0",
+            "--net-width-scaler", "0.25",
+            "--input-dimension-multiplier", "1.0",
+            "--data-loader-thread-count", "1",
+            "--output", model_path,
+            "--sync-file", str(tmp_path / "sync.dat"),
+        ]
+    )
+    assert rc == 0
+    capsys.readouterr()
+    rc = infer_main(
+        [
+            str(tmp_path),
+            "--model", model_path,
+            "--quantize", "int8",
+            "--blend-dtype", "float32",
+        ]
+    )
+    assert rc == 0
+    assert "All result images written!" in capsys.readouterr().out
