@@ -31,7 +31,11 @@ Gains/detection levels are traced arguments of the compiled program
 (infer/core.py), so per-request values never trigger recompilation. The
 device section is serialized with a lock (one chip executes one program
 at a time anyway); image decode/encode run concurrently in the server's
-request threads.
+request threads. With ``--max-batch M`` a dispatcher thread groups up
+to M concurrent same-shape requests (same gains/detection) into ONE
+``infer_arrays_batch`` device call — the TPU-native answer to many
+small concurrent images (one 512² image underfills the chip ~15x);
+``--batch-window-ms`` bounds the added latency under light load.
 """
 
 from __future__ import annotations
@@ -77,6 +81,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "--warmup 2048x2048 (repeatable). Warm-up uses a "
                         "mid-gray image; first real requests then skip the "
                         "20-40s XLA compile.")
+    p.add_argument("--max-batch", type=int, default=1, metavar="M",
+                   help="Dynamic request batching: group up to M "
+                        "concurrent same-size /infer requests (same "
+                        "gains/detection) into ONE device batch "
+                        "(infer_arrays_batch — a lone small image "
+                        "underfills the chip; 512px images measured 15x "
+                        "batched). 1 = off")
+    p.add_argument("--batch-window-ms", type=float, default=5.0,
+                   help="With --max-batch > 1: how long the dispatcher "
+                        "waits for more requests to join a batch before "
+                        "running a partial one (latency floor under "
+                        "light load)")
     p.add_argument("--no-compilation-cache", action="store_true",
                    help="Disable the persistent XLA compilation cache")
     return p
@@ -131,6 +147,24 @@ class _ModelService:
         # one chip runs one program at a time; decode/encode stay parallel
         self.device_lock = threading.Lock()
         self.requests_served = 0
+        self.batches_dispatched = 0
+        # dynamic batching: a dispatcher thread groups concurrent
+        # same-shape/same-params requests into one infer_arrays_batch
+        # call — the TPU-native answer to many small concurrent images
+        # (one 512² image underfills the chip ~15x)
+        self.max_batch = max(1, getattr(args, "max_batch", 1))
+        self.batch_window = max(
+            0.0, getattr(args, "batch_window_ms", 5.0)
+        ) / 1000.0
+        self._batch_queue = None
+        if self.max_batch > 1:
+            import queue as _queue
+
+            self._batch_queue = _queue.Queue()
+            self._dispatcher = threading.Thread(
+                target=self._dispatch_loop, daemon=True
+            )
+            self._dispatcher.start()
 
     # -- image pipeline (mirrors the batch CLI per-image flow) -----------
 
@@ -146,9 +180,78 @@ class _ModelService:
             arr = arr[..., None]
         return arr
 
+    def _device_pass(self, image, gains, detection_levels):
+        """One image through the device (no batching): (labels, seeds)."""
+        import numpy as np
+
+        with_detection = bool(np.any(np.asarray(detection_levels) != 0.0))
+        with self.device_lock:
+            if with_detection:
+                return self.inferer.infer_arrays(
+                    image, gains=gains, detection_levels=detection_levels
+                )
+            labels, _ = self.inferer.infer_arrays(image, gains=gains)
+            return labels, None
+
+    def _dispatch_loop(self):
+        """Group queued requests by (shape, gains, detection) and run each
+        group as one batched device call; partial groups run after
+        batch_window. Results land on each pending request's event."""
+        import queue as _queue
+
+        import numpy as np
+
+        while True:
+            first = self._batch_queue.get()
+            if first is None:
+                return
+            group = [first]
+            deadline = time.monotonic() + self.batch_window
+            while len(group) < self.max_batch:
+                timeout = deadline - time.monotonic()
+                if timeout <= 0:
+                    break
+                try:
+                    nxt = self._batch_queue.get(timeout=timeout)
+                except _queue.Empty:
+                    break
+                if nxt is None:
+                    return
+                group.append(nxt)
+            by_key = {}
+            for p in group:
+                key = (p["image"].shape, tuple(p["gains"]),
+                       tuple(p["detection"]))
+                by_key.setdefault(key, []).append(p)
+            for (_shape, gains, detection), ps in by_key.items():
+                try:
+                    with_detection = any(d != 0.0 for d in detection)
+                    batch = np.stack([p["image"] for p in ps])
+                    with self.device_lock:
+                        labels, seeds = self.inferer.infer_arrays_batch(
+                            batch, gains=list(gains),
+                            detection_levels=(
+                                list(detection) if with_detection else None
+                            ),
+                        )
+                    self.batches_dispatched += 1
+                    for i, p in enumerate(ps):
+                        p["labels"] = np.asarray(labels[i])
+                        p["seeds"] = (
+                            None if seeds is None else np.asarray(seeds[i])
+                        )
+                except Exception as e:
+                    for p in ps:
+                        p["error"] = e
+                finally:
+                    for p in ps:
+                        p["event"].set()
+
     def infer(self, image, gains, detection_levels):
-        """Full single-image flow: downscale -> tiled forward -> blob veto
-        -> labels upscaled to the original size (annonet_infer.cpp flow)."""
+        """Full single-image flow: downscale -> tiled forward (batched
+        with concurrent same-shape requests when --max-batch > 1) ->
+        blob veto -> labels upscaled to the original size
+        (annonet_infer.cpp flow)."""
         import numpy as np
 
         from annonet_tpu.data.sample import (
@@ -162,15 +265,22 @@ class _ModelService:
             h = max(1, int(round(orig_h / self.downscaling_factor)))
             w = max(1, int(round(orig_w / self.downscaling_factor)))
             image = resize_image_bilinear(image, w, h)
-        with_detection = bool(np.any(np.asarray(detection_levels) != 0.0))
-        with self.device_lock:
-            if with_detection:
-                labels, seeds = self.inferer.infer_arrays(
-                    image, gains=gains, detection_levels=detection_levels
-                )
-            else:
-                labels, _ = self.inferer.infer_arrays(image, gains=gains)
-                seeds = None
+        if self._batch_queue is not None:
+            pending = {
+                "image": image, "gains": list(gains),
+                "detection": list(detection_levels),
+                "event": threading.Event(),
+                "labels": None, "seeds": None, "error": None,
+            }
+            self._batch_queue.put(pending)
+            pending["event"].wait()
+            if pending["error"] is not None:
+                raise pending["error"]
+            labels, seeds = pending["labels"], pending["seeds"]
+        else:
+            labels, seeds = self._device_pass(
+                image, gains, detection_levels
+            )
         labels = np.asarray(labels)
         if seeds is not None:
             labels = detection_veto(labels, np.asarray(seeds))
@@ -201,6 +311,8 @@ class _ModelService:
             "required_input_dimension": self.required_input_dimension,
             "quantize": self.quantize,
             "requests_served": self.requests_served,
+            "max_batch": self.max_batch,
+            "batches_dispatched": self.batches_dispatched,
             "classes": [
                 {
                     "label": c.classlabel,

@@ -162,3 +162,76 @@ def test_concurrent_requests_serialize_on_device(server_url):
         t.join()
     assert not errors
     assert service.requests_served == before + 6
+
+
+@pytest.fixture(scope="module")
+def batched_server(tmp_path_factory):
+    model_path = str(tmp_path_factory.mktemp("serveb") / "annonet.dnn")
+    config = SegNetConfig(class_count=3, level_count=0, base_width=16)
+    params, bn = init_state(jax.random.PRNGKey(1), config)
+    runtime = fold_batchnorm(params, bn, config)
+    serialization.save_model(
+        model_path, runtime, config,
+        anno_classes_to_json(default_anno_classes()), 1.0,
+    )
+    args = build_parser().parse_args(
+        ["--model", model_path, "--port", "0",
+         "--tile-max-width", "64", "--tile-max-height", "64",
+         "--max-batch", "4", "--batch-window-ms", "150"]
+    )
+    server, service = make_server(args)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    host, port = server.server_address[:2]
+    yield f"http://{host}:{port}", service
+    server.shutdown()
+    server.server_close()
+
+
+def test_dynamic_batching_groups_concurrent_requests(batched_server):
+    """--max-batch groups concurrent same-shape requests into one device
+    batch; per-request results must equal unbatched inference."""
+    url, service = batched_server
+
+    # warm: a single request compiles the batch-1 program (and drains the
+    # window path once)
+    with _post(url + "/infer?format=labels", _png_bytes(64, 64, seed=9)) as r:
+        warm = np.frombuffer(r.read(), dtype="<u2").reshape(64, 64)
+
+    before_batches = service.batches_dispatched
+    results = {}
+    errors = []
+
+    def one(seed):
+        try:
+            with _post(
+                url + "/infer?format=labels", _png_bytes(64, 64, seed=seed)
+            ) as r:
+                results[seed] = np.frombuffer(
+                    r.read(), dtype="<u2"
+                ).reshape(64, 64)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=one, args=(s,)) for s in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors and len(results) == 4
+    # fewer device dispatches than requests -> at least one real batch
+    dispatched = service.batches_dispatched - before_batches
+    assert 1 <= dispatched < 4
+
+    # per-request results equal the unbatched single-request path
+    for seed in range(4):
+        with _post(
+            url + "/infer?format=labels", _png_bytes(64, 64, seed=seed)
+        ) as r:
+            single = np.frombuffer(r.read(), dtype="<u2").reshape(64, 64)
+        np.testing.assert_array_equal(results[seed], single)
+
+    # mixed shapes split into separate groups but still succeed
+    with _post(url + "/infer?format=labels", _png_bytes(48, 80)) as r:
+        assert r.headers["X-Label-Shape"] == "48,80"
+    assert warm.shape == (64, 64)
