@@ -62,10 +62,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--image-batch", type=int, default=1, metavar="N",
                    help="Forward up to N consecutive SAME-SIZE images as "
                         "one device batch (15x on 512px images: a lone "
-                        "small image underfills the chip). Group sizes are "
-                        "bucketed UP to the next power of two to bound "
-                        "compilation, so non-power-of-two N pads every "
-                        "full group with replicated images. Per-image "
+                        "small image underfills the chip). Full groups "
+                        "compile one exact-size program (any N is fine); "
+                        "only the final remainder group is bucketed UP to "
+                        "a power of two with replicated images. Per-image "
                         "results are numerically equivalent to unbatched "
                         "runs (bit-identical on the tested backends); "
                         "per-image timings become the batch average")
@@ -405,9 +405,14 @@ def _run_impl(args, input_directory, stack) -> int:
                 device_output=True,
             )
         else:
+            # full groups recur for the whole directory -> compile one
+            # EXACT-size program (no padded compute even for odd
+            # --image-batch values); only the final remainder group pads
+            # up to a power-of-two bucket
             labels_dev, seeds_dev = inferer.infer_arrays_batch(
                 np.stack([s.input_image for s in group]),
                 gains, detection_levels, device_output=True,
+                pad_to_bucket=len(group) < image_batch,
             )
         in_flight.append((group, labels_dev, seeds_dev, t_start))
 

@@ -723,6 +723,7 @@ class TiledInferer:
         gains: Optional[Sequence[float]] = None,
         detection_levels: Optional[Sequence[float]] = None,
         device_output: bool = False,
+        pad_to_bucket: bool = True,
     ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
         """Batched pass over M same-size images: (labels [M,H,W], seeds).
 
@@ -732,11 +733,14 @@ class TiledInferer:
         (65 Mpx/s measured) while the same image inside a batch rides the
         full tile batch. Per-image results equal infer_arrays exactly.
 
-        M is bucketed UP to the next power of two by replicating the last
-        image (results sliced back): remainder batches then reuse compiled
-        programs instead of paying a fresh 20-40 s XLA compile each — one
-        redundant partial batch of compute versus a compile is the same
-        trade the canvas bucketing makes for H/W.
+        With ``pad_to_bucket`` (default) M is bucketed UP to the next
+        power of two by replicating the last image (results sliced back):
+        odd batches then reuse compiled programs instead of paying a
+        fresh 20-40 s XLA compile each — one redundant partial batch of
+        compute versus a compile is the same trade the canvas bucketing
+        makes for H/W. Pass ``pad_to_bucket=False`` for a batch size the
+        caller will use REPEATEDLY (e.g. every full --image-batch group):
+        one exact-M compile then zero padded compute on the steady state.
         """
         if images.ndim != 4 or images.shape[3] != self.config.in_channels:
             raise ValueError(
@@ -750,7 +754,7 @@ class TiledInferer:
             raise ValueError(
                 "use_pallas_blend supports a single image per call"
             )
-        m_b = 1 << (m - 1).bit_length()  # next power of two
+        m_b = (1 << (m - 1).bit_length()) if pad_to_bucket else m
         if m_b != m:
             images = np.concatenate(
                 [images, np.repeat(images[-1:], m_b - m, axis=0)]

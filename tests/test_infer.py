@@ -323,3 +323,29 @@ def test_gain_semantics_in_overlap_bands_documented_deviation():
     # invariant under the positive per-pixel scale s)
     labels_nogain, _ = inferer.infer_arrays(image)
     assert (labels_nogain == 1).all()
+
+
+def test_batch_exact_size_no_padding_matches_bucketed():
+    """pad_to_bucket=False compiles an exact-M program (zero padded
+    compute for recurring full --image-batch groups); results equal the
+    power-of-two-bucketed path exactly."""
+    import jax
+
+    from annonet_tpu.models.segnet import (
+        SegNetConfig, fold_batchnorm, init_state,
+    )
+    from annonet_tpu.infer.core import TiledInferer
+    from annonet_tpu.infer.tiling import TilingParameters
+
+    config = SegNetConfig(class_count=3, level_count=0, base_width=16)
+    params, bn = init_state(jax.random.PRNGKey(0), config)
+    runtime = fold_batchnorm(params, bn, config)
+    tiling = TilingParameters(48, 48, 10, 10)
+    inferer = TiledInferer(runtime, config, tiling)
+    rng = np.random.default_rng(3)
+    images = rng.integers(0, 256, size=(3, 60, 60, 3), dtype=np.uint8)
+
+    bucketed, _ = inferer.infer_arrays_batch(images)  # pads 3 -> 4
+    exact, _ = inferer.infer_arrays_batch(images, pad_to_bucket=False)
+    np.testing.assert_array_equal(exact, bucketed)
+    assert exact.shape == (3, 60, 60)
