@@ -81,6 +81,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "--warmup 2048x2048 (repeatable). Warm-up uses a "
                         "mid-gray image; first real requests then skip the "
                         "20-40s XLA compile.")
+    p.add_argument("--mesh", type=int, default=None, metavar="N",
+                   help="Tile-parallel inference over an N-device "
+                        "jax.sharding.Mesh: each request's tile batch is "
+                        "sharded across the mesh (pod-slice serving)")
     p.add_argument("--max-batch", type=int, default=1, metavar="M",
                    help="Dynamic request batching: group up to M "
                         "concurrent same-size /infer requests (same "
@@ -131,6 +135,11 @@ class _ModelService:
             calibration = serialization.load_calibration(
                 args.calibration, self.config
             )
+        mesh = None
+        if getattr(args, "mesh", None):
+            from annonet_tpu.cli.common import make_cli_mesh
+
+            mesh = make_cli_mesh(args.mesh)
         self.inferer = TiledInferer(
             self.params, self.config,
             TilingParameters(
@@ -141,6 +150,7 @@ class _ModelService:
             quantize=None if args.quantize == "none" else args.quantize,
             calibration_images=args.calibration_images,
             calibration=calibration,
+            mesh=mesh,
         )
         self.quantize = args.quantize
         self.model_path = args.model

@@ -235,3 +235,45 @@ def test_dynamic_batching_groups_concurrent_requests(batched_server):
     with _post(url + "/infer?format=labels", _png_bytes(48, 80)) as r:
         assert r.headers["X-Label-Shape"] == "48,80"
     assert warm.shape == (64, 64)
+
+
+def test_serve_with_mesh(tmp_path):
+    """--mesh N serves tile-parallel over the (virtual 8-device) mesh."""
+    model_path = str(tmp_path / "annonet.dnn")
+    config = SegNetConfig(class_count=3, level_count=0, base_width=16)
+    params, bn = init_state(jax.random.PRNGKey(2), config)
+    runtime = fold_batchnorm(params, bn, config)
+    serialization.save_model(
+        model_path, runtime, config,
+        anno_classes_to_json(default_anno_classes()), 1.0,
+    )
+    args = build_parser().parse_args(
+        ["--model", model_path, "--port", "0", "--mesh", "8",
+         "--tile-max-width", "64", "--tile-max-height", "64"]
+    )
+    server, service = make_server(args)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        host, port = server.server_address[:2]
+        url = f"http://{host}:{port}"
+        with _post(url + "/infer?format=labels", _png_bytes(80, 80)) as r:
+            labels = np.frombuffer(r.read(), dtype="<u2").reshape(80, 80)
+        assert labels.max() < 3
+
+        # mesh results equal single-device results exactly
+        args1 = build_parser().parse_args(
+            ["--model", model_path, "--port", "0",
+             "--tile-max-width", "64", "--tile-max-height", "64"]
+        )
+        from annonet_tpu.cli.serve import _ModelService
+
+        single = _ModelService(args1)
+        image = single.decode(_png_bytes(80, 80))
+        expected = single.infer(
+            image, single.default_gains, single.default_detection
+        )
+        np.testing.assert_array_equal(labels, expected)
+    finally:
+        server.shutdown()
+        server.server_close()
