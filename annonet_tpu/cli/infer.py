@@ -243,7 +243,7 @@ def _run_impl(args, input_directory, stack) -> int:
     calibration = None
     if args.calibration:
         calibration = serialization.load_calibration(
-            args.calibration, model_config
+            args.calibration, model_config, runtime_params
         )
         print(f"Loaded int8 calibration from {args.calibration}")
     inferer = TiledInferer(
@@ -407,12 +407,15 @@ def _run_impl(args, input_directory, stack) -> int:
         else:
             # full groups recur for the whole directory -> compile one
             # EXACT-size program (no padded compute even for odd
-            # --image-batch values); only the final remainder group pads
-            # up to a power-of-two bucket
+            # --image-batch values); the final remainder group pads up to
+            # that already-compiled size instead of paying a fresh
+            # power-of-two compile for a one-off batch
             labels_dev, seeds_dev = inferer.infer_arrays_batch(
                 np.stack([s.input_image for s in group]),
                 gains, detection_levels, device_output=True,
-                pad_to_bucket=len(group) < image_batch,
+                pad_to_bucket=(
+                    False if len(group) == image_batch else image_batch
+                ),
             )
         in_flight.append((group, labels_dev, seeds_dev, t_start))
 
@@ -540,7 +543,8 @@ def _run_impl(args, input_directory, stack) -> int:
                       "(fewer images than --calibration-images?)")
             else:
                 serialization.save_calibration(
-                    args.save_calibration, exported, model_config
+                    args.save_calibration, exported, model_config,
+                    runtime_params,
                 )
                 print(f"Saved int8 calibration to {args.save_calibration}")
     finally:

@@ -105,7 +105,7 @@ def build_parser() -> argparse.ArgumentParser:
 class _ModelService:
     """The shared model state behind the HTTP handlers."""
 
-    def __init__(self, args):
+    def __init__(self, args, mesh=None):
         from annonet_tpu import serialization
         from annonet_tpu.classes import parse_anno_classes
         from annonet_tpu.cli.common import parse_class_specific_values
@@ -133,10 +133,9 @@ class _ModelService:
                     "--calibration requires --quantize int8"
                 )
             calibration = serialization.load_calibration(
-                args.calibration, self.config
+                args.calibration, self.config, self.params
             )
-        mesh = None
-        if getattr(args, "mesh", None):
+        if mesh is None and getattr(args, "mesh", None):
             from annonet_tpu.cli.common import make_cli_mesh
 
             mesh = make_cli_mesh(args.mesh)
@@ -156,6 +155,7 @@ class _ModelService:
         self.model_path = args.model
         # one chip runs one program at a time; decode/encode stay parallel
         self.device_lock = threading.Lock()
+        self._stats_lock = threading.Lock()
         self.requests_served = 0
         self.batches_dispatched = 0
         # dynamic batching: a dispatcher thread groups concurrent
@@ -244,7 +244,8 @@ class _ModelService:
                                 list(detection) if with_detection else None
                             ),
                         )
-                    self.batches_dispatched += 1
+                    with self._stats_lock:
+                        self.batches_dispatched += 1
                     for i, p in enumerate(ps):
                         p["labels"] = np.asarray(labels[i])
                         p["seeds"] = (
@@ -296,7 +297,8 @@ class _ModelService:
             labels = detection_veto(labels, np.asarray(seeds))
         if labels.shape != (orig_h, orig_w):
             labels = resize_label_image(labels, orig_w, orig_h)
-        self.requests_served += 1
+        with self._stats_lock:
+            self.requests_served += 1
         return labels
 
     def encode_png(self, labels) -> bytes:
@@ -355,6 +357,11 @@ def make_server(args, service: Optional[_ModelService] = None):
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
+        # socket timeout for reads: a client that advertises more
+        # Content-Length than it sends must not park a handler thread
+        # forever
+        timeout = 120
+        max_body_bytes = 256 * 1024 * 1024
 
         def log_message(self, fmt, *log_args):  # quiet by default
             pass
@@ -387,7 +394,13 @@ def make_server(args, service: Optional[_ModelService] = None):
                 length = int(self.headers.get("Content-Length", "0"))
                 if length <= 0:
                     raise ValueError("empty request body")
+                if length > self.max_body_bytes:
+                    raise ValueError(
+                        f"request body exceeds {self.max_body_bytes} bytes"
+                    )
                 body = self.rfile.read(length)
+                if len(body) < length:
+                    raise ValueError("truncated request body")
                 query = parse_qs(url.query)
                 gains = _parse_query_values(svc, query, "gain")
                 if gains is None:
@@ -467,12 +480,20 @@ def main(argv=None) -> int:
 
         enable_compilation_cache()
     try:
+        # mesh setup must precede select_device: the virtual-device flags
+        # only take effect before the JAX backend initializes (same
+        # ordering as cli/infer.py)
+        mesh = None
+        if args.mesh:
+            from annonet_tpu.cli.common import make_cli_mesh
+
+            mesh = make_cli_mesh(args.mesh)
         if args.device is not None:
             from annonet_tpu.cli.common import select_device
 
             ctx = select_device(args.device)
             ctx.__enter__()  # held for the server's lifetime
-        service = _ModelService(args)
+        service = _ModelService(args, mesh=mesh)
     except Exception as e:
         print(str(e))
         return 1

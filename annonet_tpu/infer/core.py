@@ -650,8 +650,16 @@ class TiledInferer:
         then runs int8 too)."""
         if not self._calib_frozen:
             return None
-        frozen = next(iter(self._calib_frozen.values()))
-        return [np.asarray(v, np.float32) for v in frozen]
+        # maxima are per-REAL-channel, so when several tile plans froze
+        # different fold0 nets (mixed image sizes in one run), the
+        # order-independent union is the element-wise max across folds
+        merged = None
+        for frozen in self._calib_frozen.values():
+            vecs = [np.asarray(v, np.float32) for v in frozen]
+            merged = vecs if merged is None else [
+                np.maximum(a, b) for a, b in zip(merged, vecs)
+            ]
+        return merged
 
     def calibration_overshoot(self, image: np.ndarray) -> float:
         """Clip-saturation telemetry: how far ``image``'s activations
@@ -723,7 +731,7 @@ class TiledInferer:
         gains: Optional[Sequence[float]] = None,
         detection_levels: Optional[Sequence[float]] = None,
         device_output: bool = False,
-        pad_to_bucket: bool = True,
+        pad_to_bucket=True,  # True | False | int target size
     ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
         """Batched pass over M same-size images: (labels [M,H,W], seeds).
 
@@ -733,15 +741,17 @@ class TiledInferer:
         (65 Mpx/s measured) while the same image inside a batch rides the
         full tile batch. Per-image results equal infer_arrays exactly.
 
-        With ``pad_to_bucket`` (default) M is bucketed UP to the next
-        power of two by replicating the last image (results sliced back):
-        odd batches then reuse compiled programs instead of paying a
-        fresh 20-40 s XLA compile each — one redundant partial batch of
-        compute versus a compile is the same trade the canvas bucketing
-        makes for H/W. Pass ``pad_to_bucket=False`` for a batch size the
-        caller will use REPEATEDLY (e.g. every full --image-batch group):
-        one exact-M compile then zero padded compute on the steady state.
-        """
+        ``pad_to_bucket`` controls the compile-vs-padded-compute trade:
+        True (default) buckets M UP to the next power of two by
+        replicating the last image (results sliced back) so odd batches
+        reuse compiled programs instead of paying a fresh 20-40 s XLA
+        compile each — the same trade the canvas bucketing makes for
+        H/W. False compiles an exact-M program: right for a batch size
+        the caller uses REPEATEDLY (every full --image-batch group).
+        An int pads M up to exactly that size — right for a one-off
+        remainder batch when a program of that size already exists
+        (the CLI's final group pads to the full-group size rather than
+        compiling a fresh power-of-two program)."""
         if images.ndim != 4 or images.shape[3] != self.config.in_channels:
             raise ValueError(
                 f"expected (M, H, W, {self.config.in_channels}) input, "
@@ -754,7 +764,16 @@ class TiledInferer:
             raise ValueError(
                 "use_pallas_blend supports a single image per call"
             )
-        m_b = (1 << (m - 1).bit_length()) if pad_to_bucket else m
+        if pad_to_bucket is True:
+            m_b = 1 << (m - 1).bit_length()
+        elif pad_to_bucket is False:
+            m_b = m
+        else:
+            m_b = int(pad_to_bucket)
+            if m_b < m:
+                raise ValueError(
+                    f"pad_to_bucket target {m_b} is below the batch size {m}"
+                )
         if m_b != m:
             images = np.concatenate(
                 [images, np.repeat(images[-1:], m_b - m, axis=0)]

@@ -149,10 +149,26 @@ def load_trainer_state(path: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     return trees, payload["meta"]
 
 
+def weights_fingerprint(runtime_params: Any) -> str:
+    """sha256 over the flattened parameter tree (paths + raw bytes):
+    identifies the exact trained weights, not just the architecture."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for key, arr in sorted(flatten_tree(runtime_params).items()):
+        h.update(key.encode("utf-8"))
+        a = np.ascontiguousarray(np.asarray(arr))
+        h.update(str(a.dtype).encode("utf-8"))
+        h.update(str(a.shape).encode("utf-8"))
+        h.update(a.tobytes())
+    return h.hexdigest()
+
+
 def save_calibration(
     path: str,
     calibration,
     config: SegNetConfig,
+    runtime_params: Any = None,
 ) -> None:
     """Persist int8 activation-calibration maxima (TPU-native extension).
 
@@ -160,9 +176,11 @@ def save_calibration(
     per-layer, per-REAL-channel post-ReLU activation maxima. Persisting
     them makes int8 deployments reproducible across restarts — a server
     or CLI started with the saved set skips runtime calibration and runs
-    int8 from the very first image. The model config travels along and is
-    verified at load so a calibration cannot silently apply to a
-    different architecture.
+    int8 from the very first image. The model config AND (when
+    ``runtime_params`` is given) a weights fingerprint travel along and
+    are verified at load: activation ranges depend on the trained
+    weights, so a calibration from a retrained model must not silently
+    apply even when the architecture matches.
     """
     if not calibration:
         raise ValueError("empty calibration (no frozen int8 net to export)")
@@ -172,6 +190,8 @@ def save_calibration(
         "model_config": config.to_dict(),
         "layer_count": len(calibration),
     }
+    if runtime_params is not None:
+        meta["weights_sha256"] = weights_fingerprint(runtime_params)
     arrays = {
         f"layer{_SEP}{i:03d}": np.asarray(v, np.float32)
         for i, v in enumerate(calibration)
@@ -182,9 +202,11 @@ def save_calibration(
     _atomic_savez(path, **arrays)
 
 
-def load_calibration(path: str, config: SegNetConfig):
+def load_calibration(path: str, config: SegNetConfig,
+                     runtime_params: Any = None):
     """Read back a save_calibration file; raises if it was produced for a
-    different model config."""
+    different model config, or (when both sides carry a fingerprint) for
+    different trained weights."""
     with np.load(path) as z:
         meta = json.loads(bytes(z["__meta__"]).decode("utf-8"))
         if (meta.get("format") != _FORMAT
@@ -197,6 +219,14 @@ def load_calibration(path: str, config: SegNetConfig):
                 f"{path} was calibrated for a different model config "
                 f"({meta['model_config']} != {config.to_dict()})"
             )
+        if runtime_params is not None and "weights_sha256" in meta:
+            actual = weights_fingerprint(runtime_params)
+            if meta["weights_sha256"] != actual:
+                raise RuntimeError(
+                    f"{path} was calibrated for different trained weights "
+                    "(same architecture, different model — recalibrate "
+                    "with --save-calibration)"
+                )
         return [
             z[f"layer{_SEP}{i:03d}"] for i in range(meta["layer_count"])
         ]

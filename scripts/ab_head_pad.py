@@ -1,14 +1,13 @@
-"""A/B: lane-padded 128-channel int8 head vs the 24-lane head.
+"""HISTORICAL RECORD of the reverted head lane-padding A/B (DESIGN §16).
 
-Arm "pad24" monkeypatches apply_folded_int8 to force
-head_padded_output=False during its (cached) trace, reproducing the old
-program where the head conv stores a tiles-in-lanes 24-channel output.
-Arm "pad128" is the shipped path (clean 128-lane store + barrier +
-slice fused into the ramp multiply). Interleaved rounds in ONE process
-(tunnel drift hits both arms, DESIGN.md §14); also counts on-device
-label disagreements (must be 0 — the padded lanes are zero-weight).
-
-Run alone on the TPU.
+This script measured commit 24c3147's lane-padded int8 head against a
+padded-weights+fused-slice arm and read "+17.7%" — while the device
+timeline showed the padded head REGRESSED the shipped program (27.0 ->
+30.4 ms/image). The experiment was reverted (commit 0461135); it stays
+in-tree as the record of WHY interleaved A/Bs need the real shipped
+program as their baseline arm. It feature-detects the reverted
+`head_padded_output` kwarg and refuses to run against current code —
+check out 24c3147 to reproduce the (misleading) numbers.
 """
 
 import os
@@ -37,6 +36,16 @@ ROUNDS = 4
 
 
 def main() -> None:
+    import inspect
+
+    if "head_padded_output" not in inspect.signature(
+        quantized_runtime.apply_folded_int8
+    ).parameters:
+        print(__doc__)
+        print("head_padded_output was reverted (commit 0461135); this "
+              "record-only script needs commit 24c3147 to run.")
+        return
+
     config = SegNetConfig(class_count=3, level_count=3, base_width=16)
     params, bn_stats = init_state(jax.random.PRNGKey(0), config)
     rp = fold_batchnorm(params, bn_stats, config)

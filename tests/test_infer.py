@@ -349,3 +349,32 @@ def test_batch_exact_size_no_padding_matches_bucketed():
     exact, _ = inferer.infer_arrays_batch(images, pad_to_bucket=False)
     np.testing.assert_array_equal(exact, bucketed)
     assert exact.shape == (3, 60, 60)
+
+
+def test_batch_pad_to_bucket_int_target():
+    """pad_to_bucket=<int> pads a remainder batch up to an existing
+    program's exact size (the CLI's final-group path); results equal the
+    default bucketing, and an undersized target is rejected."""
+    import jax
+    import pytest
+
+    from annonet_tpu.models.segnet import (
+        SegNetConfig, fold_batchnorm, init_state,
+    )
+    from annonet_tpu.infer.core import TiledInferer
+    from annonet_tpu.infer.tiling import TilingParameters
+
+    config = SegNetConfig(class_count=3, level_count=0, base_width=16)
+    params, bn = init_state(jax.random.PRNGKey(0), config)
+    runtime = fold_batchnorm(params, bn, config)
+    tiling = TilingParameters(48, 48, 10, 10)
+    inferer = TiledInferer(runtime, config, tiling)
+    rng = np.random.default_rng(5)
+    images = rng.integers(0, 256, size=(2, 60, 60, 3), dtype=np.uint8)
+
+    padded, _ = inferer.infer_arrays_batch(images, pad_to_bucket=6)
+    default, _ = inferer.infer_arrays_batch(images)
+    np.testing.assert_array_equal(padded, default)
+    assert padded.shape == (2, 60, 60)
+    with pytest.raises(ValueError, match="below the batch size"):
+        inferer.infer_arrays_batch(images, pad_to_bucket=1)

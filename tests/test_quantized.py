@@ -413,3 +413,33 @@ def test_calibration_export_load_roundtrip(tmp_path):
             runtime, config, tiling, quantize="int8",
             calibration=loaded[:-1],
         ).infer_arrays(images[0])
+
+
+def test_calibration_weights_fingerprint_rejects_retrained_model(tmp_path):
+    """Same architecture, different trained weights -> load refuses
+    (activation ranges are weight-dependent)."""
+    from annonet_tpu import serialization
+
+    config = SegNetConfig(class_count=3, level_count=1, base_width=16)
+    params_a, bn_a = init_state(jax.random.PRNGKey(0), config)
+    runtime_a = fold_batchnorm(params_a, bn_a, config)
+    params_b, bn_b = init_state(jax.random.PRNGKey(7), config)
+    runtime_b = fold_batchnorm(params_b, bn_b, config)
+    tiling = TilingParameters(64, 64, 20, 20)
+    rng = np.random.default_rng(0)
+    image = rng.integers(0, 256, size=(100, 100, 3), dtype=np.uint8)
+
+    source = TiledInferer(runtime_a, config, tiling, quantize="int8")
+    annonet_infer(source, image)
+    path = str(tmp_path / "annonet.calib")
+    serialization.save_calibration(
+        path, source.export_calibration(), config, runtime_a
+    )
+
+    # same weights: loads fine
+    serialization.load_calibration(path, config, runtime_a)
+    # different weights, same config: refused
+    with pytest.raises(RuntimeError, match="different trained weights"):
+        serialization.load_calibration(path, config, runtime_b)
+    # loader without params still works (fingerprint check is opt-in)
+    assert serialization.load_calibration(path, config) is not None

@@ -177,7 +177,7 @@ def batched_server(tmp_path_factory):
     args = build_parser().parse_args(
         ["--model", model_path, "--port", "0",
          "--tile-max-width", "64", "--tile-max-height", "64",
-         "--max-batch", "4", "--batch-window-ms", "150"]
+         "--max-batch", "4", "--batch-window-ms", "500"]
     )
     server, service = make_server(args)
     thread = threading.Thread(target=server.serve_forever, daemon=True)
