@@ -133,6 +133,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "(the flush lags a full interval so it never stalls "
                         "the in-flight pipeline). "
                         "1 = block per step (fully synchronous)")
+    p.add_argument("--steps-per-dispatch", type=int, default=4,
+                   help="lax.scan K train steps into ONE device dispatch "
+                        "(device-image-cache path; forced to 1 under "
+                        "--mesh): amortizes per-dispatch host overhead "
+                        "across K steps (measured 40 -> 24 ms/step e2e on "
+                        "a tunneled link); numerically equivalent to K "
+                        "single dispatches (scan compilation may reorder "
+                        "reductions). The plateau detector additionally "
+                        "lags up to K-1 steps. 1 = one dispatch per step")
     return p
 
 
@@ -285,6 +294,11 @@ def _run_impl(args, input_directory, stack) -> int:
         remat=args.remat,
         int8_forward=args.int8_training,
         loss_sync_interval=max(1, args.loss_sync_interval),
+        # DP uses the two-dispatch gather+shard_map form; the scan
+        # superstep is a single-device fused-path optimization
+        steps_per_dispatch=(
+            1 if args.mesh else max(1, args.steps_per_dispatch)
+        ),
         sync_file=args.sync_file,
         sync_interval_seconds=600.0,
         verbose=True,
@@ -453,6 +467,7 @@ def _run_impl(args, input_directory, stack) -> int:
             print(e)
             return 2
 
+    trainer.flush_pending_steps()  # dispatch any buffered superstep tail
     save_inference_net()
     trainer.save_sync_file()
     return 0

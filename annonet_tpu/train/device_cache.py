@@ -144,6 +144,13 @@ class DeviceImagePool:
         self.uploads += 1
         self.upload_bytes += img.nbytes + lab.nbytes
 
+    def all_resident(self, samples: List[object]) -> bool:
+        """True when ensure() for this batch would be a pure lookup — no
+        uploads, evictions, or pool-geometry growth. The trainer's
+        superstep buffer requires this (buffered decisions reference pool
+        slots by index, so the pool must stay untouched between them)."""
+        return all(id(s) in self._by_id for s in samples)
+
     def ensure(self, samples: List[object], min_dim: int = 0) -> np.ndarray:
         """Make every sample resident; returns per-sample slot indices
         (int32 [len(samples)]). Grows the pool if the batch references

@@ -78,6 +78,16 @@ class TrainerConfig:
     # prepare the next minibatches while steps are in flight, at the cost of
     # the plateau detector seeing losses up to that many steps late.
     loss_sync_interval: int = 1
+    # lax.scan K pool-fed steps into ONE XLA dispatch (single-device
+    # device-pool path only): amortizes per-dispatch host/link overhead
+    # (~4 ms/step on a tunneled link) across K steps. Numerically
+    # equivalent to K single dispatches (same key stream, per-step BN
+    # momenta ride the scan; the scan-body compilation may reorder
+    # reductions — equivalence tested to 1e-5). The buffer flushes early (as single steps) whenever
+    # a batch references a non-resident image, so pool uploads/evictions
+    # never land under buffered decisions. LR/plateau logic already lags
+    # via loss_sync_interval; a superstep adds at most K-1 steps of lag.
+    steps_per_dispatch: int = 1
     sync_file: Optional[str] = None
     sync_interval_seconds: float = 600.0
     verbose: bool = False
@@ -267,6 +277,50 @@ def make_fused_pool_step(
     return step
 
 
+def make_fused_pool_superstep(
+    model_config: SegNetConfig,
+    trainer_config: TrainerConfig,
+    crop_options,
+    dim: int,
+    k: int,
+) -> Callable:
+    """lax.scan ``k`` pool-fed train steps into ONE XLA program.
+
+    (params, bn_stats, velocity, lr, bn_momenta[k], carry_key,
+     pool_images, pool_labels, packed[k, 5, B])
+        -> (params, bn_stats, velocity, losses[k], next_carry)
+
+    Each scan iteration is the with_key_carry'd make_fused_pool_step
+    body (same key stream, per-step BN momentum from ``bn_momenta``), so
+    a superstep is numerically equivalent to ``k`` single dispatches
+    (the scan-body compilation may reorder reductions within float
+    tolerance) — only the host/link round trip per step is amortized.
+    The image pool is a scan invariant: callers must not upload/evict
+    between the buffered decisions (Trainer flushes the buffer on any
+    non-resident batch)."""
+    inner = with_key_carry(
+        make_fused_pool_step(model_config, trainer_config, crop_options, dim)
+    )
+
+    def superstep(params, bn_stats, velocity, lr, bn_momenta, carry_key,
+                  pool_images, pool_labels, packed):
+        def body(carry, xs):
+            p, b, v, key = carry
+            momentum, idx = xs
+            p, b, v, loss, key = inner(
+                p, b, v, lr, momentum, key, pool_images, pool_labels, idx
+            )
+            return (p, b, v, key), loss
+
+        (params, bn_stats, velocity, carry_key), losses = jax.lax.scan(
+            body, (params, bn_stats, velocity, carry_key),
+            (bn_momenta, packed),
+        )
+        return params, bn_stats, velocity, losses, carry_key
+
+    return superstep
+
+
 def with_key_carry(step_fn: Callable) -> Callable:
     """Wrap a fused step so the per-step augmentation-key split happens
     INSIDE the step's XLA program:
@@ -324,6 +378,10 @@ class Trainer:
         self._fused_step_fn = None
         self._fused_key = None
         self._pool_step_fns: Dict[int, Callable] = {}
+        # superstep buffer (steps_per_dispatch > 1): (pool, dim, packed
+        # [5,B], bn_momentum) per buffered step, dispatched as ONE
+        # lax.scan program when full
+        self._superstep_buffer: list = []
         self._loss_window_cap = (
             trainer_config.iterations_without_progress_threshold
             + trainer_config.previous_loss_values_dump_amount
@@ -428,6 +486,12 @@ class Trainer:
                 "<= 1 (the resize path materializes pixels on the host)"
             )
         dim = int(round(crop_options.dim * fdf))
+        # superstep buffering treats the pool as a scan invariant: a batch
+        # that touches a NON-resident image is about to upload/evict pool
+        # slots, so dispatch the buffered steps first (as single steps),
+        # BEFORE ensure() mutates anything the buffer references
+        if self._superstep_buffer and not pool.all_resident(samples):
+            self.flush_pending_steps()
         # the gather dynamic_slices a [dim, dim] window from a slot, so
         # slots must be at least crop-sized even when every image is
         # smaller than the crop
@@ -462,6 +526,22 @@ class Trainer:
                 images, labels, crop_options, seed=seed
             )
 
+        if self.config.steps_per_dispatch > 1:
+            # scan-superstep path: buffer this step's decisions; one
+            # lax.scan program dispatches K of them at once (pool
+            # residency was guaranteed above)
+            self._ensure_fused_key(seed)
+            momentum = bn_momentum_for_step(
+                self.step_count + len(self._superstep_buffer),
+                max(1, self.config.bn_stats_window),
+            )
+            self._superstep_buffer.append(
+                (pool, dim, crop_options, packed, momentum)
+            )
+            if len(self._superstep_buffer) >= self.config.steps_per_dispatch:
+                self._dispatch_superstep()
+            return None
+
         step_fn = self._pool_step_fns.get(("fused", dim))
         if step_fn is None:
             step_fn = opt_jit(
@@ -491,6 +571,86 @@ class Trainer:
             packed,
         )
         return self._finish_step(loss)
+
+    def _dispatch_superstep(self) -> None:
+        """Run the buffered decision steps as ONE lax.scan program."""
+        buffer, self._superstep_buffer = self._superstep_buffer, []
+        if not buffer:
+            return
+        pool, dim, crop_options, _p, _m = buffer[0]
+        assert all(b[1] == dim for b in buffer)
+        k = len(buffer)
+        fn = self._pool_step_fns.get(("superstep", dim, k))
+        if fn is None:
+            fn = opt_jit(
+                make_fused_pool_superstep(
+                    self.model_config, self.config, crop_options, dim, k
+                )
+            )
+            self._pool_step_fns[("superstep", dim, k)] = fn
+        packed = np.stack([b[3] for b in buffer])  # [K, 5, B]
+        momenta = np.asarray([b[4] for b in buffer], np.float32)
+        (
+            self.params,
+            self.bn_stats,
+            self.velocity,
+            losses,
+            self._fused_key,
+        ) = fn(
+            self.params,
+            self.bn_stats,
+            self.velocity,
+            np.float32(self.learning_rate),
+            momenta,
+            self._fused_key,
+            pool.images,
+            pool.labels,
+            packed,
+        )
+        self.step_count += k
+        self._pending_losses.append(losses)  # [K] device array
+        if len(self._pending_losses) >= 2 * max(
+            1, self.config.loss_sync_interval // k
+        ):
+            self.flush_losses(
+                max(1, self.config.loss_sync_interval // k)
+            )
+
+    def flush_pending_steps(self) -> None:
+        """Dispatch any buffered superstep decisions now (as one scan of
+        whatever length is buffered when full-length, else single steps
+        to avoid compiling a one-off scan length)."""
+        buffer, self._superstep_buffer = self._superstep_buffer, []
+        for pool, dim, crop_options, packed, momentum in buffer:
+            step_fn = self._pool_step_fns.get(("fused", dim))
+            if step_fn is None:
+                step_fn = opt_jit(
+                    with_key_carry(
+                        make_fused_pool_step(
+                            self.model_config, self.config, crop_options,
+                            dim,
+                        )
+                    )
+                )
+                self._pool_step_fns[("fused", dim)] = step_fn
+            (
+                self.params,
+                self.bn_stats,
+                self.velocity,
+                loss,
+                self._fused_key,
+            ) = step_fn(
+                self.params,
+                self.bn_stats,
+                self.velocity,
+                np.float32(self.learning_rate),
+                np.float32(momentum),
+                self._fused_key,
+                pool.images,
+                pool.labels,
+                packed,
+            )
+            self._finish_step(loss)
 
     def _gather_shardings(self):
         """Output shardings for the pool gather (None = single device).
@@ -539,7 +699,10 @@ class Trainer:
         else:
             batch = self._pending_losses[:count]
             self._pending_losses = self._pending_losses[count:]
-        values = np.asarray(jnp.stack(batch)).tolist()
+        # entries are scalars (single steps) or [K] arrays (supersteps)
+        values = np.concatenate(
+            [np.atleast_1d(np.asarray(b)) for b in batch]
+        ).tolist()
         for value in values:
             self._record_loss(float(value))
         self._maybe_sync()
@@ -601,6 +764,7 @@ class Trainer:
         }
 
     def save_sync_file(self, path: Optional[str] = None) -> None:
+        self.flush_pending_steps()
         self.flush_losses()
         path = path or self.config.sync_file
         if not path:

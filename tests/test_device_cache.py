@@ -414,3 +414,72 @@ def test_pool_slots_allocate_lazily_and_crop_dim_floor():
     # LRU still honors capacity: adding a third image grows to 4 slots
     pool.ensure([FakeSample(rng, 40, 48)], min_dim=dim)
     assert pool.shape[0] == 4
+
+
+def test_superstep_matches_single_dispatches_bit_exact():
+    """steps_per_dispatch=K (ONE lax.scan program) reproduces K single
+    dispatches: same key stream and per-step BN momenta; the scan-body
+    compilation may reorder reductions, so equality is numerical
+    (1e-5), not bit-level. Also covers the residency-guard flush (a
+    non-resident batch mid-buffer) and the end-of-run tail flush."""
+    rng = np.random.default_rng(4)
+    mc = SegNetConfig(
+        class_count=3, level_count=1, base_width=4, compute_dtype="float32"
+    )
+    co = CropOptions(
+        dim=16, allow_flip_left_right=True, noise_level_stddev=1.0
+    )
+    samples = [FakeSample(rng, 48, 64), FakeSample(rng, 30, 30)]
+    extra = FakeSample(rng, 40, 40)  # appears mid-run: triggers the guard
+
+    def decisions(step_rng):
+        batch_samples, rects = [], []
+        for _ in range(8):
+            pick = int(step_rng.integers(0, 3))
+            s = (samples + [extra])[pick]
+            h, w = s.label_image.shape
+            y = int(step_rng.integers(-8, h))
+            x = int(step_rng.integers(-8, w))
+            batch_samples.append(s)
+            rects.append((x, y, x + co.dim - 1, y + co.dim - 1))
+        return batch_samples, rects
+
+    def run(k):
+        t = Trainer(
+            mc,
+            TrainerConfig(
+                initial_learning_rate=0.05,
+                steps_per_dispatch=k,
+                loss_sync_interval=4,
+            ),
+            seed=0,
+        )
+        pool = DeviceImagePool(slots=4)
+        step_rng = np.random.default_rng(11)
+        for _ in range(7):  # 7 steps: K=3 leaves a 1-step tail to flush
+            t.train_step_decisions(pool, *decisions(step_rng), co, seed=5)
+        t.flush_pending_steps()
+        t.flush_losses()
+        return t
+
+    t1 = run(1)
+    t3 = run(3)
+    assert t1.step_count == t3.step_count == 7
+    np.testing.assert_allclose(
+        np.asarray(t1.previous_loss_values),
+        np.asarray(t3.previous_loss_values), rtol=1e-5,
+    )
+    for p1, p2 in zip(
+        jax.tree_util.tree_leaves(t1.params),
+        jax.tree_util.tree_leaves(t3.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(p1), np.asarray(p2), rtol=1e-4, atol=1e-6
+        )
+    for b1, b2 in zip(
+        jax.tree_util.tree_leaves(t1.bn_stats),
+        jax.tree_util.tree_leaves(t3.bn_stats),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b1), np.asarray(b2), rtol=1e-4, atol=1e-6
+        )
