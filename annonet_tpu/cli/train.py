@@ -140,8 +140,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "across K steps (measured 40 -> 24 ms/step e2e on "
                         "a tunneled link); numerically equivalent to K "
                         "single dispatches (scan compilation may reorder "
-                        "reductions). The plateau detector additionally "
-                        "lags up to K-1 steps. 1 = one dispatch per step")
+                        "reductions). Losses are read back in K-sized "
+                        "batches, so the plateau detector can see them up "
+                        "to 2*max(K, --loss-sync-interval) steps late. "
+                        "Disabled by --loss-sync-interval 1 (blocking "
+                        "per-step losses win). 1 = one dispatch per step")
     return p
 
 

@@ -399,6 +399,9 @@ class Trainer:
     ) -> float:
         """One minibatch update (the StartTraining analog,
         annonet_train_main.cpp:609). Returns the minibatch loss."""
+        # buffered superstep decisions must land first: they claimed the
+        # preceding BN-momentum step indices and dataset order
+        self.flush_pending_steps()
         self.params, self.bn_stats, self.velocity, loss = self._step_fn(
             self.params,
             self.bn_stats,
@@ -422,6 +425,10 @@ class Trainer:
         + forward/backward/SGD fused in one jitted call (the TPU-first
         replacement for the reference's host-side per-crop work +
         StartTraining)."""
+        # a pixel batch (e.g. the pipeline's pin-budget fallback) must not
+        # overtake buffered superstep decisions: flush them first so step
+        # order and the BN-momentum schedule stay sequential
+        self.flush_pending_steps()
         if self._fused_step_fn is None:
             self._fused_step_fn = opt_jit(
                 with_key_carry(
@@ -489,8 +496,14 @@ class Trainer:
         # superstep buffering treats the pool as a scan invariant: a batch
         # that touches a NON-resident image is about to upload/evict pool
         # slots, so dispatch the buffered steps first (as single steps),
-        # BEFORE ensure() mutates anything the buffer references
-        if self._superstep_buffer and not pool.all_resident(samples):
+        # BEFORE ensure() mutates anything the buffer references. The same
+        # flush covers a caller switching pools / crop geometry mid-run —
+        # buffered entries must all reference ONE pool state and dim.
+        if self._superstep_buffer and (
+            not pool.all_resident(samples)
+            or self._superstep_buffer[0][0] is not pool
+            or self._superstep_buffer[0][1] != dim
+        ):
             self.flush_pending_steps()
         # the gather dynamic_slices a [dim, dim] window from a slot, so
         # slots must be at least crop-sized even when every image is
@@ -526,10 +539,13 @@ class Trainer:
                 images, labels, crop_options, seed=seed
             )
 
-        if self.config.steps_per_dispatch > 1:
+        if (self.config.steps_per_dispatch > 1
+                and self.config.loss_sync_interval > 1):
             # scan-superstep path: buffer this step's decisions; one
             # lax.scan program dispatches K of them at once (pool
-            # residency was guaranteed above)
+            # residency was guaranteed above). loss_sync_interval == 1
+            # means the caller wants BLOCKING per-step losses (reference
+            # behavior) — incompatible with buffering, so it wins.
             self._ensure_fused_key(seed)
             momentum = bn_momentum_for_step(
                 self.step_count + len(self._superstep_buffer),
@@ -542,6 +558,18 @@ class Trainer:
                 self._dispatch_superstep()
             return None
 
+        self._ensure_fused_key(seed)
+        loss = self._dispatch_single_pool_step(
+            pool, dim, crop_options, packed, self._bn_momentum()
+        )
+        return self._finish_step(loss)
+
+    def _dispatch_single_pool_step(
+        self, pool, dim, crop_options, packed, momentum
+    ):
+        """ONE pool-fed fused step dispatch (shared by the direct path
+        and the superstep buffer's single-step flush); returns the device
+        loss scalar. Callers do the step bookkeeping."""
         step_fn = self._pool_step_fns.get(("fused", dim))
         if step_fn is None:
             step_fn = opt_jit(
@@ -552,7 +580,6 @@ class Trainer:
                 )
             )
             self._pool_step_fns[("fused", dim)] = step_fn
-        self._ensure_fused_key(seed)
         (
             self.params,
             self.bn_stats,
@@ -564,13 +591,13 @@ class Trainer:
             self.bn_stats,
             self.velocity,
             np.float32(self.learning_rate),
-            np.float32(self._bn_momentum()),
+            np.float32(momentum),
             self._fused_key,
             pool.images,
             pool.labels,
             packed,
         )
-        return self._finish_step(loss)
+        return loss
 
     def _dispatch_superstep(self) -> None:
         """Run the buffered decision steps as ONE lax.scan program."""
@@ -617,38 +644,14 @@ class Trainer:
             )
 
     def flush_pending_steps(self) -> None:
-        """Dispatch any buffered superstep decisions now (as one scan of
-        whatever length is buffered when full-length, else single steps
-        to avoid compiling a one-off scan length)."""
+        """Dispatch any buffered superstep decisions now, as SINGLE steps
+        — the buffer only ever holds a partial tail (full buffers
+        dispatch immediately as the K-length scan), and a one-off scan
+        length would cost a fresh compile."""
         buffer, self._superstep_buffer = self._superstep_buffer, []
         for pool, dim, crop_options, packed, momentum in buffer:
-            step_fn = self._pool_step_fns.get(("fused", dim))
-            if step_fn is None:
-                step_fn = opt_jit(
-                    with_key_carry(
-                        make_fused_pool_step(
-                            self.model_config, self.config, crop_options,
-                            dim,
-                        )
-                    )
-                )
-                self._pool_step_fns[("fused", dim)] = step_fn
-            (
-                self.params,
-                self.bn_stats,
-                self.velocity,
-                loss,
-                self._fused_key,
-            ) = step_fn(
-                self.params,
-                self.bn_stats,
-                self.velocity,
-                np.float32(self.learning_rate),
-                np.float32(momentum),
-                self._fused_key,
-                pool.images,
-                pool.labels,
-                packed,
+            loss = self._dispatch_single_pool_step(
+                pool, dim, crop_options, packed, momentum
             )
             self._finish_step(loss)
 
@@ -699,9 +702,11 @@ class Trainer:
         else:
             batch = self._pending_losses[:count]
             self._pending_losses = self._pending_losses[count:]
-        # entries are scalars (single steps) or [K] arrays (supersteps)
-        values = np.concatenate(
-            [np.atleast_1d(np.asarray(b)) for b in batch]
+        # entries are scalars (single steps) or [K] arrays (supersteps);
+        # concatenate ON DEVICE so the host does ONE blocking readback per
+        # flush, not one ~34 ms round trip per entry (CLAUDE.md)
+        values = np.asarray(
+            jnp.concatenate([jnp.atleast_1d(b) for b in batch])
         ).tolist()
         for value in values:
             self._record_loss(float(value))

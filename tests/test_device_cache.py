@@ -483,3 +483,72 @@ def test_superstep_matches_single_dispatches_bit_exact():
         np.testing.assert_allclose(
             np.asarray(b1), np.asarray(b2), rtol=1e-4, atol=1e-6
         )
+
+
+def test_pixel_batch_flushes_superstep_buffer():
+    """A pixel batch (the pipeline's pin-budget fallback path) must not
+    overtake buffered superstep decisions: train_step_crops flushes the
+    buffer first, keeping step order and the BN-momentum schedule
+    sequential, and the trajectory equals the steps_per_dispatch=1 run."""
+    rng = np.random.default_rng(6)
+    mc = SegNetConfig(
+        class_count=3, level_count=1, base_width=4, compute_dtype="float32"
+    )
+    co = CropOptions(dim=16, allow_flip_left_right=True)
+    samples = [FakeSample(rng, 48, 64), FakeSample(rng, 30, 30)]
+
+    def decisions(step_rng):
+        batch_samples, rects = [], []
+        for _ in range(8):
+            s = samples[int(step_rng.integers(0, 2))]
+            h, w = s.label_image.shape
+            y = int(step_rng.integers(-8, h))
+            x = int(step_rng.integers(-8, w))
+            batch_samples.append(s)
+            rects.append((x, y, x + co.dim - 1, y + co.dim - 1))
+        return batch_samples, rects
+
+    def pixel_batch(step_rng):
+        bs, rects = decisions(step_rng)
+        images = np.stack(
+            [extract_crop(s.input_image, s.label_image, r)[0]
+             for s, r in zip(bs, rects)]
+        )
+        labels = np.stack(
+            [extract_crop(s.input_image, s.label_image, r)[1]
+             for s, r in zip(bs, rects)]
+        )
+        return images, labels
+
+    def run(k):
+        t = Trainer(
+            mc,
+            TrainerConfig(
+                initial_learning_rate=0.05, steps_per_dispatch=k,
+                loss_sync_interval=4,
+            ),
+            seed=0,
+        )
+        pool = DeviceImagePool(slots=4)
+        step_rng = np.random.default_rng(13)
+        # 2 decision steps (buffered under K=4), then a PIXEL step, then
+        # 2 more decision steps
+        for _ in range(2):
+            t.train_step_decisions(pool, *decisions(step_rng), co, seed=5)
+        if k > 1:
+            assert len(t._superstep_buffer) == 2
+        t.train_step_crops(*pixel_batch(step_rng), co, seed=5)
+        if k > 1:  # the pixel step flushed the buffer before running
+            assert t._superstep_buffer == []
+        assert t.step_count == 3
+        for _ in range(2):
+            t.train_step_decisions(pool, *decisions(step_rng), co, seed=5)
+        t.flush_pending_steps()
+        t.flush_losses()
+        return t
+
+    t1, t4 = run(1), run(4)
+    np.testing.assert_allclose(
+        np.asarray(t1.previous_loss_values),
+        np.asarray(t4.previous_loss_values), rtol=1e-5,
+    )
