@@ -461,7 +461,14 @@ def _warmup(service: _ModelService, sizes) -> None:
     import numpy as np
 
     for spec in sizes:
-        h, w = (int(v) for v in spec.lower().split("x"))
+        try:
+            h, w = (int(v) for v in spec.lower().split("x"))
+            if h < 1 or w < 1:
+                raise ValueError
+        except ValueError:
+            raise RuntimeError(
+                f"bad --warmup size {spec!r} (expected HxW, e.g. 2048x2048)"
+            ) from None
         print(f"Warming up {h}x{w}...", flush=True)
         t0 = time.monotonic()
         image = np.full(
@@ -498,7 +505,11 @@ def main(argv=None) -> int:
         print(str(e))
         return 1
     if args.warmup:
-        _warmup(service, args.warmup)
+        try:
+            _warmup(service, args.warmup)
+        except Exception as e:
+            print(str(e))
+            return 1
     server, _ = make_server(args, service)
     host, port = server.server_address[:2]
     print(f"annonet_serve: listening on http://{host}:{port} "

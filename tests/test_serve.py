@@ -277,3 +277,32 @@ def test_serve_with_mesh(tmp_path):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_warmup_precompiles_and_rejects_bad_spec(tmp_path, capsys):
+    """--warmup HxW pre-compiles the program for that size (a following
+    request of the same size hits the cache); bad specs exit 1 with a
+    message, not a traceback."""
+    model_path = str(tmp_path / "annonet.dnn")
+    config = SegNetConfig(class_count=3, level_count=0, base_width=16)
+    params, bn = init_state(jax.random.PRNGKey(3), config)
+    runtime = fold_batchnorm(params, bn, config)
+    serialization.save_model(
+        model_path, runtime, config,
+        anno_classes_to_json(default_anno_classes()), 1.0,
+    )
+    from annonet_tpu.cli.serve import _ModelService, _warmup, build_parser
+
+    args = build_parser().parse_args(
+        ["--model", model_path, "--port", "0",
+         "--tile-max-width", "64", "--tile-max-height", "64"]
+    )
+    service = _ModelService(args)
+    _warmup(service, ["72x80"])
+    assert service.requests_served == 1
+    assert len(service.inferer._compiled) >= 1
+
+    with pytest.raises(RuntimeError, match="bad --warmup size"):
+        _warmup(service, ["72by80"])
+    with pytest.raises(RuntimeError, match="bad --warmup size"):
+        _warmup(service, ["0x80"])
