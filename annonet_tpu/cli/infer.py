@@ -80,7 +80,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "ANNONET_TPU_COMPILATION_CACHE)")
     p.add_argument("--quantize", choices=["none", "int8"], default="none",
                    help="Quantized inference (TPU extension): int8 runs the "
-                        "conv stack on the 2x-rate int8 MXU path (~1.45x "
+                        "conv stack on the 2x-rate int8 MXU path (~1.7x "
                         "end-to-end), calibrated on the first image (see "
                         "--calibration-images; the first image is assumed "
                         "representative of the directory's exposure range); "
