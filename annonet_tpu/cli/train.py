@@ -135,7 +135,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "1 = block per step (fully synchronous)")
     p.add_argument("--steps-per-dispatch", type=int, default=4,
                    help="lax.scan K train steps into ONE device dispatch "
-                        "(device-image-cache path; forced to 1 under "
+                        "(device-image-cache path, single-device and "
                         "--mesh): amortizes per-dispatch host overhead "
                         "across K steps (measured 40 -> 24 ms/step e2e on "
                         "a tunneled link); numerically equivalent to K "
@@ -297,11 +297,7 @@ def _run_impl(args, input_directory, stack) -> int:
         remat=args.remat,
         int8_forward=args.int8_training,
         loss_sync_interval=max(1, args.loss_sync_interval),
-        # DP uses the two-dispatch gather+shard_map form; the scan
-        # superstep is a single-device fused-path optimization
-        steps_per_dispatch=(
-            1 if args.mesh else max(1, args.steps_per_dispatch)
-        ),
+        steps_per_dispatch=max(1, args.steps_per_dispatch),
         sync_file=args.sync_file,
         sync_interval_seconds=600.0,
         verbose=True,

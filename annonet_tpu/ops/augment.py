@@ -33,6 +33,26 @@ def _per_sample_uniform(key, n):
     return jax.random.uniform(key, (n,), jnp.float32)
 
 
+def flip_decisions(
+    key: jax.Array, n: int,
+    allow_flip_left_right: bool, allow_flip_upside_down: bool,
+):
+    """The flip booleans augment_batch would draw from ``key`` (same split,
+    same comparisons) — exposed so the device pool's crop gather can apply
+    them at extraction time (``flips_pre_applied``) with a bit-identical
+    stream. Returns (flip_lr, flip_ud); None where the flag is off."""
+    k_lr, k_ud = jax.random.split(key, 8)[:2]
+    flip_lr = (
+        jax.random.uniform(k_lr, (n,)) > 0.5
+        if allow_flip_left_right else None
+    )
+    flip_ud = (
+        jax.random.uniform(k_ud, (n,)) > 0.5
+        if allow_flip_upside_down else None
+    )
+    return flip_lr, flip_ud
+
+
 def _round_clamp(x):
     return jnp.clip(jnp.round(x), 0.0, 255.0)
 
@@ -48,23 +68,31 @@ def augment_batch(
     multiplicative_brightness_change_sigma: float = 0.1,
     noise_level_stddev: float = 0.0,
     allow_random_color_offset: bool = False,
+    flips_pre_applied: bool = False,
 ):
     """Augment a minibatch on device. Returns (images float32 0..255, labels).
 
     The boolean/probability knobs are Python-static (they come from CLI
     flags), so disabled stages compile to nothing.
+
+    ``flips_pre_applied`` marks that the caller already mirrored the crops
+    (the device pool's gather applies flip_decisions' booleans inside its
+    permutation matmuls — ops/crop_gather.py); the flip stages are then
+    skipped here WITHOUT touching the key stream, so all later stages draw
+    exactly what they would with in-step flips (flips come first in the
+    reference too, annonet_train_main.cpp:184-194).
     """
     n = images.shape[0]
     x = images.astype(jnp.float32)
     k_lr, k_ud, k_bp, k_bs, k_nl, k_nv, k_cg, k_cs = jax.random.split(key, 8)
 
-    if allow_flip_left_right:
+    if allow_flip_left_right and not flips_pre_applied:
         flip = jax.random.uniform(k_lr, (n,)) > 0.5
         sel = flip[:, None, None]
         x = jnp.where(sel[..., None], x[:, :, ::-1, :], x)
         labels = jnp.where(sel, labels[:, :, ::-1], labels)
 
-    if allow_flip_upside_down:
+    if allow_flip_upside_down and not flips_pre_applied:
         flip = jax.random.uniform(k_ud, (n,)) > 0.5
         sel = flip[:, None, None]
         x = jnp.where(sel[..., None], x[:, ::-1, :, :], x)

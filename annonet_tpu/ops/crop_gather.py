@@ -48,12 +48,32 @@ def gather_crops(
     valid_h: jnp.ndarray,  # [B] int32 — the slot image's real height
     valid_w: jnp.ndarray,  # [B] int32 — the slot image's real width
     dim: int,
+    flip_lr: jnp.ndarray = None,  # optional [B] bool — mirror crop cols
+    flip_ud: jnp.ndarray = None,  # optional [B] bool — mirror crop rows
 ):
     """Extract B [dim, dim] crops: (images uint8 [B,dim,dim,C],
-    labels int32 [B,dim,dim] with IGNORE_LABEL outside the valid area)."""
-    iota = jnp.arange(dim, dtype=jnp.int32)
+    labels int32 [B,dim,dim] with IGNORE_LABEL outside the valid area).
 
-    def _gather_one(s, yy, xx, h, w):
+    ``flip_lr`` / ``flip_ud`` mirror the crop as it is extracted: the flip
+    rides the clamp's permutation matmuls for FREE (a mirrored permutation
+    costs the same MXU pass as the identity), replacing the materialized
+    ``reverse`` copies the in-step augmentation would otherwise emit
+    (~0.9 ms/step at batch 128 @ 192^2, docs/DESIGN.md par.17). Exact:
+    flipping an extracted crop equals extracting with mirrored index maps,
+    including the replicate-pad clamp and the IGNORE region (the
+    augmentation order is flip-first, annonet_train_main.cpp:184-194, so
+    flipping at extraction time is bit-identical to flipping in
+    augment_batch)."""
+    iota = jnp.arange(dim, dtype=jnp.int32)
+    rev = dim - 1 - iota
+    use_lr = flip_lr is not None
+    use_ud = flip_ud is not None
+    if not use_lr:
+        flip_lr = jnp.zeros(slot.shape, jnp.bool_)
+    if not use_ud:
+        flip_ud = jnp.zeros(slot.shape, jnp.bool_)
+
+    def _gather_one(s, yy, xx, h, w, fl, fu):
         # Clamped window start: sy = clip(yy, 0, max(0, h - dim)). Every
         # desired source row clip(yy + i, 0, h - 1) then lies in
         # [sy, sy + dim): for yy < 0 the window starts at 0 and desired
@@ -68,8 +88,12 @@ def gather_crops(
         )
         lab = jax.lax.dynamic_slice(pool_labels[s], (sy, sx), (dim, dim))
 
-        rows = jnp.clip(yy + iota, 0, h - 1) - sy  # in [0, dim)
-        cols = jnp.clip(xx + iota, 0, w - 1) - sx
+        # mirrored index maps implement the flips inside the same
+        # permutation matmuls (identity-cost); see the function docstring
+        ridx = jnp.where(fu, rev, iota) if use_ud else iota
+        cidx = jnp.where(fl, rev, iota) if use_lr else iota
+        rows = jnp.clip(yy + ridx, 0, h - 1) - sy  # in [0, dim)
+        cols = jnp.clip(xx + cidx, 0, w - 1) - sx
         # in-tile clamp as exact permutation matmuls (identity for
         # fully-interior crops); measured near-free on the MXU, unlike
         # gathers (docstring numbers)
@@ -84,20 +108,26 @@ def gather_crops(
         lab = labf.astype(jnp.int32)
 
         inside = (
-            ((yy + iota >= 0) & (yy + iota < h))[:, None]
-            & ((xx + iota >= 0) & (xx + iota < w))[None, :]
+            ((yy + ridx >= 0) & (yy + ridx < h))[:, None]
+            & ((xx + cidx >= 0) & (xx + cidx < w))[None, :]
         )
         lab = jnp.where(inside, lab, IGNORE_LABEL)
         return img, lab
 
-    return jax.vmap(_gather_one)(slot, y0, x0, valid_h, valid_w)
+    return jax.vmap(_gather_one)(
+        slot, y0, x0, valid_h, valid_w, flip_lr, flip_ud
+    )
 
 
-def gather_crops_packed(pool_images, pool_labels, packed, dim: int):
+def gather_crops_packed(
+    pool_images, pool_labels, packed, dim: int,
+    flip_lr=None, flip_ud=None,
+):
     """gather_crops with the decisions packed as ONE [5, B] int32 array —
     rows (slot, y0, x0, valid_h, valid_w) — so a host caller ships a
     single argument whose upload rides the dispatch."""
     return gather_crops(
         pool_images, pool_labels,
         packed[0], packed[1], packed[2], packed[3], packed[4], dim,
+        flip_lr=flip_lr, flip_ud=flip_ud,
     )

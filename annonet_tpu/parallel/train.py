@@ -32,23 +32,25 @@ from annonet_tpu.ops.weighting import batched_label_weights
 from annonet_tpu.train.trainer import Trainer, TrainerConfig
 
 
-def make_dp_train_step(
+def _make_local_step(
     model_config: SegNetConfig,
     trainer_config: TrainerConfig,
     crop_options,  # annonet_tpu.data.crop.CropOptions
-    mesh: Mesh,
-    axis: str = "batch",
+    axis: str,
+    flips_pre_applied: bool = False,
 ) -> Callable:
-    """Build the jitted data-parallel train step.
+    """The per-device step body shared by every DP entry point:
 
     (params, bn_stats, velocity, lr, bn_momentum, key, images, labels)
         -> (params, bn_stats, velocity, loss)
 
-    ``images``/``labels`` are global arrays whose leading (batch) dimension
-    is sharded over ``axis``; everything else is replicated. The per-device
-    body is identical to the single-device fused step plus three pmeans
-    (grads, loss, BN stats). ``bn_momentum`` is a traced scalar following
-    dlib's windowed-stats schedule (trainer.bn_momentum_for_step).
+    ``key`` must already be device-local (callers fold in the axis index);
+    ``images``/``labels`` are the device's batch shard. Augmentation, loss
+    weighting, forward/backward with sync BN, loss pmean-before-grad, and
+    the SGD update — identical math to the single-device fused step.
+    ``flips_pre_applied``: crops were mirrored at extraction time (the pool
+    gather's flip path); augment_batch skips flips but keeps its key
+    stream.
     """
     mu = trainer_config.momentum
     wd = trainer_config.weight_decay
@@ -99,12 +101,11 @@ def make_dp_train_step(
     def local_step(params, bn_stats, velocity, lr, bn_momentum, key, images,
                    labels):
         labels = labels.astype(jnp.int32)  # shipped uint16, widened on device
-        # decorrelate augmentation randomness across devices
-        key = jax.random.fold_in(key, lax.axis_index(axis))
         images_f, labels = augment_batch(
             key,
             images,
             labels,
+            flips_pre_applied=flips_pre_applied,
             allow_flip_left_right=co.allow_flip_left_right,
             allow_flip_upside_down=co.allow_flip_upside_down,
             multiplicative_brightness_change_probability=(
@@ -142,6 +143,37 @@ def make_dp_train_step(
         )
         return new_params, new_stats, new_velocity, loss
 
+    return local_step
+
+
+def make_dp_train_step(
+    model_config: SegNetConfig,
+    trainer_config: TrainerConfig,
+    crop_options,  # annonet_tpu.data.crop.CropOptions
+    mesh: Mesh,
+    axis: str = "batch",
+) -> Callable:
+    """Build the jitted data-parallel train step.
+
+    (params, bn_stats, velocity, lr, bn_momentum, key, images, labels)
+        -> (params, bn_stats, velocity, loss)
+
+    ``images``/``labels`` are global arrays whose leading (batch) dimension
+    is sharded over ``axis``; everything else is replicated. The per-device
+    body is identical to the single-device fused step plus three pmeans
+    (grads, loss, BN stats). ``bn_momentum`` is a traced scalar following
+    dlib's windowed-stats schedule (trainer.bn_momentum_for_step).
+    """
+    inner = _make_local_step(model_config, trainer_config, crop_options, axis)
+
+    def local_step(params, bn_stats, velocity, lr, bn_momentum, key, images,
+                   labels):
+        # decorrelate augmentation randomness across devices
+        key = jax.random.fold_in(key, lax.axis_index(axis))
+        return inner(
+            params, bn_stats, velocity, lr, bn_momentum, key, images, labels
+        )
+
     replicated = P()
     batch_sharded = P(axis)
     sharded = shard_map(
@@ -158,6 +190,137 @@ def make_dp_train_step(
             batch_sharded,  # labels
         ),
         out_specs=(replicated, replicated, replicated, replicated),
+    )
+    return jax.jit(sharded)
+
+
+def _make_dp_pool_local(
+    model_config: SegNetConfig,
+    trainer_config: TrainerConfig,
+    crop_options,
+    dim: int,
+    mesh: Mesh,
+    axis: str,
+) -> Callable:
+    """The per-device POOL step body: decisions in, update out.
+
+    (params, bn_stats, velocity, lr, bn_momentum, key,
+     pool_images, pool_labels, packed[5, B])
+        -> (params, bn_stats, velocity, loss)
+
+    The pool arrays and the packed decisions arrive REPLICATED; each device
+    slices its own B/N decision columns and gathers only its crops from its
+    pool replica (no collectives, no pixels host->device) — the DP analog
+    of trainer.make_fused_pool_step, with the flips likewise riding the
+    gather's permutation matmuls (ops/crop_gather.py)."""
+    from annonet_tpu.ops.augment import flip_decisions
+    from annonet_tpu.ops.crop_gather import gather_crops_packed
+
+    co = crop_options
+    flips_in_gather = bool(
+        co.allow_flip_left_right or co.allow_flip_upside_down
+    )
+    inner = _make_local_step(
+        model_config, trainer_config, crop_options, axis,
+        flips_pre_applied=flips_in_gather,
+    )
+    n = int(mesh.shape[axis])
+
+    def pool_local(params, bn_stats, velocity, lr, bn_momentum, key,
+                   pool_images, pool_labels, packed):
+        idx = lax.axis_index(axis)
+        b_local = packed.shape[1] // n
+        local = lax.dynamic_slice_in_dim(packed, idx * b_local, b_local, 1)
+        # same per-device key as the pixel path (fold_in BEFORE flips, so
+        # the flip booleans match augment_batch's on this device's shard)
+        key = jax.random.fold_in(key, idx)
+        flip_lr, flip_ud = flip_decisions(
+            key, b_local, co.allow_flip_left_right, co.allow_flip_upside_down
+        )
+        images, labels = gather_crops_packed(
+            pool_images, pool_labels, local, dim,
+            flip_lr=flip_lr, flip_ud=flip_ud,
+        )
+        return inner(
+            params, bn_stats, velocity, lr, bn_momentum, key, images, labels
+        )
+
+    return pool_local
+
+
+def _dp_pool_in_specs():
+    r = P()
+    return (r, r, r, r, r, r, r, r, r)
+
+
+def make_dp_pool_step(
+    model_config: SegNetConfig,
+    trainer_config: TrainerConfig,
+    crop_options,
+    dim: int,
+    mesh: Mesh,
+    axis: str = "batch",
+) -> Callable:
+    """ONE-program data-parallel pool step (gather fused into the
+    shard_mapped update): one XLA dispatch per train step under --mesh,
+    like the single-device make_fused_pool_step."""
+    pool_local = _make_dp_pool_local(
+        model_config, trainer_config, crop_options, dim, mesh, axis
+    )
+    replicated = P()
+    sharded = shard_map(
+        pool_local,
+        mesh=mesh,
+        in_specs=_dp_pool_in_specs(),
+        out_specs=(replicated,) * 4,
+    )
+    return jax.jit(sharded)
+
+
+def make_dp_pool_superstep(
+    model_config: SegNetConfig,
+    trainer_config: TrainerConfig,
+    crop_options,
+    dim: int,
+    k: int,
+    mesh: Mesh,
+    axis: str = "batch",
+) -> Callable:
+    """lax.scan ``k`` DP pool steps into ONE XLA dispatch (the --mesh analog
+    of trainer.make_fused_pool_superstep; same signature and key-carry
+    semantics, every scan iteration identical to one make_dp_pool_step):
+
+    (params, bn_stats, velocity, lr, bn_momenta[k], carry_key,
+     pool_images, pool_labels, packed[k, 5, B])
+        -> (params, bn_stats, velocity, losses[k], next_carry)
+    """
+    pool_local = _make_dp_pool_local(
+        model_config, trainer_config, crop_options, dim, mesh, axis
+    )
+
+    def superstep_local(params, bn_stats, velocity, lr, bn_momenta,
+                        carry_key, pool_images, pool_labels, packed):
+        def body(carry, xs):
+            p, b, v, key = carry
+            momentum, pk = xs
+            next_key, step_key = jax.random.split(key)
+            p, b, v, loss = pool_local(
+                p, b, v, lr, momentum, step_key, pool_images, pool_labels, pk
+            )
+            return (p, b, v, next_key), loss
+
+        (params, bn_stats, velocity, carry_key), losses = jax.lax.scan(
+            body, (params, bn_stats, velocity, carry_key),
+            (bn_momenta, packed),
+        )
+        return params, bn_stats, velocity, losses, carry_key
+
+    replicated = P()
+    sharded = shard_map(
+        superstep_local,
+        mesh=mesh,
+        in_specs=_dp_pool_in_specs(),
+        out_specs=(replicated,) * 5,
     )
     return jax.jit(sharded)
 
@@ -191,12 +354,30 @@ class DataParallelTrainer(Trainer):
     def device_count(self) -> int:
         return int(self.mesh.shape[self.axis])
 
-    def _gather_shardings(self):
-        # pool gather outputs land batch-sharded: each device extracts its
-        # own crops from the replicated pool (no collectives), and the DP
-        # step consumes them in place
-        s = NamedSharding(self.mesh, P(self.axis))
-        return (s, s)
+    def _build_pool_step_fn(self, dim, crop_options):
+        # ONE shard_mapped program per step: each device slices its
+        # decision columns and gathers its crops from its pool replica
+        from annonet_tpu.train.trainer import with_key_carry
+
+        return jax.jit(
+            with_key_carry(
+                make_dp_pool_step(
+                    self.model_config, self.config, crop_options, dim,
+                    self.mesh, self.axis,
+                )
+            )
+        )
+
+    def _build_pool_superstep_fn(self, dim, crop_options, k):
+        return jax.jit(
+            make_dp_pool_superstep(
+                self.model_config, self.config, crop_options, dim, k,
+                self.mesh, self.axis,
+            )
+        )
+
+    def _decision_batch_multiple(self) -> int:
+        return self.device_count
 
     def train_step_crops(
         self,

@@ -188,6 +188,7 @@ def make_fused_train_step(
     model_config: SegNetConfig,
     trainer_config: TrainerConfig,
     crop_options,  # annonet_tpu.data.crop.CropOptions (duck-typed)
+    flips_pre_applied: bool = False,
 ) -> Callable:
     """Build the fully fused train step: raw uint8 crops in, update out.
 
@@ -199,6 +200,10 @@ def make_fused_train_step(
     annonet_train_main.cpp:182-231) followed by StartTraining: augmentation,
     loss weighting, normalization, forward, backward, and the SGD update all
     trace into ONE XLA program, so the host only ships 1 byte/pixel.
+
+    ``flips_pre_applied``: the caller mirrored the crops already (the pool
+    gather's flip path) — augment_batch skips its flip stages but keeps the
+    key stream, so results stay bit-identical.
     """
     inner = make_train_step(model_config, trainer_config)
     co = crop_options
@@ -212,6 +217,7 @@ def make_fused_train_step(
             key,
             images,
             labels,
+            flips_pre_applied=flips_pre_applied,
             allow_flip_left_right=co.allow_flip_left_right,
             allow_flip_upside_down=co.allow_flip_upside_down,
             multiplicative_brightness_change_probability=(
@@ -258,15 +264,35 @@ def make_fused_pool_step(
     fused composition at 116.6 ms/step vs 24.4 split turned out to be a
     degraded-tunnel artifact: re-measured clean (pre-split keys, healthy
     link), fused / barrier-separated / split all land at 24.7-26 ms
-    (scripts/bench_pool_step.py, batch 128 @ 192^2 v5e)."""
+    (scripts/bench_pool_step.py, batch 128 @ 192^2 v5e).
+
+    Flips are applied INSIDE the gather's permutation matmuls (free — a
+    mirrored permutation costs the same MXU pass as the identity) instead
+    of as augment_batch's materialized ``reverse`` copies (~0.9 ms/step,
+    docs/DESIGN.md par.17): flip_decisions draws the same booleans from
+    the same key split, so the result is bit-identical to the in-step
+    flip path (tested)."""
+    from annonet_tpu.ops.augment import flip_decisions
     from annonet_tpu.ops.crop_gather import gather_crops_packed
 
-    inner = make_fused_train_step(model_config, trainer_config, crop_options)
+    co = crop_options
+    flips_in_gather = bool(
+        co.allow_flip_left_right or co.allow_flip_upside_down
+    )
+    inner = make_fused_train_step(
+        model_config, trainer_config, crop_options,
+        flips_pre_applied=flips_in_gather,
+    )
 
     def step(params, bn_stats, velocity, lr, bn_momentum, key,
              pool_images, pool_labels, packed):
+        flip_lr, flip_ud = flip_decisions(
+            key, packed.shape[1],
+            co.allow_flip_left_right, co.allow_flip_upside_down,
+        )
         images, labels = gather_crops_packed(
-            pool_images, pool_labels, packed, dim
+            pool_images, pool_labels, packed, dim,
+            flip_lr=flip_lr, flip_ud=flip_ud,
         )
         # labels are already int32 with IGNORE applied; the inner step's
         # astype(int32) is a no-op on them
@@ -483,9 +509,12 @@ class Trainer:
         Single-device, this is ONE XLA dispatch: the on-device gather and
         the fused step trace into one program (make_fused_pool_step) with
         the key carry folded in and the packed [5,B] index array uploaded
-        as a call argument. DataParallelTrainer overrides
-        _gather_shardings to use the two-dispatch form instead (gather
-        with batch-axis out_shardings feeding the shard_mapped step)."""
+        as a call argument. DataParallelTrainer overrides the step-builder
+        hooks so the same dispatch/buffering logic runs its one-program
+        shard_mapped pool step instead (parallel.train.make_dp_pool_step:
+        each device slices its decision columns and gathers from its pool
+        replica — still one dispatch per step, or per K steps with
+        supersteps)."""
         fdf = crop_options.further_downscaling_factor
         if fdf > 1.0:
             raise ValueError(
@@ -518,25 +547,11 @@ class Trainer:
             [np.asarray(slot_idx, np.int32), y0, x0,
              np.asarray(valid_h, np.int32), np.asarray(valid_w, np.int32)]
         )
-
-        out_sh = self._gather_shardings()
-        if out_sh is not None:
-            # DP: gather as its own program with batch-sharded outputs,
-            # feeding the shard_mapped pixel step
-            gather_fn = self._pool_step_fns.get(("gather", dim))
-            if gather_fn is None:
-                from functools import partial
-
-                from annonet_tpu.ops.crop_gather import gather_crops_packed
-
-                gather_fn = jax.jit(
-                    partial(gather_crops_packed, dim=dim),
-                    out_shardings=out_sh,
-                )
-                self._pool_step_fns[("gather", dim)] = gather_fn
-            images, labels = gather_fn(pool.images, pool.labels, packed)
-            return self.train_step_crops(
-                images, labels, crop_options, seed=seed
+        multiple = self._decision_batch_multiple()
+        if packed.shape[1] % multiple:
+            raise ValueError(
+                f"minibatch size {packed.shape[1]} must be divisible by "
+                f"the mesh batch-axis size {multiple}"
             )
 
         if (self.config.steps_per_dispatch > 1
@@ -572,13 +587,7 @@ class Trainer:
         loss scalar. Callers do the step bookkeeping."""
         step_fn = self._pool_step_fns.get(("fused", dim))
         if step_fn is None:
-            step_fn = opt_jit(
-                with_key_carry(
-                    make_fused_pool_step(
-                        self.model_config, self.config, crop_options, dim
-                    )
-                )
-            )
+            step_fn = self._build_pool_step_fn(dim, crop_options)
             self._pool_step_fns[("fused", dim)] = step_fn
         (
             self.params,
@@ -609,11 +618,7 @@ class Trainer:
         k = len(buffer)
         fn = self._pool_step_fns.get(("superstep", dim, k))
         if fn is None:
-            fn = opt_jit(
-                make_fused_pool_superstep(
-                    self.model_config, self.config, crop_options, dim, k
-                )
-            )
+            fn = self._build_pool_superstep_fn(dim, crop_options, k)
             self._pool_step_fns[("superstep", dim, k)] = fn
         packed = np.stack([b[3] for b in buffer])  # [K, 5, B]
         momenta = np.asarray([b[4] for b in buffer], np.float32)
@@ -655,12 +660,30 @@ class Trainer:
             )
             self._finish_step(loss)
 
-    def _gather_shardings(self):
-        """Output shardings for the pool gather (None = single device).
-        DataParallelTrainer returns batch-axis shardings so each device
-        gathers only ITS crops from the replicated pool — no collectives,
-        no pixel resharding before the DP step."""
-        return None
+    def _build_pool_step_fn(self, dim: int, crop_options) -> Callable:
+        """The single pool-fed step program (overridden by
+        DataParallelTrainer with the shard_mapped equivalent)."""
+        return opt_jit(
+            with_key_carry(
+                make_fused_pool_step(
+                    self.model_config, self.config, crop_options, dim
+                )
+            )
+        )
+
+    def _build_pool_superstep_fn(self, dim: int, crop_options,
+                                 k: int) -> Callable:
+        """The K-step scan program (overridden by DataParallelTrainer)."""
+        return opt_jit(
+            make_fused_pool_superstep(
+                self.model_config, self.config, crop_options, dim, k
+            )
+        )
+
+    def _decision_batch_multiple(self) -> int:
+        """Decision batches must be a multiple of this (the DP mesh's
+        batch-axis size; 1 single-device)."""
+        return 1
 
     def _bn_momentum(self) -> float:
         """Windowed BN running-stats momentum for the NEXT update; tracks

@@ -76,6 +76,57 @@ def test_gather_crops_matches_extract_crop_bit_exact():
             assert (labels[b] == IGNORE_LABEL).any()
 
 
+def test_gather_crops_flips_equal_flip_after_extract():
+    """flip_lr/flip_ud inside the gather's permutation matmuls must equal
+    mirroring the extracted crop afterwards — including the replicate-pad
+    clamp and the IGNORE region — for interior, overhanging, and
+    smaller-than-crop images and all four flip combinations."""
+    rng = np.random.default_rng(7)
+    dim = 24
+    samples = [
+        FakeSample(rng, 64, 80),
+        FakeSample(rng, 16, 20),  # smaller than the crop dim
+    ]
+    pool = DeviceImagePool(slots=4)
+    cases = [
+        (0, (10, 10, 33, 33)),   # interior
+        (0, (-5, -7, 18, 16)),   # top-left overhang
+        (0, (60, 45, 83, 68)),   # bottom-right overhang
+        (1, (-4, -2, 19, 21)),   # image smaller than dim
+    ]
+    batch_samples = [samples[i] for i, _ in cases]
+    rects = [r for _, r in cases]
+    slot_idx = pool.ensure(batch_samples)
+    vh, vw = pool.valid_dims(slot_idx)
+    y0 = np.asarray([r[1] for r in rects], np.int32)
+    x0 = np.asarray([r[0] for r in rects], np.int32)
+    args = (
+        pool.images, pool.labels,
+        jnp.asarray(slot_idx), jnp.asarray(y0), jnp.asarray(x0),
+        jnp.asarray(vh), jnp.asarray(vw),
+    )
+
+    for lr, ud in [(False, False), (True, False), (False, True),
+                   (True, True)]:
+        fl = jnp.full(len(cases), lr)
+        fu = jnp.full(len(cases), ud)
+        images, labels = jax.jit(
+            lambda *a: gather_crops(*a, dim=dim, flip_lr=fl, flip_ud=fu)
+        )(*args)
+        images, labels = np.asarray(images), np.asarray(labels)
+        for b, (si, rect) in enumerate(cases):
+            exp_img, exp_lab = extract_crop(
+                samples[si].input_image, samples[si].label_image, rect
+            )
+            exp_lab = exp_lab.astype(np.int64)
+            if lr:
+                exp_img, exp_lab = exp_img[:, ::-1], exp_lab[:, ::-1]
+            if ud:
+                exp_img, exp_lab = exp_img[::-1], exp_lab[::-1]
+            np.testing.assert_array_equal(images[b], exp_img)
+            np.testing.assert_array_equal(labels[b], exp_lab)
+
+
 def test_pool_residency_lru_growth_and_telemetry():
     rng = np.random.default_rng(1)
     pool = DeviceImagePool(slots=2)
@@ -303,8 +354,9 @@ def test_cli_train_device_image_cache_round_trip(tmp_path, capsys):
 
 def test_dp_pool_decisions_match_dp_pixels():
     """The replicated-pool DP path == the DP pixel path: the pool is
-    replicated over the mesh, the gather's output is batch-sharded, and
-    the DP step consumes it with no pixel resharding (round-3 multi-chip
+    replicated over the mesh and the ONE-program shard_mapped pool step
+    slices each device's decision columns and gathers its crops in place
+    — no collectives, no pixels host->device (round-3 multi-chip
     extension of the §11 design). Single-device comparison is only valid
     without stochastic augmentation (each DP shard draws its own local
     augment stream — see test_parallel.py), so the cross-check here is
@@ -368,14 +420,77 @@ def test_dp_pool_decisions_match_dp_pixels():
         np.testing.assert_allclose(
             np.asarray(p1), np.asarray(p2), rtol=1e-5, atol=1e-7
         )
-    # the gather output really is batch-sharded over the mesh
-    gather_fn = t_dp_pool._pool_step_fns[("gather", co.dim)]
-    packed = np.zeros((5, 8), np.int32)
-    packed[3:] = 16
-    imgs, labs = gather_fn(pool_dp.images, pool_dp.labels, packed)
-    assert imgs.sharding.spec == P("batch")
+    # the decisions ran through the ONE-program shard_mapped pool step
+    # (gather fused in), against a pool that stayed replicated
+    assert ("fused", co.dim) in t_dp_pool._pool_step_fns
     assert pool_dp.images.sharding.spec in (P(), P(None, None, None, None))
     assert pool_dp.uploads == 2
+    # decision batches not divisible by the mesh axis are rejected
+    with pytest.raises(ValueError, match="divisible"):
+        t_dp_pool.train_step_decisions(
+            pool_dp, [samples[0]] * 3, [(0, 0, 15, 15)] * 3, co, seed=5
+        )
+
+
+def test_dp_superstep_matches_dp_single_dispatches():
+    """--mesh + --steps-per-dispatch K: the shard_mapped lax.scan
+    superstep (ONE dispatch for K DP steps) reproduces K single DP pool
+    dispatches — same key stream, flips-in-gather, sync BN, and plateau
+    bookkeeping; scan compilation may reorder reductions (1e-5)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from annonet_tpu.parallel.mesh import make_mesh
+    from annonet_tpu.parallel.train import DataParallelTrainer
+
+    rng = np.random.default_rng(13)
+    mc = SegNetConfig(
+        class_count=3, level_count=1, base_width=4, compute_dtype="float32"
+    )
+    co = CropOptions(
+        dim=16, allow_flip_left_right=True, allow_flip_upside_down=True,
+        noise_level_stddev=1.0,
+    )
+    samples = [FakeSample(rng, 48, 64), FakeSample(rng, 30, 30)]
+    plans = []
+    plan_rng = np.random.default_rng(14)
+    for _ in range(6):
+        batch_samples, rects = [], []
+        for _ in range(8):
+            s = samples[int(plan_rng.integers(0, 2))]
+            h, w = s.label_image.shape
+            y = int(plan_rng.integers(-8, h))
+            x = int(plan_rng.integers(-8, w))
+            batch_samples.append(s)
+            rects.append((x, y, x + co.dim - 1, y + co.dim - 1))
+        plans.append((batch_samples, rects))
+
+    def run(k):
+        tc = TrainerConfig(
+            initial_learning_rate=0.05,
+            steps_per_dispatch=k,
+            loss_sync_interval=2 if k > 1 else 1,
+        )
+        mesh = make_mesh(axis_names=("batch",))
+        t = DataParallelTrainer(mc, tc, seed=0, mesh=mesh)
+        pool = DeviceImagePool(slots=4, sharding=NamedSharding(mesh, P()))
+        for batch_samples, rects in plans:
+            t.train_step_decisions(pool, batch_samples, rects, co, seed=5)
+        t.flush_pending_steps()
+        t.flush_losses()
+        return t
+
+    t1, t3 = run(1), run(3)
+    assert t1.step_count == t3.step_count == len(plans)
+    np.testing.assert_allclose(
+        t1.previous_loss_values, t3.previous_loss_values, rtol=1e-5
+    )
+    for p1, p2 in zip(
+        jax.tree_util.tree_leaves(t1.params),
+        jax.tree_util.tree_leaves(t3.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(p1), np.asarray(p2), rtol=1e-5, atol=1e-7
+        )
 
 
 def test_pool_slots_allocate_lazily_and_crop_dim_floor():
