@@ -345,6 +345,23 @@ def apply_folded_int8(
             skips[kind.split(":")[1]] = x
         elif kind.startswith("concat_skip"):
             x = jnp.concatenate([x, skips[kind.split(":")[1]]], axis=-1)
+        elif kind == "ms1":
+            # Mosaic fused conv+requant (ops/int8_conv_mosaic.py), opt-in
+            # via mosaicize_qspec; falls back to the XLA conv when the
+            # height has no usable row-block divisor
+            from annonet_tpu.ops.int8_conv_mosaic import (
+                pick_rows, qconv3x3_s1_requant,
+            )
+
+            wl, wc, wr, scale, offset, w_q = entry
+            rows = pick_rows(int(x.shape[1]))
+            if rows > 1:
+                x = qconv3x3_s1_requant(
+                    x, wl, wc, wr, scale, offset, rows=rows
+                )
+            else:
+                strides, padding = FOLDED_CONV_GEOMETRY["s1"]
+                x = requant(qconv(x, w_q, strides, padding), scale, offset)
         elif kind.split(":")[0] in geometry:
             strides, padding = geometry[kind.split(":")[0]]
             w_q, scale, offset = entry

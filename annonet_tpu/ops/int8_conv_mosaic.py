@@ -1,0 +1,183 @@
+"""Mosaic (pallas) int8 3x3 stride-1 conv + requant for the folded net.
+
+The round-3 inference profile left ONE named lever (docs/DESIGN.md
+par.15-16): the int8 folded convs run at 212-263 TOP/s of the v5e's 394
+int8 peak under XLA's conv emitters. This kernel reformulates the folded
+stride-1 conv ("qs1" geometry: 3x3, stride 1, pad ((1,1),(1,1)),
+cin = cout = 128 folded channels — models/folded_runtime.py) as three
+int8 MXU GEMMs with the requant epilogue fused, to test whether a
+hand-scheduled kernel clears XLA's rate.
+
+Formulation (per output row block of R rows):
+
+  out[h, wb] = sum_{dy in 0..2, t in 0..2} x[h+dy-1, wb+t-1] @ W[dy, t]
+
+- the dy taps ride a LANE-ALIGNED concat: p_cat[h, wb, dy*C:dy*C+C] =
+  x[h+dy-1, wb] (offsets are multiples of 128 lanes — the form Mosaic
+  accepts; ops/pallas_conv.py's record);
+- the wb taps are SUBLANE shifts of p_cat (zero rows at the tile's width
+  edges — int8 zero == the activation zero point, so edge semantics match
+  the folded conv's ((1,1),(1,1)) zero padding exactly);
+- H-halo rows arrive as two small side arrays (top/bot, one row per
+  block = 2/R extra input traffic) instead of shifted full copies of x
+  (the copy traffic that sank pallas_conv.py's variant B) or unaligned
+  halo DMA (the exactness trap of the pruned DMA variant);
+- epilogue: acc_i32 -> f32 * scale[co] + offset[co], clip [0,127], int8 —
+  identical math to quantized_runtime.apply_folded_int8.requant.
+
+Weights: W[dy, t] is w_q[:, t].reshape(3*C, C) — rows (dy, ci), exactly
+the folded block-Toeplitz kernel's t-th width tap.
+
+STATUS: measurement record lives in docs/DESIGN.md par.20 and
+scripts/probe_mosaic_int8.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def build_tap_gemms(w_q: np.ndarray):
+    """int8 folded kernel [3, 3, C, C] -> (Wl, Wc, Wr), each [3C, C] int8.
+
+    Wt rows are (dy, ci) pairs; out[.., wb] accumulates
+    x[.., wb-1] @ Wl + x[.., wb] @ Wc + x[.., wb+1] @ Wr.
+    """
+    kh, kw, cin, cout = w_q.shape
+    assert (kh, kw) == (3, 3) and w_q.dtype == np.int8
+    taps = [np.ascontiguousarray(w_q[:, t].reshape(3 * cin, cout))
+            for t in range(3)]
+    return taps[0], taps[1], taps[2]
+
+
+def mosaicize_qspec(qspec, qarrays):
+    """Rewrite eligible "qs1" entries to Mosaic form ("ms1").
+
+    Eligible: plain folded stride-1 convs (no :pad4 stem suffix — its
+    24-lane concat offsets are not 128-multiples) whose folded cin is a
+    multiple of 128 lanes. Each "ms1" entry carries
+    (wl, wc, wr, scale, offset, w_q) — the tap GEMMs plus the original
+    kernel so apply_folded_int8 can fall back to the XLA conv for
+    heights with no usable row-block divisor.
+    """
+    out_spec, out_arrays = [], []
+    for kind, entry in zip(qspec, qarrays):
+        if kind == "qs1":
+            w_q, scale, offset = entry
+            cin = w_q.shape[2]
+            if cin % 128 == 0 and w_q.shape[:2] == (3, 3):
+                wl, wc, wr = build_tap_gemms(np.asarray(w_q))
+                out_spec.append("ms1")
+                out_arrays.append(
+                    (jnp.asarray(wl), jnp.asarray(wc), jnp.asarray(wr),
+                     scale, offset, w_q)
+                )
+                continue
+        out_spec.append(kind)
+        out_arrays.append(entry)
+    return tuple(out_spec), tuple(out_arrays)
+
+
+def pick_rows(h: int, max_rows: int = 16) -> int:
+    """Largest row-block size <= max_rows dividing ``h`` (1 = no benefit)."""
+    r = 1
+    for cand in range(2, max_rows + 1):
+        if h % cand == 0:
+            r = cand
+    return r
+
+
+def _qconv_kernel(top_ref, mid_ref, bot_ref, wl_ref, wc_ref, wr_ref,
+                  scale_ref, offset_ref, out_ref, *, rows: int):
+    r = rows
+    p_full = jnp.concatenate(
+        [top_ref[0], mid_ref[0], bot_ref[0]], axis=0
+    )  # [R+2, WB, C]
+    # dy taps as a lane-aligned concat (offsets 0/C/2C)
+    p_cat = jnp.concatenate(
+        [p_full[0:r], p_full[1:r + 1], p_full[2:r + 2]], axis=-1
+    )  # [R, WB, 3C]
+    zrow = jnp.zeros_like(p_cat[:, :1])
+    p_l = jnp.concatenate([zrow, p_cat[:, :-1]], axis=1)
+    p_r = jnp.concatenate([p_cat[:, 1:], zrow], axis=1)
+
+    dn = (((2,), (0,)), ((), ()))
+
+    def dotg(p, w):
+        return lax.dot_general(
+            p, w[:], dn, preferred_element_type=jnp.int32
+        )
+
+    acc = dotg(p_l, wl_ref) + dotg(p_cat, wc_ref) + dotg(p_r, wr_ref)
+    f = acc.astype(jnp.float32) * scale_ref[0] + offset_ref[0]
+    out_ref[0] = jnp.clip(f, 0.0, 127.0).astype(jnp.int8)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("rows", "interpret")
+)
+def qconv3x3_s1_requant(
+    x_q: jnp.ndarray,      # [N, H, WB, C] int8, folded activations
+    wl: jnp.ndarray,       # [3C, C] int8 (build_tap_gemms)
+    wc: jnp.ndarray,
+    wr: jnp.ndarray,
+    scale: jnp.ndarray,    # [C] f32 — s_w * inv_s_out (quantize_folded)
+    offset: jnp.ndarray,   # [C] f32 — b * inv_s_out + 0.5
+    rows: int = 8,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Fused int8 folded 3x3/s1 conv + requant; returns int8 [N, H, WB, C].
+
+    ``rows`` must divide H. Exactly equal (tested) to
+    quantized_runtime's requant(qconv(x, w_q, (1, 1), [(1,1),(1,1)])).
+    ``interpret=None`` auto-selects the pallas interpreter off-TPU (the
+    CPU test meshes).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n, h, wb, c = x_q.shape
+    cout = wc.shape[1]
+    assert h % rows == 0, (h, rows)
+    hb = h // rows
+
+    # H-halo side arrays: top[r] = x[.., r*rows - 1], bot[r] = x[.., (r+1)*rows]
+    zero = jnp.zeros((n, 1, wb, c), x_q.dtype)
+    starts = x_q[:, rows - 1 :: rows]           # rows r*rows-1, r >= 1
+    tops = jnp.concatenate([zero, starts[:, : hb - 1]], axis=1)
+    ends = x_q[:, rows::rows]                   # rows (r+1)*rows, r < hb-1
+    bots = jnp.concatenate([ends[:, : hb - 1], zero], axis=1)
+
+    halo_spec = pl.BlockSpec(
+        (1, 1, wb, c), lambda b, r: (b, r, 0, 0), memory_space=pltpu.VMEM
+    )
+    row_spec = pl.BlockSpec(
+        (1, rows, wb, c), lambda b, r: (b, r, 0, 0), memory_space=pltpu.VMEM
+    )
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    flops = 2 * n * h * wb * (3 * c) * cout * 3
+    bytes_accessed = (x_q.size + 2 * n * hb * wb * c
+                      + n * h * wb * cout + 3 * 3 * c * cout)
+    return pl.pallas_call(
+        functools.partial(_qconv_kernel, rows=rows),
+        grid=(n, hb),
+        in_specs=[halo_spec, row_spec, halo_spec,
+                  full, full, full, full, full],
+        out_specs=pl.BlockSpec(
+            (1, rows, wb, cout), lambda b, r: (b, r, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, h, wb, cout), jnp.int8),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
+        ),
+        interpret=interpret,
+    )(tops, x_q, bots, wl, wc, wr,
+      scale.astype(jnp.float32)[None, :], offset.astype(jnp.float32)[None, :])

@@ -1,0 +1,132 @@
+"""Micro-benchmark: Mosaic int8 qs1 conv+requant vs XLA's, device timeline.
+
+Shapes: the hot folded stride-1 layer [25, 872, 109, 128] (DESIGN.md
+par.15: XLA runs it at ~212-262 TOP/s of 394 peak), plus a synthetic
+WB=128 variant to separate the 109->128 sublane-padding cost from the
+kernel's own efficiency.
+
+Method (the par.16 arbiter): compile AOT, trace 3 executions per program,
+report whole-program device-timeline ms and achieved TOP/s.
+
+Run alone on the TPU:  python -u scripts/probe_mosaic_int8.py
+"""
+
+import collections
+import gzip
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def trace_ms(fn_compiled, args, tag):
+    import jax
+
+    out = fn_compiled(*args)
+    jax.block_until_ready(out)
+    trace_dir = f"/tmp/mosaic_int8_{tag}"
+    with jax.profiler.trace(trace_dir):
+        for _ in range(3):
+            out = fn_compiled(*args)
+        jax.block_until_ready(out)
+        # scalar sync so the trace captures completed device work
+        float(jax.numpy.max(out[0, 0, 0].astype(jax.numpy.int32)))
+    paths = []
+    for root, _dirs, files in os.walk(trace_dir):
+        for f in files:
+            if f.endswith("trace.json.gz"):
+                paths.append(os.path.join(root, f))
+    with gzip.open(max(paths, key=os.path.getmtime)) as f:
+        data = json.load(f)
+    pids = {}
+    for e in data["traceEvents"]:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pids[e["pid"]] = e["args"].get("name", "")
+    tot = collections.Counter()
+    for e in data["traceEvents"]:
+        if e.get("ph") == "X" and "TPU" in pids.get(e.get("pid"), ""):
+            tot[e["name"]] += e.get("dur", 0)
+    ops = []
+    for name, dur_us in tot.most_common():
+        ms = dur_us / 1000 / 3
+        if name.startswith("jit_"):
+            continue
+        ops.append((ms, name))
+    return sum(m for m, _ in ops), ops
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+
+    from annonet_tpu.ops.int8_conv_mosaic import (
+        build_tap_gemms,
+        qconv3x3_s1_requant,
+    )
+
+    _DN = ("NHWC", "HWIO", "NHWC")
+    rng = np.random.default_rng(0)
+
+    def xla_qconv(x_q, w_q, scale, offset):
+        acc = lax.conv_general_dilated(
+            x_q, w_q, (1, 1), [(1, 1), (1, 1)], dimension_numbers=_DN,
+            preferred_element_type=jnp.int32,
+        )
+        f = acc.astype(jnp.float32) * scale + offset
+        return jnp.clip(f, 0.0, 127.0).astype(jnp.int8)
+
+    results = {}
+    for tag, shape in (
+        ("hot109", (25, 872, 109, 128)),
+        ("wb128", (25, 872, 128, 128)),
+    ):
+        n, h, wb, c = shape
+        x_q = jnp.asarray(
+            rng.integers(0, 128, size=shape, dtype=np.int8)
+        )
+        w_q_np = rng.integers(-127, 128, size=(3, 3, c, c), dtype=np.int8)
+        w_q = jnp.asarray(w_q_np)
+        scale = jnp.asarray(rng.random(c, dtype=np.float32) * 1e-3 + 1e-5)
+        offset = jnp.asarray(rng.random(c, dtype=np.float32) + 0.5)
+        jax.block_until_ready(x_q)
+        flops = 2 * n * h * wb * c * c * 9
+
+        xla_c = jax.jit(xla_qconv).lower(x_q, w_q, scale, offset).compile()
+        ms, ops = trace_ms(xla_c, (x_q, w_q, scale, offset), f"xla_{tag}")
+        print(f"\n== XLA {tag}: {ms:.3f} ms, "
+              f"{flops / ms / 1e9:.0f} TOP/s ==", flush=True)
+        for m, op in ops[:6]:
+            print(f"  {m:8.3f} ms  {op[:64]}", flush=True)
+        results[f"xla_{tag}"] = ms
+
+        wl, wc_, wr = build_tap_gemms(w_q_np)
+        wl, wc_, wr = jnp.asarray(wl), jnp.asarray(wc_), jnp.asarray(wr)
+        for rows in (8, 109):
+            if h % rows:
+                continue
+            mos_c = qconv3x3_s1_requant.lower(
+                x_q, wl, wc_, wr, scale, offset, rows=rows
+            ).compile()
+            try:
+                ms, ops = trace_ms(
+                    mos_c, (x_q, wl, wc_, wr, scale, offset),
+                    f"mos{rows}_{tag}",
+                )
+            except Exception as e:  # compile/runtime failure is a result
+                print(f"mosaic rows={rows} {tag} FAILED: {e}", flush=True)
+                continue
+            print(f"== Mosaic rows={rows} {tag}: {ms:.3f} ms, "
+                  f"{flops / ms / 1e9:.0f} TOP/s ==", flush=True)
+            for m, op in ops[:6]:
+                print(f"  {m:8.3f} ms  {op[:64]}", flush=True)
+            results[f"mosaic{rows}_{tag}"] = ms
+
+    print(json.dumps({"metric": "mosaic_int8_qs1",
+                      **{k: round(v, 3) for k, v in results.items()}}))
+
+
+if __name__ == "__main__":
+    main()

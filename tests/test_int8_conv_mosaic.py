@@ -1,0 +1,81 @@
+"""Exactness of the Mosaic int8 folded conv vs the XLA reference path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import lax
+
+from annonet_tpu.ops.int8_conv_mosaic import build_tap_gemms, qconv3x3_s1_requant
+
+_DN = ("NHWC", "HWIO", "NHWC")
+
+
+def _xla_reference(x_q, w_q, scale, offset):
+    acc = lax.conv_general_dilated(
+        x_q, w_q, (1, 1), [(1, 1), (1, 1)], dimension_numbers=_DN,
+        preferred_element_type=jnp.int32,
+    )
+    f = acc.astype(jnp.float32) * scale + offset
+    return jnp.clip(f, 0.0, 127.0).astype(jnp.int8)
+
+
+def test_mosaicized_whole_net_matches_plain_int8():
+    """mosaicize_qspec's net == the plain int8 net, bit-exact (the "ms1"
+    rewrite only changes the execution schedule, never the math)."""
+    from annonet_tpu.models.folded_runtime import (
+        fold_runtime_params, split_folded,
+    )
+    from annonet_tpu.models.quantized_runtime import (
+        apply_folded_int8, collect_calibration, quantize_folded,
+    )
+    from annonet_tpu.models.segnet import (
+        SegNetConfig, fold_batchnorm, init_state,
+    )
+    from annonet_tpu.ops.int8_conv_mosaic import mosaicize_qspec
+
+    cfg = SegNetConfig(
+        class_count=3, level_count=2, base_width=16,
+        compute_dtype="float32",
+    )
+    params, bn = init_state(jax.random.PRNGKey(0), cfg)
+    rt = fold_batchnorm(params, bn, cfg)
+    (f0, spec), arrays = split_folded(fold_runtime_params(rt, cfg, fold0=8))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(0, 256, size=(1, 64, 64, 3), dtype=np.uint8))
+    calib = tuple(
+        np.asarray(c)
+        for c in collect_calibration(arrays, x, cfg, fold0=f0, spec=spec)
+    )
+    qspec, qarrays = quantize_folded(spec, arrays, calib, cfg, f0)
+    ref = apply_folded_int8(qarrays, x, cfg, fold0=f0, qspec=qspec)
+    mspec, marrays = mosaicize_qspec(qspec, qarrays)
+    assert mspec.count("ms1") >= 4  # enc/dec stride-1 convs rewritten
+    got = apply_folded_int8(marrays, x, cfg, fold0=f0, qspec=mspec)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+@pytest.mark.parametrize("shape,rows", [
+    ((2, 16, 11, 128), 8),    # WB not a sublane multiple (the 109 case)
+    ((1, 24, 8, 128), 8),     # tiny
+    ((1, 16, 32, 256), 4),    # wider folded channels (dec conv input K=256)
+])
+def test_mosaic_qconv_matches_xla(shape, rows):
+    n, h, wb, c = shape
+    rng = np.random.default_rng(5)
+    x_q = rng.integers(0, 128, size=shape, dtype=np.int8)
+    w_q = rng.integers(-127, 128, size=(3, 3, c, 128), dtype=np.int8)
+    scale = (rng.random(128, dtype=np.float32) * 1e-3 + 1e-5)
+    offset = rng.random(128, dtype=np.float32) * 4 - 1 + 0.5
+
+    ref = _xla_reference(
+        jnp.asarray(x_q), jnp.asarray(w_q), jnp.asarray(scale),
+        jnp.asarray(offset),
+    )
+    wl, wc_, wr = build_tap_gemms(w_q)
+    got = qconv3x3_s1_requant(
+        jnp.asarray(x_q), jnp.asarray(wl), jnp.asarray(wc_),
+        jnp.asarray(wr), jnp.asarray(scale), jnp.asarray(offset),
+        rows=rows, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
