@@ -60,6 +60,20 @@ _CANVAS_BUCKET = 128
 from annonet_tpu.ops.blobs import label_connected_blobs
 
 
+def _maybe_mosaicize(quantized):
+    """Opt-in rewrite of the int8 net's stride-1/2 convs to the fused
+    Mosaic kernels (ops/int8_conv_mosaic.py) — ANNONET_TPU_MOSAIC_INT8=1.
+    Bit-exact vs the XLA path (tests/test_int8_conv_mosaic.py); off by
+    default pending the composed device measurement."""
+    import os
+
+    if os.environ.get("ANNONET_TPU_MOSAIC_INT8") != "1":
+        return quantized
+    from annonet_tpu.ops.int8_conv_mosaic import mosaicize_qspec
+
+    return mosaicize_qspec(*quantized)
+
+
 def _tiled_forward(
     params,
     image: jnp.ndarray,  # [H, W, C] uint8 (unpadded)
@@ -618,8 +632,10 @@ class TiledInferer:
                     f"vectors, model expects {expected} (wrong model?)"
                 )
             self._calib_frozen[fold0] = self._preloaded_calib
-            self._quantized_cache[fold0] = quantize_folded(
-                spec, arrays, self._preloaded_calib, self.config, f0
+            self._quantized_cache[fold0] = _maybe_mosaicize(
+                quantize_folded(
+                    spec, arrays, self._preloaded_calib, self.config, f0
+                )
             )
             return
         calib = self._collect_calib(fold0, plan, padded_image)
@@ -636,8 +652,8 @@ class TiledInferer:
 
         (f0, spec), arrays = self._get_folded(fold0)
         self._calib_frozen[fold0] = accum
-        self._quantized_cache[fold0] = quantize_folded(
-            spec, arrays, accum, self.config, f0
+        self._quantized_cache[fold0] = _maybe_mosaicize(
+            quantize_folded(spec, arrays, accum, self.config, f0)
         )
 
     def export_calibration(self):

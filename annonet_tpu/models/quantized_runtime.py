@@ -362,6 +362,19 @@ def apply_folded_int8(
             else:
                 strides, padding = FOLDED_CONV_GEOMETRY["s1"]
                 x = requant(qconv(x, w_q, strides, padding), scale, offset)
+        elif kind == "ms2":
+            from annonet_tpu.ops.int8_conv_mosaic import (
+                pick_rows, qconv3x3_s2_requant,
+            )
+
+            w0, w1, scale, offset, w_q = entry
+            h = int(x.shape[1])
+            rows = pick_rows(h // 2) if h % 2 == 0 else 1
+            if rows > 1:
+                x = qconv3x3_s2_requant(x, w0, w1, scale, offset, rows=rows)
+            else:
+                strides, padding = FOLDED_CONV_GEOMETRY["s2"]
+                x = requant(qconv(x, w_q, strides, padding), scale, offset)
         elif kind.split(":")[0] in geometry:
             strides, padding = geometry[kind.split(":")[0]]
             w_q, scale, offset = entry

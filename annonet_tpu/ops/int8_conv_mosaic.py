@@ -57,6 +57,101 @@ def build_tap_gemms(w_q: np.ndarray):
     return taps[0], taps[1], taps[2]
 
 
+def build_tap_gemms_s2(w_q: np.ndarray):
+    """int8 folded s2 kernel [3, 2, C, C'] -> (W0, W1), each [3C, C'] int8.
+
+    out[.., wb] accumulates x_even_rows[.., wb] @ W0 + x[.., wb+1] @ W1
+    (the folded s2 geometry taps wb and wb+1 — _fold_s2_kernel).
+    """
+    kh, kw, cin, cout = w_q.shape
+    assert (kh, kw) == (3, 2) and w_q.dtype == np.int8
+    return tuple(
+        np.ascontiguousarray(w_q[:, t].reshape(3 * cin, cout))
+        for t in range(2)
+    )
+
+
+def _qconv_s2_kernel(mid_ref, bot_ref, w0_ref, w1_ref,
+                     scale_ref, offset_ref, out_ref, *, rows: int):
+    r = rows
+    p_full = jnp.concatenate([mid_ref[0], bot_ref[0]], axis=0)  # [2R+1,WB,C]
+    # input rows 2h+dy, h in [0, R): three stride-2 outer-dim slices
+    p_cat = jnp.concatenate(
+        [p_full[0 : 2 * r - 1 : 2], p_full[1 : 2 * r : 2],
+         p_full[2 : 2 * r + 1 : 2]],
+        axis=-1,
+    )  # [R, WB, 3C]
+    zrow = jnp.zeros_like(p_cat[:, :1])
+    p_r = jnp.concatenate([p_cat[:, 1:], zrow], axis=1)  # wb+1 tap
+
+    dn = (((2,), (0,)), ((), ()))
+
+    def dotg(p, w):
+        return lax.dot_general(p, w[:], dn, preferred_element_type=jnp.int32)
+
+    acc = dotg(p_cat, w0_ref) + dotg(p_r, w1_ref)
+    f = acc.astype(jnp.float32) * scale_ref[0] + offset_ref[0]
+    out_ref[0] = jnp.clip(f, 0.0, 127.0).astype(jnp.int8)
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "interpret"))
+def qconv3x3_s2_requant(
+    x_q: jnp.ndarray,      # [N, H, WB, C] int8 (H even)
+    w0: jnp.ndarray,       # [3C, C'] int8 (build_tap_gemms_s2)
+    w1: jnp.ndarray,
+    scale: jnp.ndarray,    # [C'] f32
+    offset: jnp.ndarray,   # [C'] f32
+    rows: int = 8,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Fused int8 folded 3x3/s2 conv + requant: [N, H, WB, C] ->
+    [N, H//2, WB, C'] int8. Exactly equal (tested) to quantized_runtime's
+    requant(qconv(x, w_q, (2, 1), [(0, 1), (0, 1)])). ``rows`` (output
+    row-block) must divide H//2."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n, h, wb, c = x_q.shape
+    cout = w0.shape[1]
+    assert h % 2 == 0, h
+    h_out = h // 2
+    assert h_out % rows == 0, (h_out, rows)
+    hb = h_out // rows
+
+    # bottom halo: row 2*(r+1)*rows (the dy=2 tap of the block's last output
+    # row); the last block's halo is the (0, 1) zero padding row
+    zero = jnp.zeros((n, 1, wb, c), x_q.dtype)
+    ends = x_q[:, 2 * rows :: 2 * rows]
+    bots = jnp.concatenate([ends[:, : hb - 1], zero], axis=1)
+
+    halo_spec = pl.BlockSpec(
+        (1, 1, wb, c), lambda b, r: (b, r, 0, 0), memory_space=pltpu.VMEM
+    )
+    in_spec = pl.BlockSpec(
+        (1, 2 * rows, wb, c), lambda b, r: (b, r, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    flops = 2 * n * h_out * wb * (3 * c) * cout * 2
+    bytes_accessed = (x_q.size + n * hb * wb * c
+                      + n * h_out * wb * cout + 3 * 2 * c * cout)
+    return pl.pallas_call(
+        functools.partial(_qconv_s2_kernel, rows=rows),
+        grid=(n, hb),
+        in_specs=[in_spec, halo_spec, full, full, full, full],
+        out_specs=pl.BlockSpec(
+            (1, rows, wb, cout), lambda b, r: (b, r, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, h_out, wb, cout), jnp.int8),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
+        ),
+        interpret=interpret,
+    )(x_q, bots, w0, w1,
+      scale.astype(jnp.float32)[None, :], offset.astype(jnp.float32)[None, :])
+
+
 def mosaicize_qspec(qspec, qarrays):
     """Rewrite eligible "qs1" entries to Mosaic form ("ms1").
 
@@ -80,6 +175,16 @@ def mosaicize_qspec(qspec, qarrays):
                      scale, offset, w_q)
                 )
                 continue
+        if kind == "qs2":
+            w_q, scale, offset = entry
+            cin = w_q.shape[2]
+            if cin % 128 == 0 and w_q.shape[:2] == (3, 2):
+                w0, w1 = build_tap_gemms_s2(np.asarray(w_q))
+                out_spec.append("ms2")
+                out_arrays.append(
+                    (jnp.asarray(w0), jnp.asarray(w1), scale, offset, w_q)
+                )
+                continue
         out_spec.append(kind)
         out_arrays.append(entry)
     return tuple(out_spec), tuple(out_arrays)
@@ -95,7 +200,8 @@ def pick_rows(h: int, max_rows: int = 16) -> int:
 
 
 def _qconv_kernel(top_ref, mid_ref, bot_ref, wl_ref, wc_ref, wr_ref,
-                  scale_ref, offset_ref, out_ref, *, rows: int):
+                  scale_ref, offset_ref, out_ref, *, rows: int,
+                  flatten: bool):
     r = rows
     p_full = jnp.concatenate(
         [top_ref[0], mid_ref[0], bot_ref[0]], axis=0
@@ -108,20 +214,34 @@ def _qconv_kernel(top_ref, mid_ref, bot_ref, wl_ref, wc_ref, wr_ref,
     p_l = jnp.concatenate([zrow, p_cat[:, :-1]], axis=1)
     p_r = jnp.concatenate([p_cat[:, 1:], zrow], axis=1)
 
-    dn = (((2,), (0,)), ((), ()))
+    wb, k = p_cat.shape[1], p_cat.shape[2]
+    if flatten:
+        # merge (R, WB) into one M dim: WB=109 alone caps MXU row
+        # utilization at 109/128; M = R*WB tiles at 97%+ — IF Mosaic's
+        # sublane-compacting relayout for the reshape is cheap (measured)
+        dn = (((1,), (0,)), ((), ()))
 
-    def dotg(p, w):
-        return lax.dot_general(
-            p, w[:], dn, preferred_element_type=jnp.int32
-        )
+        def dotg(p, w):
+            return lax.dot_general(
+                p.reshape(r * wb, k), w[:], dn,
+                preferred_element_type=jnp.int32,
+            )
+    else:
+        dn = (((2,), (0,)), ((), ()))
+
+        def dotg(p, w):
+            return lax.dot_general(
+                p, w[:], dn, preferred_element_type=jnp.int32
+            )
 
     acc = dotg(p_l, wl_ref) + dotg(p_cat, wc_ref) + dotg(p_r, wr_ref)
     f = acc.astype(jnp.float32) * scale_ref[0] + offset_ref[0]
-    out_ref[0] = jnp.clip(f, 0.0, 127.0).astype(jnp.int8)
+    q = jnp.clip(f, 0.0, 127.0).astype(jnp.int8)
+    out_ref[0] = q.reshape(r, wb, -1) if flatten else q
 
 
 @functools.partial(
-    jax.jit, static_argnames=("rows", "interpret")
+    jax.jit, static_argnames=("rows", "interpret", "flatten")
 )
 def qconv3x3_s1_requant(
     x_q: jnp.ndarray,      # [N, H, WB, C] int8, folded activations
@@ -132,6 +252,7 @@ def qconv3x3_s1_requant(
     offset: jnp.ndarray,   # [C] f32 — b * inv_s_out + 0.5
     rows: int = 8,
     interpret: bool | None = None,
+    flatten: bool = False,
 ) -> jnp.ndarray:
     """Fused int8 folded 3x3/s1 conv + requant; returns int8 [N, H, WB, C].
 
@@ -166,7 +287,7 @@ def qconv3x3_s1_requant(
     bytes_accessed = (x_q.size + 2 * n * hb * wb * c
                       + n * h * wb * cout + 3 * 3 * c * cout)
     return pl.pallas_call(
-        functools.partial(_qconv_kernel, rows=rows),
+        functools.partial(_qconv_kernel, rows=rows, flatten=flatten),
         grid=(n, hb),
         in_specs=[halo_spec, row_spec, halo_spec,
                   full, full, full, full, full],

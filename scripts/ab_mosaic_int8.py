@@ -1,0 +1,137 @@
+"""A/B: Mosaic int8 conv kernels vs XLA convs on the COMPOSED program.
+
+Two TiledInferers in one process — the shipped int8 program and the same
+program with ANNONET_TPU_MOSAIC_INT8 stride-1/2 convs (bit-exact rewrite,
+tests/test_int8_conv_mosaic.py) — interleaved wall-clock rounds PLUS the
+par.16 arbiter: whole-program device-timeline ms from a profiler trace of
+each arm.
+
+Run alone on the TPU:  python -u scripts/ab_mosaic_int8.py
+"""
+
+import collections
+import gzip
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from annonet_tpu.infer.core import TiledInferer
+from annonet_tpu.infer.tiling import TilingParameters
+from annonet_tpu.models.segnet import (
+    SegNetConfig,
+    fold_batchnorm,
+    init_state,
+    required_input_dimension,
+)
+
+SIZE = 4096
+ITERS = 5
+ROUNDS = 4
+
+
+def device_timeline_ms(trace_dir):
+    paths = []
+    for root, _dirs, files in os.walk(trace_dir):
+        for f in files:
+            if f.endswith("trace.json.gz"):
+                paths.append(os.path.join(root, f))
+    with gzip.open(max(paths, key=os.path.getmtime)) as f:
+        data = json.load(f)
+    pids = {}
+    for e in data["traceEvents"]:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pids[e["pid"]] = e["args"].get("name", "")
+    tot = collections.Counter()
+    for e in data["traceEvents"]:
+        if e.get("ph") == "X" and "TPU" in pids.get(e.get("pid"), ""):
+            tot[e["name"]] += e.get("dur", 0)
+    ops = [(d / 1000 / ITERS, n) for n, d in tot.most_common()
+           if not n.startswith("jit_")]
+    return sum(m for m, _ in ops), ops
+
+
+def main() -> None:
+    config = SegNetConfig(class_count=3, level_count=3, base_width=16)
+    params, bn_stats = init_state(jax.random.PRNGKey(0), config)
+    rp = fold_batchnorm(params, bn_stats, config)
+    overlap = required_input_dimension(config)
+    tiling = TilingParameters(1024, 1024, overlap, overlap)
+
+    # both arms in ONE process: flip the env around inferer CONSTRUCTION
+    # is not enough (the rewrite happens at calibration freeze), so flip
+    # it around the first infer_arrays call of each arm
+    inferers = {}
+    rng = np.random.default_rng(0)
+    image = jnp.asarray(
+        rng.integers(0, 256, size=(SIZE, SIZE, 3), dtype=np.uint8)
+    )
+    float(jnp.max(image).astype(jnp.int32))
+
+    outs = {}
+    for name, flag in (("xla", "0"), ("mosaic", "1")):
+        os.environ["ANNONET_TPU_MOSAIC_INT8"] = flag
+        inf = TiledInferer(rp, config, tiling, quantize="int8")
+        for _ in range(2):  # calib program + int8 program
+            labels, _ = inf.infer_arrays(image, device_output=True)
+            float(jnp.max(labels).astype(jnp.int32))
+        inferers[name] = inf
+        outs[name] = labels
+    mism = int(jnp.sum(outs["xla"] != outs["mosaic"]))
+    print(f"label disagreement xla-vs-mosaic: {mism} px", flush=True)
+
+    trivial = jax.jit(lambda a: a[0, 0].astype(jnp.int32))
+    float(trivial(outs["xla"]))
+    t0 = time.monotonic()
+    for _ in range(3):
+        float(trivial(outs["xla"]))
+    rtt = (time.monotonic() - t0) / 3
+    mpx = SIZE * SIZE * ITERS / 1e6
+
+    # arbiter: whole-program device-timeline ms per arm
+    timeline = {}
+    for name, inf in inferers.items():
+        trace_dir = f"/tmp/ab_mosaic_{name}"
+        with jax.profiler.trace(trace_dir):
+            for _ in range(ITERS):
+                labels, _ = inf.infer_arrays(image, device_output=True)
+            float(jnp.max(labels).astype(jnp.int32))
+        ms, ops = device_timeline_ms(trace_dir)
+        timeline[name] = ms
+        print(f"\n== {name}: device timeline {ms:.2f} ms/image ==",
+              flush=True)
+        for m, op in ops[:10]:
+            if m >= 0.2:
+                print(f"  {m:8.2f} ms  {op[:64]}", flush=True)
+
+    rates = {"xla": [], "mosaic": []}
+    for _r in range(ROUNDS):
+        for name, inf in inferers.items():
+            t0 = time.monotonic()
+            for _ in range(ITERS):
+                labels, _ = inf.infer_arrays(image, device_output=True)
+            float(jnp.max(labels).astype(jnp.int32))
+            rates[name].append(mpx / max(1e-9, time.monotonic() - t0 - rtt))
+    meds = {}
+    for name, rs in rates.items():
+        meds[name] = sorted(rs)[len(rs) // 2]
+        print(f"{name}: median {meds[name]:.1f} Mpx/s  "
+              f"({['%.1f' % r for r in rs]})", flush=True)
+    print(json.dumps({
+        "metric": "mosaic_int8_composed",
+        "xla_device_ms": round(timeline["xla"], 2),
+        "mosaic_device_ms": round(timeline["mosaic"], 2),
+        "xla_mpxs": round(meds["xla"], 1),
+        "mosaic_mpxs": round(meds["mosaic"], 1),
+        "label_mismatch_px": mism,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -104,24 +104,76 @@ def main() -> None:
 
         wl, wc_, wr = build_tap_gemms(w_q_np)
         wl, wc_, wr = jnp.asarray(wl), jnp.asarray(wc_), jnp.asarray(wr)
-        for rows in (8, 109):
+        for rows, flatten in ((8, False), (8, True), (109, False)):
             if h % rows:
                 continue
-            mos_c = qconv3x3_s1_requant.lower(
-                x_q, wl, wc_, wr, scale, offset, rows=rows
+            try:
+                mos_c = qconv3x3_s1_requant.lower(
+                    x_q, wl, wc_, wr, scale, offset, rows=rows,
+                    flatten=flatten,
+                ).compile()
+                ms, ops = trace_ms(
+                    mos_c, (x_q, wl, wc_, wr, scale, offset),
+                    f"mos{rows}{'f' if flatten else ''}_{tag}",
+                )
+            except Exception as e:  # compile/runtime failure is a result
+                print(f"mosaic rows={rows} flatten={flatten} {tag} "
+                      f"FAILED: {e}", flush=True)
+                continue
+            name = f"mosaic{rows}{'_flat' if flatten else ''}_{tag}"
+            print(f"== Mosaic rows={rows} flatten={flatten} {tag}: "
+                  f"{ms:.3f} ms, {flops / ms / 1e9:.0f} TOP/s ==",
+                  flush=True)
+            for m, op in ops[:6]:
+                print(f"  {m:8.3f} ms  {op[:64]}", flush=True)
+            results[name] = ms
+
+    # stride-2 layer (enc downsample: H halves, folded channels stay 128)
+    from annonet_tpu.ops.int8_conv_mosaic import (
+        build_tap_gemms_s2,
+        qconv3x3_s2_requant,
+    )
+
+    for tag, shape in (("s2_hot109", (25, 872, 109, 128)),):
+        n, h, wb, c = shape
+        x_q = jnp.asarray(rng.integers(0, 128, size=shape, dtype=np.int8))
+        w_q_np = rng.integers(-127, 128, size=(3, 2, c, c), dtype=np.int8)
+        w_q = jnp.asarray(w_q_np)
+        scale = jnp.asarray(rng.random(c, dtype=np.float32) * 1e-3 + 1e-5)
+        offset = jnp.asarray(rng.random(c, dtype=np.float32) + 0.5)
+        jax.block_until_ready(x_q)
+        flops = 2 * n * (h // 2) * wb * c * c * 6
+
+        def xla_qconv_s2(x_q, w_q, scale, offset):
+            acc = lax.conv_general_dilated(
+                x_q, w_q, (2, 1), [(0, 1), (0, 1)], dimension_numbers=_DN,
+                preferred_element_type=jnp.int32,
+            )
+            f = acc.astype(jnp.float32) * scale + offset
+            return jnp.clip(f, 0.0, 127.0).astype(jnp.int8)
+
+        xla_c = jax.jit(xla_qconv_s2).lower(x_q, w_q, scale, offset).compile()
+        ms, ops = trace_ms(xla_c, (x_q, w_q, scale, offset), f"xla_{tag}")
+        print(f"\n== XLA {tag}: {ms:.3f} ms, "
+              f"{flops / ms / 1e9:.0f} TOP/s ==", flush=True)
+        results[f"xla_{tag}"] = ms
+        w0, w1 = build_tap_gemms_s2(w_q_np)
+        w0, w1 = jnp.asarray(w0), jnp.asarray(w1)
+        for rows in (4, 109):
+            if (h // 2) % rows:
+                continue
+            mos_c = qconv3x3_s2_requant.lower(
+                x_q, w0, w1, scale, offset, rows=rows
             ).compile()
             try:
                 ms, ops = trace_ms(
-                    mos_c, (x_q, wl, wc_, wr, scale, offset),
-                    f"mos{rows}_{tag}",
+                    mos_c, (x_q, w0, w1, scale, offset), f"mos{rows}_{tag}"
                 )
-            except Exception as e:  # compile/runtime failure is a result
-                print(f"mosaic rows={rows} {tag} FAILED: {e}", flush=True)
+            except Exception as e:
+                print(f"mosaic s2 rows={rows} FAILED: {e}", flush=True)
                 continue
-            print(f"== Mosaic rows={rows} {tag}: {ms:.3f} ms, "
+            print(f"== Mosaic s2 rows={rows}: {ms:.3f} ms, "
                   f"{flops / ms / 1e9:.0f} TOP/s ==", flush=True)
-            for m, op in ops[:6]:
-                print(f"  {m:8.3f} ms  {op[:64]}", flush=True)
             results[f"mosaic{rows}_{tag}"] = ms
 
     print(json.dumps({"metric": "mosaic_int8_qs1",

@@ -6,7 +6,12 @@ import numpy as np
 import pytest
 from jax import lax
 
-from annonet_tpu.ops.int8_conv_mosaic import build_tap_gemms, qconv3x3_s1_requant
+from annonet_tpu.ops.int8_conv_mosaic import (
+    build_tap_gemms,
+    build_tap_gemms_s2,
+    qconv3x3_s1_requant,
+    qconv3x3_s2_requant,
+)
 
 _DN = ("NHWC", "HWIO", "NHWC")
 
@@ -51,16 +56,45 @@ def test_mosaicized_whole_net_matches_plain_int8():
     ref = apply_folded_int8(qarrays, x, cfg, fold0=f0, qspec=qspec)
     mspec, marrays = mosaicize_qspec(qspec, qarrays)
     assert mspec.count("ms1") >= 4  # enc/dec stride-1 convs rewritten
+    assert mspec.count("ms2") >= 2  # enc stride-2 convs rewritten
     got = apply_folded_int8(marrays, x, cfg, fold0=f0, qspec=mspec)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
 @pytest.mark.parametrize("shape,rows", [
+    ((2, 16, 11, 128), 4),
+    ((1, 32, 8, 256), 8),
+])
+def test_mosaic_qconv_s2_matches_xla(shape, rows):
+    n, h, wb, c = shape
+    rng = np.random.default_rng(9)
+    x_q = rng.integers(0, 128, size=shape, dtype=np.int8)
+    w_q = rng.integers(-127, 128, size=(3, 2, c, 128), dtype=np.int8)
+    scale = rng.random(128, dtype=np.float32) * 1e-3 + 1e-5
+    offset = rng.random(128, dtype=np.float32) * 4 - 1 + 0.5
+
+    acc = lax.conv_general_dilated(
+        jnp.asarray(x_q), jnp.asarray(w_q), (2, 1), [(0, 1), (0, 1)],
+        dimension_numbers=_DN, preferred_element_type=jnp.int32,
+    )
+    f = acc.astype(jnp.float32) * jnp.asarray(scale) + jnp.asarray(offset)
+    ref = jnp.clip(f, 0.0, 127.0).astype(jnp.int8)
+
+    w0, w1 = build_tap_gemms_s2(w_q)
+    got = qconv3x3_s2_requant(
+        jnp.asarray(x_q), jnp.asarray(w0), jnp.asarray(w1),
+        jnp.asarray(scale), jnp.asarray(offset), rows=rows, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+@pytest.mark.parametrize("flatten", [False, True])
+@pytest.mark.parametrize("shape,rows", [
     ((2, 16, 11, 128), 8),    # WB not a sublane multiple (the 109 case)
     ((1, 24, 8, 128), 8),     # tiny
     ((1, 16, 32, 256), 4),    # wider folded channels (dec conv input K=256)
 ])
-def test_mosaic_qconv_matches_xla(shape, rows):
+def test_mosaic_qconv_matches_xla(shape, rows, flatten):
     n, h, wb, c = shape
     rng = np.random.default_rng(5)
     x_q = rng.integers(0, 128, size=shape, dtype=np.int8)
@@ -76,6 +110,6 @@ def test_mosaic_qconv_matches_xla(shape, rows):
     got = qconv3x3_s1_requant(
         jnp.asarray(x_q), jnp.asarray(wl), jnp.asarray(wc_),
         jnp.asarray(wr), jnp.asarray(scale), jnp.asarray(offset),
-        rows=rows, interpret=True,
+        rows=rows, interpret=True, flatten=flatten,
     )
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
