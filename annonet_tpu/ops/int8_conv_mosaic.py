@@ -18,9 +18,11 @@ Formulation (per output row block of R rows):
 - the wb taps are SUBLANE shifts of p_cat (zero rows at the tile's width
   edges — int8 zero == the activation zero point, so edge semantics match
   the folded conv's ((1,1),(1,1)) zero padding exactly);
-- H-halo rows arrive as two small side arrays (top/bot, one row per
-  block = 2/R extra input traffic) instead of shifted full copies of x
-  (the copy traffic that sank pallas_conv.py's variant B) or unaligned
+- H-halo rows are 1-row block views of x itself (block size 1 makes the
+  BlockSpec index map element-granular, so it can address row R*r-1
+  directly; edge blocks are clamped and masked to the conv's zero
+  padding in-kernel) — no shifted full copies of x (the traffic that
+  sank pallas_conv.py's variant B), no extra HBM arrays, no unaligned
   halo DMA (the exactness trap of the pruned DMA variant);
 - epilogue: acc_i32 -> f32 * scale[co] + offset[co], clip [0,127], int8 —
   identical math to quantized_runtime.apply_folded_int8.requant.
@@ -74,7 +76,13 @@ def build_tap_gemms_s2(w_q: np.ndarray):
 def _qconv_s2_kernel(mid_ref, bot_ref, w0_ref, w1_ref,
                      scale_ref, offset_ref, out_ref, *, rows: int):
     r = rows
-    p_full = jnp.concatenate([mid_ref[0], bot_ref[0]], axis=0)  # [2R+1,WB,C]
+    # clamped 1-row halo view of x; the last block's tap is the (0, 1)
+    # zero padding row
+    bot = jnp.where(
+        pl.program_id(1) == pl.num_programs(1) - 1,
+        jnp.zeros_like(bot_ref[0]), bot_ref[0],
+    )
+    p_full = jnp.concatenate([mid_ref[0], bot], axis=0)  # [2R+1,WB,C]
     # input rows 2h+dy, h in [0, R): three stride-2 outer-dim slices
     p_cat = jnp.concatenate(
         [p_full[0 : 2 * r - 1 : 2], p_full[1 : 2 * r : 2],
@@ -117,14 +125,13 @@ def qconv3x3_s2_requant(
     assert h_out % rows == 0, (h_out, rows)
     hb = h_out // rows
 
-    # bottom halo: row 2*(r+1)*rows (the dy=2 tap of the block's last output
-    # row); the last block's halo is the (0, 1) zero padding row
-    zero = jnp.zeros((n, 1, wb, c), x_q.dtype)
-    ends = x_q[:, 2 * rows :: 2 * rows]
-    bots = jnp.concatenate([ends[:, : hb - 1], zero], axis=1)
-
-    halo_spec = pl.BlockSpec(
-        (1, 1, wb, c), lambda b, r: (b, r, 0, 0), memory_space=pltpu.VMEM
+    # bottom halo: row 2*(r+1)*rows (the dy=2 tap of the block's last
+    # output row) as a clamped 1-row view of x, masked to the (0, 1) zero
+    # padding row at the last block (kernel)
+    bot_spec = pl.BlockSpec(
+        (1, 1, wb, c),
+        lambda b, r: (b, jnp.minimum(2 * (r + 1) * rows, h - 1), 0, 0),
+        memory_space=pltpu.VMEM,
     )
     in_spec = pl.BlockSpec(
         (1, 2 * rows, wb, c), lambda b, r: (b, r, 0, 0),
@@ -138,7 +145,7 @@ def qconv3x3_s2_requant(
     return pl.pallas_call(
         functools.partial(_qconv_s2_kernel, rows=rows),
         grid=(n, hb),
-        in_specs=[in_spec, halo_spec, full, full, full, full],
+        in_specs=[in_spec, bot_spec, full, full, full, full],
         out_specs=pl.BlockSpec(
             (1, rows, wb, cout), lambda b, r: (b, r, 0, 0),
             memory_space=pltpu.VMEM,
@@ -148,7 +155,7 @@ def qconv3x3_s2_requant(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
         ),
         interpret=interpret,
-    )(x_q, bots, w0, w1,
+    )(x_q, x_q, w0, w1,
       scale.astype(jnp.float32)[None, :], offset.astype(jnp.float32)[None, :])
 
 
@@ -203,8 +210,14 @@ def _qconv_kernel(top_ref, mid_ref, bot_ref, wl_ref, wc_ref, wr_ref,
                   scale_ref, offset_ref, out_ref, *, rows: int,
                   flatten: bool):
     r = rows
+    hb = pl.num_programs(1)
+    rb = pl.program_id(1)
+    # the halo refs are 1-row views of x itself with edge-clamped index
+    # maps; at the image's top/bottom the conv's zero padding applies
+    top = jnp.where(rb == 0, jnp.zeros_like(top_ref[0]), top_ref[0])
+    bot = jnp.where(rb == hb - 1, jnp.zeros_like(bot_ref[0]), bot_ref[0])
     p_full = jnp.concatenate(
-        [top_ref[0], mid_ref[0], bot_ref[0]], axis=0
+        [top, mid_ref[0], bot], axis=0
     )  # [R+2, WB, C]
     # dy taps as a lane-aligned concat (offsets 0/C/2C)
     p_cat = jnp.concatenate(
@@ -268,15 +281,19 @@ def qconv3x3_s1_requant(
     assert h % rows == 0, (h, rows)
     hb = h // rows
 
-    # H-halo side arrays: top[r] = x[.., r*rows - 1], bot[r] = x[.., (r+1)*rows]
-    zero = jnp.zeros((n, 1, wb, c), x_q.dtype)
-    starts = x_q[:, rows - 1 :: rows]           # rows r*rows-1, r >= 1
-    tops = jnp.concatenate([zero, starts[:, : hb - 1]], axis=1)
-    ends = x_q[:, rows::rows]                   # rows (r+1)*rows, r < hb-1
-    bots = jnp.concatenate([ends[:, : hb - 1], zero], axis=1)
-
-    halo_spec = pl.BlockSpec(
-        (1, 1, wb, c), lambda b, r: (b, r, 0, 0), memory_space=pltpu.VMEM
+    # H-halo rows: x itself passed twice more with 1-row blocks whose index
+    # maps (block size 1 => block units == element units on that dim) pick
+    # the row above/below the block, edge-clamped; the kernel masks the
+    # clamped rows to the conv's zero padding. No extra HBM arrays.
+    top_spec = pl.BlockSpec(
+        (1, 1, wb, c),
+        lambda b, r: (b, jnp.maximum(r * rows - 1, 0), 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    bot_spec = pl.BlockSpec(
+        (1, 1, wb, c),
+        lambda b, r: (b, jnp.minimum((r + 1) * rows, h - 1), 0, 0),
+        memory_space=pltpu.VMEM,
     )
     row_spec = pl.BlockSpec(
         (1, rows, wb, c), lambda b, r: (b, r, 0, 0), memory_space=pltpu.VMEM
@@ -289,7 +306,7 @@ def qconv3x3_s1_requant(
     return pl.pallas_call(
         functools.partial(_qconv_kernel, rows=rows, flatten=flatten),
         grid=(n, hb),
-        in_specs=[halo_spec, row_spec, halo_spec,
+        in_specs=[top_spec, row_spec, bot_spec,
                   full, full, full, full, full],
         out_specs=pl.BlockSpec(
             (1, rows, wb, cout), lambda b, r: (b, r, 0, 0),
@@ -300,5 +317,5 @@ def qconv3x3_s1_requant(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
         ),
         interpret=interpret,
-    )(tops, x_q, bots, wl, wc, wr,
+    )(x_q, x_q, x_q, wl, wc, wr,
       scale.astype(jnp.float32)[None, :], offset.astype(jnp.float32)[None, :])
