@@ -160,37 +160,39 @@ def qconv3x3_s2_requant(
 
 
 def mosaicize_qspec(qspec, qarrays):
-    """Rewrite eligible "qs1" entries to Mosaic form ("ms1").
+    """Rewrite eligible "qs1"/"qs2" entries to Mosaic form ("ms1"/"ms2").
 
-    Eligible: plain folded stride-1 convs (no :pad4 stem suffix — its
+    Eligible: plain folded stride-1/2 convs (no :pad4 stem suffix — its
     24-lane concat offsets are not 128-multiples) whose folded cin is a
-    multiple of 128 lanes. Each "ms1" entry carries
-    (wl, wc, wr, scale, offset, w_q) — the tap GEMMs plus the original
-    kernel so apply_folded_int8 can fall back to the XLA conv for
-    heights with no usable row-block divisor.
+    multiple of 128 lanes. Each rewritten entry carries the tap GEMMs,
+    the requant affine, and the original kernel so apply_folded_int8
+    can fall back to the XLA conv for heights with no usable row-block
+    divisor.
     """
     out_spec, out_arrays = [], []
+
+    def taps(w_q):
+        # on-device: w_q[:, t].reshape is a pure layout op — no host
+        # readback (the dev tunnel downloads at ~0.6-15 MB/s)
+        kh, kw, cin, cout = w_q.shape
+        return [jnp.reshape(w_q[:, t], (kh * cin, cout)) for t in range(kw)]
+
     for kind, entry in zip(qspec, qarrays):
         if kind == "qs1":
             w_q, scale, offset = entry
             cin = w_q.shape[2]
             if cin % 128 == 0 and w_q.shape[:2] == (3, 3):
-                wl, wc, wr = build_tap_gemms(np.asarray(w_q))
+                wl, wc, wr = taps(w_q)
                 out_spec.append("ms1")
-                out_arrays.append(
-                    (jnp.asarray(wl), jnp.asarray(wc), jnp.asarray(wr),
-                     scale, offset, w_q)
-                )
+                out_arrays.append((wl, wc, wr, scale, offset, w_q))
                 continue
         if kind == "qs2":
             w_q, scale, offset = entry
             cin = w_q.shape[2]
             if cin % 128 == 0 and w_q.shape[:2] == (3, 2):
-                w0, w1 = build_tap_gemms_s2(np.asarray(w_q))
+                w0, w1 = taps(w_q)
                 out_spec.append("ms2")
-                out_arrays.append(
-                    (jnp.asarray(w0), jnp.asarray(w1), scale, offset, w_q)
-                )
+                out_arrays.append((w0, w1, scale, offset, w_q))
                 continue
         out_spec.append(kind)
         out_arrays.append(entry)

@@ -30,6 +30,7 @@ from annonet_tpu.ops.augment import augment_batch
 from annonet_tpu.ops.loss import weighted_pixel_cross_entropy
 from annonet_tpu.ops.weighting import batched_label_weights
 from annonet_tpu.train.trainer import Trainer, TrainerConfig
+from annonet_tpu.utils.compile_opts import opt_jit
 
 
 def _make_local_step(
@@ -191,7 +192,7 @@ def make_dp_train_step(
         ),
         out_specs=(replicated, replicated, replicated, replicated),
     )
-    return jax.jit(sharded)
+    return opt_jit(sharded)
 
 
 def _make_dp_pool_local(
@@ -274,7 +275,7 @@ def make_dp_pool_step(
         in_specs=_dp_pool_in_specs(),
         out_specs=(replicated,) * 4,
     )
-    return jax.jit(sharded)
+    return opt_jit(sharded)
 
 
 def make_dp_pool_superstep(
@@ -300,6 +301,10 @@ def make_dp_pool_superstep(
 
     def superstep_local(params, bn_stats, velocity, lr, bn_momenta,
                         carry_key, pool_images, pool_labels, packed):
+        assert bn_momenta.shape[0] == packed.shape[0] == k, (
+            bn_momenta.shape, packed.shape, k
+        )
+
         def body(carry, xs):
             p, b, v, key = carry
             momentum, pk = xs
@@ -322,7 +327,7 @@ def make_dp_pool_superstep(
         in_specs=_dp_pool_in_specs(),
         out_specs=(replicated,) * 5,
     )
-    return jax.jit(sharded)
+    return opt_jit(sharded)
 
 
 class DataParallelTrainer(Trainer):
@@ -359,7 +364,7 @@ class DataParallelTrainer(Trainer):
         # decision columns and gathers its crops from its pool replica
         from annonet_tpu.train.trainer import with_key_carry
 
-        return jax.jit(
+        return opt_jit(
             with_key_carry(
                 make_dp_pool_step(
                     self.model_config, self.config, crop_options, dim,
@@ -369,11 +374,9 @@ class DataParallelTrainer(Trainer):
         )
 
     def _build_pool_superstep_fn(self, dim, crop_options, k):
-        return jax.jit(
-            make_dp_pool_superstep(
-                self.model_config, self.config, crop_options, dim, k,
-                self.mesh, self.axis,
-            )
+        return make_dp_pool_superstep(
+            self.model_config, self.config, crop_options, dim, k,
+            self.mesh, self.axis,
         )
 
     def _decision_batch_multiple(self) -> int:
@@ -397,7 +400,7 @@ class DataParallelTrainer(Trainer):
 
             # the key split runs inside the same jit (one dispatch/step);
             # the inner jitted DP program is inlined by the outer trace
-            self._dp_step_fn = jax.jit(
+            self._dp_step_fn = opt_jit(
                 with_key_carry(
                     make_dp_train_step(
                         self.model_config, self.config, crop_options,

@@ -330,6 +330,10 @@ def make_fused_pool_superstep(
 
     def superstep(params, bn_stats, velocity, lr, bn_momenta, carry_key,
                   pool_images, pool_labels, packed):
+        assert bn_momenta.shape[0] == packed.shape[0] == k, (
+            bn_momenta.shape, packed.shape, k
+        )
+
         def body(carry, xs):
             p, b, v, key = carry
             momentum, idx = xs

@@ -14,46 +14,24 @@ Run alone on the TPU:  python -u scripts/ab_flip_gather.py
 """
 
 import argparse
-import collections
-import gzip
 import json
 import os
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from trace_util import load_device_ops
 
 
 def device_ms(trace_dir, program_hint):
-    """Sum TPU device-timeline ms per step (3 steps/trace) and the
-    top ops, from the newest trace under ``trace_dir``."""
-    paths = []
-    for root, _dirs, files in os.walk(trace_dir):
-        for f in files:
-            if f.endswith("trace.json.gz"):
-                paths.append(os.path.join(root, f))
-    path = max(paths, key=os.path.getmtime)
-    with gzip.open(path) as f:
-        data = json.load(f)
-    pids = {}
-    for e in data["traceEvents"]:
-        if e.get("ph") == "M" and e.get("name") == "process_name":
-            pids[e["pid"]] = e["args"].get("name", "")
-    tot = collections.Counter()
-    for e in data["traceEvents"]:
-        if e.get("ph") == "X" and "TPU" in pids.get(e.get("pid"), ""):
-            tot[e["name"]] += e.get("dur", 0)
-    whole = 0.0
-    ops = []
-    op_sum = 0.0
-    for name, dur_us in tot.most_common():
-        ms = dur_us / 1000 / 3
-        if name.startswith("jit_"):
-            if program_hint in name:
-                whole = ms
-            continue
-        op_sum += ms
-        if ms >= 0.05:
-            ops.append((ms, name))
+    """Whole-program + per-op device ms per step (3 steps/trace)."""
+    all_ops, whole_map = load_device_ops(trace_dir, 3)
+    whole = next(
+        (v for k, v in whole_map.items() if program_hint in k), 0.0
+    )
+    op_sum = sum(m for m, _ in all_ops)
+    ops = [(m, n) for m, n in all_ops if m >= 0.05]
     return whole, op_sum, ops
 
 
@@ -167,9 +145,8 @@ def main() -> None:
               f"(op-sum {op_sum:.2f}) ==", flush=True)
         for ms, op in ops[:12]:
             print(f"  {ms:8.2f} ms  {op[:60]}", flush=True)
-        rev = sum(ms for ms, op in ops if op.startswith(("reverse", "select"))
-                  or "reverse" in op)
-        print(f"  reverse-family ops: {rev:.2f} ms", flush=True)
+        rev = sum(ms for ms, op in ops if "reverse" in op)
+        print(f"  reverse ops: {rev:.2f} ms", flush=True)
 
     a, b = results["flip_gather_step"][0], results["flip_in_step"][0]
     print(json.dumps({

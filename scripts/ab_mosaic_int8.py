@@ -9,14 +9,15 @@ each arm.
 Run alone on the TPU:  python -u scripts/ab_mosaic_int8.py
 """
 
-import collections
-import gzip
 import json
 import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from trace_util import load_device_ops
 
 import jax
 import jax.numpy as jnp
@@ -37,23 +38,7 @@ ROUNDS = 4
 
 
 def device_timeline_ms(trace_dir):
-    paths = []
-    for root, _dirs, files in os.walk(trace_dir):
-        for f in files:
-            if f.endswith("trace.json.gz"):
-                paths.append(os.path.join(root, f))
-    with gzip.open(max(paths, key=os.path.getmtime)) as f:
-        data = json.load(f)
-    pids = {}
-    for e in data["traceEvents"]:
-        if e.get("ph") == "M" and e.get("name") == "process_name":
-            pids[e["pid"]] = e["args"].get("name", "")
-    tot = collections.Counter()
-    for e in data["traceEvents"]:
-        if e.get("ph") == "X" and "TPU" in pids.get(e.get("pid"), ""):
-            tot[e["name"]] += e.get("dur", 0)
-    ops = [(d / 1000 / ITERS, n) for n, d in tot.most_common()
-           if not n.startswith("jit_")]
+    ops, _whole = load_device_ops(trace_dir, ITERS)
     return sum(m for m, _ in ops), ops
 
 

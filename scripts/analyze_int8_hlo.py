@@ -9,15 +9,15 @@ guessing which clamp_convert_fusion.N is which layer.
 Run alone on the TPU.
 """
 
-import gzip
-import json
 import os
 import re
 import sys
 import time
-import collections
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from trace_util import load_device_ops
 
 # force the AOT path so the compiled executable is reachable for as_text();
 # latency-hiding-scheduler=false is the backend default -> same program
@@ -112,31 +112,13 @@ def main() -> None:
             labels, _ = inferer.infer_arrays(image, device_output=True)
         float(jnp.max(labels).astype(jnp.int32))
 
-    # newest trace.json.gz
-    paths = []
-    for root, _dirs, files in os.walk(TRACE_DIR):
-        for f in files:
-            if f.endswith("trace.json.gz"):
-                paths.append(os.path.join(root, f))
-    path = max(paths, key=os.path.getmtime)
-    with gzip.open(path) as f:
-        data = json.load(f)
-    pids = {}
-    for e in data["traceEvents"]:
-        if e.get("ph") == "M" and e.get("name") == "process_name":
-            pids[e["pid"]] = e["args"].get("name", "")
-    tot = collections.Counter()
-    for e in data["traceEvents"]:
-        if e.get("ph") == "X" and "TPU" in pids.get(e.get("pid"), ""):
-            tot[e["name"]] += e.get("dur", 0)
+    ops, whole = load_device_ops(TRACE_DIR, 3)
 
     print("\n== per-image device ops (3 iters/trace) ==", flush=True)
+    for wms in whole.values():
+        print(f"  [whole program] {wms:8.2f} ms")
     total = 0.0
-    for name, dur_us in tot.most_common(60):
-        ms = dur_us / 1000 / 3
-        if name.startswith("jit_"):
-            print(f"  [whole program] {ms:8.2f} ms")
-            continue
+    for ms, name in ops:
         total += ms
         info = conv_info.get(name) or conv_info.get(name.split(".")[0])
         note = ""

@@ -11,15 +11,15 @@ Run alone on the TPU:  python -u scripts/analyze_train_hlo.py
 """
 
 import argparse
-import collections
-import gzip
-import json
 import math
 import os
 import re
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from trace_util import load_device_ops
 
 TRACE_DIR = "/tmp/train_trace_r3"
 
@@ -134,31 +134,14 @@ def main() -> None:
             state = out[:3]
         float(out[3])
 
-    paths = []
-    for root, _dirs, files in os.walk(TRACE_DIR):
-        for f in files:
-            if f.endswith("trace.json.gz"):
-                paths.append(os.path.join(root, f))
-    path = max(paths, key=os.path.getmtime)
-    with gzip.open(path) as f:
-        data = json.load(f)
-    pids = {}
-    for e in data["traceEvents"]:
-        if e.get("ph") == "M" and e.get("name") == "process_name":
-            pids[e["pid"]] = e["args"].get("name", "")
-    tot = collections.Counter()
-    for e in data["traceEvents"]:
-        if e.get("ph") == "X" and "TPU" in pids.get(e.get("pid"), ""):
-            tot[e["name"]] += e.get("dur", 0)
+    ops, whole = load_device_ops(TRACE_DIR, 3)
 
     print(f"\n== per-step device ops (batch {B}, {D}^2, 3 steps/trace) ==",
           flush=True)
+    for wms in whole.values():
+        print(f"  [whole program] {wms:8.2f} ms")
     total = 0.0
-    for name, dur_us in tot.most_common(80):
-        ms = dur_us / 1000 / 3
-        if name.startswith("jit_"):
-            print(f"  [whole program] {ms:8.2f} ms")
-            continue
+    for ms, name in ops:
         total += ms
         if ms < 0.05:
             continue

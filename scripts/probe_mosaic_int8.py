@@ -11,13 +11,14 @@ report whole-program device-timeline ms and achieved TOP/s.
 Run alone on the TPU:  python -u scripts/probe_mosaic_int8.py
 """
 
-import collections
-import gzip
 import json
 import os
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from trace_util import load_device_ops
 
 
 def trace_ms(fn_compiled, args, tag):
@@ -32,27 +33,7 @@ def trace_ms(fn_compiled, args, tag):
         jax.block_until_ready(out)
         # scalar sync so the trace captures completed device work
         float(jax.numpy.max(out[0, 0, 0].astype(jax.numpy.int32)))
-    paths = []
-    for root, _dirs, files in os.walk(trace_dir):
-        for f in files:
-            if f.endswith("trace.json.gz"):
-                paths.append(os.path.join(root, f))
-    with gzip.open(max(paths, key=os.path.getmtime)) as f:
-        data = json.load(f)
-    pids = {}
-    for e in data["traceEvents"]:
-        if e.get("ph") == "M" and e.get("name") == "process_name":
-            pids[e["pid"]] = e["args"].get("name", "")
-    tot = collections.Counter()
-    for e in data["traceEvents"]:
-        if e.get("ph") == "X" and "TPU" in pids.get(e.get("pid"), ""):
-            tot[e["name"]] += e.get("dur", 0)
-    ops = []
-    for name, dur_us in tot.most_common():
-        ms = dur_us / 1000 / 3
-        if name.startswith("jit_"):
-            continue
-        ops.append((ms, name))
+    ops, _whole = load_device_ops(trace_dir, 3)
     return sum(m for m, _ in ops), ops
 
 
@@ -162,10 +143,10 @@ def main() -> None:
         for rows in (4, 109):
             if (h // 2) % rows:
                 continue
-            mos_c = qconv3x3_s2_requant.lower(
-                x_q, w0, w1, scale, offset, rows=rows
-            ).compile()
             try:
+                mos_c = qconv3x3_s2_requant.lower(
+                    x_q, w0, w1, scale, offset, rows=rows
+                ).compile()
                 ms, ops = trace_ms(
                     mos_c, (x_q, w0, w1, scale, offset), f"mos{rows}_{tag}"
                 )
