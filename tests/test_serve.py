@@ -306,3 +306,35 @@ def test_warmup_precompiles_and_rejects_bad_spec(tmp_path, capsys):
         _warmup(service, ["72by80"])
     with pytest.raises(RuntimeError, match="bad --warmup size"):
         _warmup(service, ["0x80"])
+
+
+def test_serve_int8_mosaic_flag_matches_plain_int8(tmp_path, monkeypatch):
+    """ANNONET_TPU_MOSAIC_INT8=1 through the serving stack == the plain
+    int8 server bit-for-bit (the Mosaic rewrite only reschedules the
+    convs — ops/int8_conv_mosaic.py)."""
+    model_path = str(tmp_path / "annonet.dnn")
+    config = SegNetConfig(class_count=3, level_count=1, base_width=16)
+    params, bn = init_state(jax.random.PRNGKey(5), config)
+    runtime = fold_batchnorm(params, bn, config)
+    serialization.save_model(
+        model_path, runtime, config,
+        anno_classes_to_json(default_anno_classes()), 1.0,
+    )
+    from annonet_tpu.cli.serve import _ModelService
+
+    argv = ["--model", model_path, "--port", "0", "--quantize", "int8",
+            "--tile-max-width", "64", "--tile-max-height", "64"]
+    png = _png_bytes(96, 96, seed=7)
+
+    def run(flag):
+        monkeypatch.setenv("ANNONET_TPU_MOSAIC_INT8", flag)
+        service = _ModelService(build_parser().parse_args(argv))
+        image = service.decode(png)
+        out = None
+        for _ in range(2):  # calibration image, then the frozen int8 net
+            out = service.infer(
+                image, service.default_gains, service.default_detection
+            )
+        return out
+
+    np.testing.assert_array_equal(run("0"), run("1"))
