@@ -88,6 +88,18 @@ def test_mosaic_qconv_s2_matches_xla(shape, rows):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+def test_pick_rows_divisor_selection():
+    from annonet_tpu.ops.int8_conv_mosaic import pick_rows
+
+    assert pick_rows(872) == 8     # 872 = 8 * 109 (the flagship tile H)
+    assert pick_rows(436) == 4
+    assert pick_rows(218) == 2
+    assert pick_rows(109) == 1     # prime -> XLA fallback
+    assert pick_rows(64) == 16
+    assert pick_rows(48) == 16
+    assert pick_rows(20) == 10
+
+
 @pytest.mark.parametrize("flatten", [False, True])
 @pytest.mark.parametrize("shape,rows", [
     ((2, 16, 11, 128), 8),    # WB not a sublane multiple (the 109 case)
