@@ -61,17 +61,21 @@ from annonet_tpu.ops.blobs import label_connected_blobs
 
 
 def _maybe_mosaicize(quantized):
-    """Opt-in rewrite of the int8 net's stride-1/2 convs to the fused
-    Mosaic kernels (ops/int8_conv_mosaic.py) — ANNONET_TPU_MOSAIC_INT8=1.
-    Bit-exact vs the XLA path (tests/test_int8_conv_mosaic.py); off by
-    default pending the composed device measurement."""
+    """Opt-in rewrite of the int8 net's convs to the fused Mosaic kernels
+    (ops/int8_conv_mosaic.py): ANNONET_TPU_MOSAIC_INT8=1 rewrites the
+    stride-1/2 convs (bit-exact vs the XLA path,
+    tests/test_int8_conv_mosaic.py); =2 additionally quantizes the bf16
+    up layers to the int8 GEMM kernel (not bit-exact — int8 up weights;
+    accuracy floors asserted in tests). Off by default pending the
+    composed device measurement."""
     import os
 
-    if os.environ.get("ANNONET_TPU_MOSAIC_INT8") != "1":
+    flag = os.environ.get("ANNONET_TPU_MOSAIC_INT8")
+    if flag not in ("1", "2"):
         return quantized
     from annonet_tpu.ops.int8_conv_mosaic import mosaicize_qspec
 
-    return mosaicize_qspec(*quantized)
+    return mosaicize_qspec(*quantized, quantize_up=(flag == "2"))
 
 
 def _tiled_forward(

@@ -362,6 +362,15 @@ def apply_folded_int8(
             else:
                 strides, padding = FOLDED_CONV_GEOMETRY["s1"]
                 x = requant(qconv(x, w_q, strides, padding), scale, offset)
+        elif kind == "mup":
+            from annonet_tpu.ops.int8_conv_mosaic import (
+                pick_rows, qup_requant,
+            )
+
+            a_t, b_t, scale, offset = entry
+            x = qup_requant(
+                x, a_t, b_t, scale, offset, rows=pick_rows(int(x.shape[1]))
+            )
         elif kind == "ms2":
             from annonet_tpu.ops.int8_conv_mosaic import (
                 pick_rows, qconv3x3_s2_requant,

@@ -159,7 +159,97 @@ def qconv3x3_s2_requant(
       scale.astype(jnp.float32)[None, :], offset.astype(jnp.float32)[None, :])
 
 
-def mosaicize_qspec(qspec, qarrays):
+def _qup_kernel(mid_ref, a_ref, b_ref, scale_ref, offset_ref, out_ref,
+                *, rows: int):
+    x = mid_ref[0]  # [R, WB, C]
+    dn = (((2,), (0,)), ((), ()))
+
+    def dotg(p, w):
+        return lax.dot_general(p, w[:], dn, preferred_element_type=jnp.int32)
+
+    def requant(acc):
+        f = acc.astype(jnp.float32) * scale_ref[0] + offset_ref[0]
+        return jnp.clip(f, 0.0, 127.0).astype(jnp.int8)
+
+    y0 = requant(dotg(x, a_ref))  # even output rows
+    y1 = requant(dotg(x, b_ref))  # odd output rows
+    q = jnp.stack([y0, y1], axis=1)  # [R, 2, WB, C'] — outer-dim interleave
+    out_ref[0] = q.reshape(2 * rows, q.shape[2], q.shape[3])
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "interpret"))
+def qup_requant(
+    x_q: jnp.ndarray,      # [N, H, WB, C] int8
+    a: jnp.ndarray,        # [C, C'] int8 — even rows' GEMM (w_q[1, 0])
+    b: jnp.ndarray,        # [C, C'] int8 — odd rows' GEMM (w_q[0, 0])
+    scale: jnp.ndarray,    # [C'] f32 — s_w * inv_s_out
+    offset: jnp.ndarray,   # [C'] f32
+    rows: int = 8,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Fused int8 folded 2x upsample (transpose conv) + requant:
+    [N, H, WB, C] -> [N, 2H, WB, C'] int8.
+
+    The folded up layer is conv_transpose([2, 1] kernel, strides (2, 1),
+    SAME — models/folded_runtime.py::_fold_up_kernel): every output row
+    depends on exactly ONE input row (out[2h] = x[h] @ w[1,0],
+    out[2h+1] = x[h] @ w[0,0]; mapping verified numerically), so the
+    GEMM form has no halos and — unlike XLA's int8 conv_transpose,
+    which mishandles lhs_dilation (3.4x regression, DESIGN.md) — no
+    dilation at all; the row interleave is an outer-dim stack in VMEM
+    instead of a materialized relayout. ``rows`` must divide H.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n, h, wb, c = x_q.shape
+    cout = a.shape[1]
+    assert h % rows == 0, (h, rows)
+    hb = h // rows
+
+    in_spec = pl.BlockSpec(
+        (1, rows, wb, c), lambda bb, r: (bb, r, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    flops = 2 * n * h * wb * c * cout * 2
+    return pl.pallas_call(
+        functools.partial(_qup_kernel, rows=rows),
+        grid=(n, hb),
+        in_specs=[in_spec, full, full, full, full],
+        out_specs=pl.BlockSpec(
+            (1, 2 * rows, wb, cout), lambda bb, r: (bb, r, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, 2 * h, wb, cout), jnp.int8),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=x_q.size + n * 2 * h * wb * cout + 2 * c * cout,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x_q, a, b,
+      scale.astype(jnp.float32)[None, :], offset.astype(jnp.float32)[None, :])
+
+
+def quantize_up_entry(entry):
+    """Quantize a folded "up" entry's bf16 kernel for the int8 GEMM form.
+
+    entry = (w [2,1,C,C'] f32/bf16, s_in [C], inv [C'], offset [C'])
+    (quantize_folded's "up" layout: the epilogue was
+    requant(conv_transpose(x * s_in, w), inv, offset)). Folding s_in
+    into the kernel rows and per-output-channel-quantizing gives
+    (a, b, scale, offset) for qup_requant, introducing only the same
+    per-channel int8 weight error every other conv already carries.
+    """
+    w, s_in, inv, offset = entry
+    w = w.astype(jnp.float32) * s_in.astype(jnp.float32)[None, None, :, None]
+    s_w = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1, 2)) / 127.0, 1e-20)
+    w_q = jnp.clip(jnp.round(w / s_w), -127, 127).astype(jnp.int8)
+    return (w_q[1, 0], w_q[0, 0],
+            s_w * inv.astype(jnp.float32), offset.astype(jnp.float32))
+
+
+def mosaicize_qspec(qspec, qarrays, quantize_up: bool = False):
     """Rewrite eligible "qs1"/"qs2" entries to Mosaic form ("ms1"/"ms2").
 
     Eligible: plain folded stride-1/2 convs (no :pad4 stem suffix — its
@@ -167,7 +257,12 @@ def mosaicize_qspec(qspec, qarrays):
     multiple of 128 lanes. Each rewritten entry carries the tap GEMMs,
     the requant affine, and the original kernel so apply_folded_int8
     can fall back to the XLA conv for heights with no usable row-block
-    divisor.
+    divisor. The rewrite is bit-exact vs the XLA int8 path.
+
+    ``quantize_up`` additionally rewrites the bf16 "up" layers to the
+    int8 GEMM kernel ("mup", quantize_up_entry) — NOT bit-exact (the up
+    weights become int8 like every other conv's); accuracy floors are
+    asserted under it in tests.
     """
     out_spec, out_arrays = [], []
 
@@ -194,6 +289,10 @@ def mosaicize_qspec(qspec, qarrays):
                 out_spec.append("ms2")
                 out_arrays.append((w0, w1, scale, offset, w_q))
                 continue
+        if kind == "up" and quantize_up and entry[0].shape[2] % 128 == 0:
+            out_spec.append("mup")
+            out_arrays.append(quantize_up_entry(entry))
+            continue
         out_spec.append(kind)
         out_arrays.append(entry)
     return tuple(out_spec), tuple(out_arrays)

@@ -60,7 +60,7 @@ def main() -> None:
     float(jnp.max(image).astype(jnp.int32))
 
     outs = {}
-    for name, flag in (("xla", "0"), ("mosaic", "1")):
+    for name, flag in (("xla", "0"), ("mosaic", "1"), ("mosaic_up", "2")):
         os.environ["ANNONET_TPU_MOSAIC_INT8"] = flag
         inf = TiledInferer(rp, config, tiling, quantize="int8")
         for _ in range(2):  # calib program + int8 program
@@ -69,7 +69,11 @@ def main() -> None:
         inferers[name] = inf
         outs[name] = labels
     mism = int(jnp.sum(outs["xla"] != outs["mosaic"]))
-    print(f"label disagreement xla-vs-mosaic: {mism} px", flush=True)
+    print(f"label disagreement xla-vs-mosaic: {mism} px (must be 0)",
+          flush=True)
+    mism_up = int(jnp.sum(outs["xla"] != outs["mosaic_up"]))
+    print(f"label disagreement xla-vs-mosaic_up: {mism_up} px "
+          f"({mism_up / SIZE / SIZE:.5%}; int8 up weights)", flush=True)
 
     trivial = jax.jit(lambda a: a[0, 0].astype(jnp.int32))
     float(trivial(outs["xla"]))
@@ -95,7 +99,7 @@ def main() -> None:
             if m >= 0.2:
                 print(f"  {m:8.2f} ms  {op[:64]}", flush=True)
 
-    rates = {"xla": [], "mosaic": []}
+    rates = {name: [] for name in inferers}
     for _r in range(ROUNDS):
         for name, inf in inferers.items():
             t0 = time.monotonic()
@@ -110,11 +114,10 @@ def main() -> None:
               f"({['%.1f' % r for r in rs]})", flush=True)
     print(json.dumps({
         "metric": "mosaic_int8_composed",
-        "xla_device_ms": round(timeline["xla"], 2),
-        "mosaic_device_ms": round(timeline["mosaic"], 2),
-        "xla_mpxs": round(meds["xla"], 1),
-        "mosaic_mpxs": round(meds["mosaic"], 1),
+        **{f"{n}_device_ms": round(v, 2) for n, v in timeline.items()},
+        **{f"{n}_mpxs": round(v, 1) for n, v in meds.items()},
         "label_mismatch_px": mism,
+        "label_mismatch_up_px": mism_up,
     }))
 
 

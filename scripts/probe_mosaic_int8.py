@@ -157,6 +157,59 @@ def main() -> None:
                   f"{flops / ms / 1e9:.0f} TOP/s ==", flush=True)
             results[f"mosaic{rows}_{tag}"] = ms
 
+    # up layer: bf16 conv_transpose (shipped) vs int8 GEMM kernel
+    from annonet_tpu.ops.int8_conv_mosaic import qup_requant
+
+    for tag, shape in (("up_hot109", (25, 436, 109, 128)),):
+        n, h, wb, c = shape
+        x_q = jnp.asarray(rng.integers(0, 128, size=shape, dtype=np.int8))
+        w = rng.standard_normal((2, 1, c, c)).astype(np.float32) * 0.05
+        s_in = rng.random(c, dtype=np.float32) * 1e-2
+        inv = rng.random(c, dtype=np.float32) * 100
+        offset = rng.random(c, dtype=np.float32) + 0.5
+        jax.block_until_ready(x_q)
+        flops = 2 * n * h * wb * c * c * 2
+
+        def xla_up(x_q, w, s_in, inv, offset):
+            xf = x_q.astype(jnp.bfloat16) * s_in.astype(jnp.bfloat16)
+            out = lax.conv_transpose(
+                xf, w.astype(jnp.bfloat16), strides=(2, 1),
+                padding="SAME", dimension_numbers=_DN,
+            )
+            f = out.astype(jnp.float32) * inv + offset
+            return jnp.clip(f, 0.0, 127.0).astype(jnp.int8)
+
+        args = tuple(jnp.asarray(v) for v in (w, s_in, inv, offset))
+        xla_c = jax.jit(xla_up).lower(x_q, *args).compile()
+        ms, ops = trace_ms(xla_c, (x_q,) + args, f"xla_{tag}")
+        print(f"\n== XLA bf16 {tag}: {ms:.3f} ms ==", flush=True)
+        for m, op in ops[:6]:
+            print(f"  {m:8.3f} ms  {op[:64]}", flush=True)
+        results[f"xla_{tag}"] = ms
+
+        from annonet_tpu.ops.int8_conv_mosaic import quantize_up_entry
+
+        a_t, b_t, scale_q, off_q = jax.jit(quantize_up_entry)(
+            (args[0], args[1], args[2], args[3])
+        )
+        for rows in (4, 109):
+            if h % rows:
+                continue
+            try:
+                mos_c = qup_requant.lower(
+                    x_q, a_t, b_t, scale_q, off_q, rows=rows
+                ).compile()
+                ms, ops = trace_ms(
+                    mos_c, (x_q, a_t, b_t, scale_q, off_q),
+                    f"mup{rows}_{tag}",
+                )
+            except Exception as e:
+                print(f"mosaic up rows={rows} FAILED: {e}", flush=True)
+                continue
+            print(f"== Mosaic up rows={rows}: {ms:.3f} ms, "
+                  f"{flops / ms / 1e9:.0f} TOP/s ==", flush=True)
+            results[f"mup{rows}_{tag}"] = ms
+
     print(json.dumps({"metric": "mosaic_int8_qs1",
                       **{k: round(v, 3) for k, v in results.items()}}))
 

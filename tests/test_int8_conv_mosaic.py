@@ -125,3 +125,97 @@ def test_mosaic_qconv_matches_xla(shape, rows, flatten):
         rows=rows, interpret=True, flatten=flatten,
     )
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+@pytest.mark.parametrize("shape,rows", [
+    ((2, 16, 11, 128), 8),
+    ((1, 9, 8, 256), 3),      # odd H, wider channels
+])
+def test_mosaic_qup_matches_int32_einsum(shape, rows):
+    """qup_requant == an independent int32 einsum + affine reference
+    (exact: int8 x int8 -> int32 accumulation is associative)."""
+    from annonet_tpu.ops.int8_conv_mosaic import qup_requant
+
+    n, h, wb, c = shape
+    rng = np.random.default_rng(21)
+    x_q = rng.integers(0, 128, size=shape, dtype=np.int8)
+    a = rng.integers(-127, 128, size=(c, 128), dtype=np.int8)
+    b = rng.integers(-127, 128, size=(c, 128), dtype=np.int8)
+    scale = rng.random(128, dtype=np.float32) * 1e-3 + 1e-5
+    offset = rng.random(128, dtype=np.float32) + 0.5
+
+    def ep(acc):
+        f = acc.astype(np.float32) * scale + offset
+        return np.clip(f, 0.0, 127.0).astype(np.int8)
+
+    y0 = ep(np.einsum(
+        "nhwc,cd->nhwd", x_q.astype(np.int32), a.astype(np.int32)))
+    y1 = ep(np.einsum(
+        "nhwc,cd->nhwd", x_q.astype(np.int32), b.astype(np.int32)))
+    ref = np.stack([y0, y1], axis=2).reshape(n, 2 * h, wb, 128)
+
+    got = qup_requant(
+        jnp.asarray(x_q), jnp.asarray(a), jnp.asarray(b),
+        jnp.asarray(scale), jnp.asarray(offset), rows=rows, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got), ref)
+
+
+def test_mosaic_qup_formulation_matches_conv_transpose():
+    """The (a, b) = (w_q[1,0], w_q[0,0]) row mapping reproduces
+    lax.conv_transpose(strides=(2,1), SAME) on the dequantized kernel."""
+    rng = np.random.default_rng(3)
+    n, h, wb, c, co = 1, 6, 4, 128, 128
+    x = rng.standard_normal((n, h, wb, c)).astype(np.float32)
+    w_q = rng.integers(-127, 128, size=(2, 1, c, co), dtype=np.int8)
+    ref = lax.conv_transpose(
+        jnp.asarray(x), jnp.asarray(w_q).astype(jnp.float32),
+        strides=(2, 1), padding="SAME", dimension_numbers=_DN,
+    )
+    y0 = np.einsum("nhwc,cd->nhwd", x, w_q[1, 0].astype(np.float32))
+    y1 = np.einsum("nhwc,cd->nhwd", x, w_q[0, 0].astype(np.float32))
+    got = np.stack([y0, y1], axis=2).reshape(n, 2 * h, wb, co)
+    # f32 accumulation-order noise only (K=128 sums of ~1e2 terms)
+    np.testing.assert_allclose(got, np.asarray(ref), rtol=1e-4, atol=1e-2)
+
+
+def test_mosaicized_whole_net_with_int8_up_layers():
+    """quantize_up=True (flag level 2): the up layers run the int8 GEMM
+    kernel. Not bit-exact (int8 up weights) — assert the logits stay
+    close and the label map agrees almost everywhere."""
+    from annonet_tpu.models.folded_runtime import (
+        fold_runtime_params, split_folded,
+    )
+    from annonet_tpu.models.quantized_runtime import (
+        apply_folded_int8, collect_calibration, quantize_folded,
+    )
+    from annonet_tpu.models.segnet import (
+        SegNetConfig, fold_batchnorm, init_state,
+    )
+    from annonet_tpu.ops.int8_conv_mosaic import mosaicize_qspec
+
+    cfg = SegNetConfig(
+        class_count=3, level_count=2, base_width=16,
+        compute_dtype="float32",
+    )
+    params, bn = init_state(jax.random.PRNGKey(1), cfg)
+    rt = fold_batchnorm(params, bn, cfg)
+    (f0, spec), arrays = split_folded(fold_runtime_params(rt, cfg, fold0=8))
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.integers(0, 256, size=(1, 64, 64, 3), dtype=np.uint8))
+    calib = tuple(
+        np.asarray(c)
+        for c in collect_calibration(arrays, x, cfg, fold0=f0, spec=spec)
+    )
+    qspec, qarrays = quantize_folded(spec, arrays, calib, cfg, f0)
+    ref = np.asarray(apply_folded_int8(qarrays, x, cfg, fold0=f0, qspec=qspec))
+    mspec, marrays = mosaicize_qspec(qspec, qarrays, quantize_up=True)
+    assert mspec.count("mup") == 2
+    got = np.asarray(
+        apply_folded_int8(marrays, x, cfg, fold0=f0, qspec=mspec)
+    )
+    agree = float((got.argmax(-1) == ref.argmax(-1)).mean())
+    assert agree > 0.99, agree
+    # logits differ only by the up layers' int8 weight rounding
+    denom = np.maximum(np.abs(ref).max(), 1.0)
+    assert np.abs(got - ref).max() / denom < 0.08
