@@ -356,8 +356,14 @@ def apply_folded_int8(
             wl, wc, wr, scale, offset, w_q = entry
             rows = pick_rows(int(x.shape[1]))
             if rows > 1:
+                import os
+
                 x = qconv3x3_s1_requant(
-                    x, wl, wc, wr, scale, offset, rows=rows
+                    x, wl, wc, wr, scale, offset, rows=rows,
+                    # merge (rows, WB) into one GEMM M dim (see the
+                    # kernel docstring) — measurement knob
+                    flatten=os.environ.get(
+                        "ANNONET_TPU_MOSAIC_FLATTEN") == "1",
                 )
             else:
                 strides, padding = FOLDED_CONV_GEOMETRY["s1"]

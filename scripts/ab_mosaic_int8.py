@@ -60,8 +60,14 @@ def main() -> None:
     float(jnp.max(image).astype(jnp.int32))
 
     outs = {}
-    for name, flag in (("xla", "0"), ("mosaic", "1"), ("mosaic_up", "2")):
+    for name, flag, flat in (
+        ("xla", "0", "0"),
+        ("mosaic", "1", "0"),
+        ("mosaic_flat", "1", "1"),
+        ("mosaic_up", "2", "0"),
+    ):
         os.environ["ANNONET_TPU_MOSAIC_INT8"] = flag
+        os.environ["ANNONET_TPU_MOSAIC_FLATTEN"] = flat
         inf = TiledInferer(rp, config, tiling, quantize="int8")
         for _ in range(2):  # calib program + int8 program
             labels, _ = inf.infer_arrays(image, device_output=True)
