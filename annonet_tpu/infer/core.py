@@ -75,7 +75,13 @@ def _maybe_mosaicize(quantized):
         return quantized
     from annonet_tpu.ops.int8_conv_mosaic import mosaicize_qspec
 
-    return mosaicize_qspec(*quantized, quantize_up=(flag == "2"))
+    return mosaicize_qspec(
+        *quantized,
+        quantize_up=(flag == "2"),
+        # resolved ONCE here so every compiled program of the frozen
+        # net runs the same variant
+        flatten=os.environ.get("ANNONET_TPU_MOSAIC_FLATTEN") == "1",
+    )
 
 
 def _tiled_forward(

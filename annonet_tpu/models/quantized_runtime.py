@@ -345,10 +345,11 @@ def apply_folded_int8(
             skips[kind.split(":")[1]] = x
         elif kind.startswith("concat_skip"):
             x = jnp.concatenate([x, skips[kind.split(":")[1]]], axis=-1)
-        elif kind == "ms1":
+        elif kind.split(":")[0] == "ms1":
             # Mosaic fused conv+requant (ops/int8_conv_mosaic.py), opt-in
             # via mosaicize_qspec; falls back to the XLA conv when the
-            # height has no usable row-block divisor
+            # height has no usable row-block divisor. ":flat" (resolved
+            # once at mosaicize time) selects the flattened-M variant.
             from annonet_tpu.ops.int8_conv_mosaic import (
                 pick_rows, qconv3x3_s1_requant,
             )
@@ -356,14 +357,9 @@ def apply_folded_int8(
             wl, wc, wr, scale, offset, w_q = entry
             rows = pick_rows(int(x.shape[1]))
             if rows > 1:
-                import os
-
                 x = qconv3x3_s1_requant(
                     x, wl, wc, wr, scale, offset, rows=rows,
-                    # merge (rows, WB) into one GEMM M dim (see the
-                    # kernel docstring) — measurement knob
-                    flatten=os.environ.get(
-                        "ANNONET_TPU_MOSAIC_FLATTEN") == "1",
+                    flatten=kind.endswith(":flat"),
                 )
             else:
                 strides, padding = FOLDED_CONV_GEOMETRY["s1"]
@@ -373,10 +369,20 @@ def apply_folded_int8(
                 pick_rows, qup_requant,
             )
 
-            a_t, b_t, scale, offset = entry
-            x = qup_requant(
-                x, a_t, b_t, scale, offset, rows=pick_rows(int(x.shape[1]))
-            )
+            a_t, b_t, scale, offset, orig = entry
+            rows = pick_rows(int(x.shape[1]))
+            if rows > 1:
+                x = qup_requant(x, a_t, b_t, scale, offset, rows=rows)
+            else:
+                # prime input height (e.g. the deepest up at H=109):
+                # keep the measured bf16 conv_transpose path
+                w, s_in, scale_o, offset_o = orig
+                xf = (x.astype(dtype) * s_in.astype(dtype)).astype(dtype)
+                out = lax.conv_transpose(
+                    xf, w.astype(dtype), strides=(2, 1),
+                    padding="SAME", dimension_numbers=_DN,
+                )
+                x = requant(out, scale_o, offset_o)
         elif kind == "ms2":
             from annonet_tpu.ops.int8_conv_mosaic import (
                 pick_rows, qconv3x3_s2_requant,

@@ -249,7 +249,8 @@ def quantize_up_entry(entry):
             s_w * inv.astype(jnp.float32), offset.astype(jnp.float32))
 
 
-def mosaicize_qspec(qspec, qarrays, quantize_up: bool = False):
+def mosaicize_qspec(qspec, qarrays, quantize_up: bool = False,
+                    flatten: bool = False):
     """Rewrite eligible "qs1"/"qs2" entries to Mosaic form ("ms1"/"ms2").
 
     Eligible: plain folded stride-1/2 convs (no :pad4 stem suffix — its
@@ -262,7 +263,9 @@ def mosaicize_qspec(qspec, qarrays, quantize_up: bool = False):
     ``quantize_up`` additionally rewrites the bf16 "up" layers to the
     int8 GEMM kernel ("mup", quantize_up_entry) — NOT bit-exact (the up
     weights become int8 like every other conv's); accuracy floors are
-    asserted under it in tests.
+    asserted under it in tests. ``flatten`` bakes the s1 kernel's
+    flattened-M variant into the rewritten entries (resolved HERE, once,
+    so every compiled program of the frozen net uses the same variant).
     """
     out_spec, out_arrays = [], []
 
@@ -278,7 +281,7 @@ def mosaicize_qspec(qspec, qarrays, quantize_up: bool = False):
             cin = w_q.shape[2]
             if cin % 128 == 0 and w_q.shape[:2] == (3, 3):
                 wl, wc, wr = taps(w_q)
-                out_spec.append("ms1")
+                out_spec.append("ms1:flat" if flatten else "ms1")
                 out_arrays.append((wl, wc, wr, scale, offset, w_q))
                 continue
         if kind == "qs2":
@@ -291,7 +294,9 @@ def mosaicize_qspec(qspec, qarrays, quantize_up: bool = False):
                 continue
         if kind == "up" and quantize_up and entry[0].shape[2] % 128 == 0:
             out_spec.append("mup")
-            out_arrays.append(quantize_up_entry(entry))
+            # keep the original bf16 entry for the rows==1 fallback
+            # (prime input heights, e.g. the deepest up at H=109)
+            out_arrays.append(quantize_up_entry(entry) + (entry,))
             continue
         out_spec.append(kind)
         out_arrays.append(entry)

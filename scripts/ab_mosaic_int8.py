@@ -1,10 +1,17 @@
 """A/B: Mosaic int8 conv kernels vs XLA convs on the COMPOSED program.
 
-Two TiledInferers in one process — the shipped int8 program and the same
-program with ANNONET_TPU_MOSAIC_INT8 stride-1/2 convs (bit-exact rewrite,
-tests/test_int8_conv_mosaic.py) — interleaved wall-clock rounds PLUS the
-par.16 arbiter: whole-program device-timeline ms from a profiler trace of
-each arm.
+Four TiledInferers in one process:
+  xla         — the shipped int8 program;
+  mosaic      — ANNONET_TPU_MOSAIC_INT8=1 (stride-1/2 Mosaic kernels;
+                MUST match xla bit-for-bit, asserted below);
+  mosaic_flat — same + the flattened-M s1 variant (also bit-exact;
+                interpret-mode exactness does NOT guarantee hardware
+                exactness for Mosaic relayouts, so asserted on device);
+  mosaic_up   — ANNONET_TPU_MOSAIC_INT8=2 (int8 up layers; NOT
+                bit-exact — int8 up weights — mismatch is reported).
+
+Interleaved wall-clock rounds PLUS the par.16 arbiter: whole-program
+device-timeline ms from a profiler trace of each arm.
 
 Run alone on the TPU:  python -u scripts/ab_mosaic_int8.py
 """
@@ -77,9 +84,16 @@ def main() -> None:
     mism = int(jnp.sum(outs["xla"] != outs["mosaic"]))
     print(f"label disagreement xla-vs-mosaic: {mism} px (must be 0)",
           flush=True)
+    mism_flat = int(jnp.sum(outs["xla"] != outs["mosaic_flat"]))
+    print(f"label disagreement xla-vs-mosaic_flat: {mism_flat} px "
+          f"(must be 0 — hardware check of the flatten relayout)",
+          flush=True)
     mism_up = int(jnp.sum(outs["xla"] != outs["mosaic_up"]))
     print(f"label disagreement xla-vs-mosaic_up: {mism_up} px "
           f"({mism_up / SIZE / SIZE:.5%}; int8 up weights)", flush=True)
+    if mism or mism_flat:
+        print("!! bit-exact arm mismatch — perf numbers below are for a "
+              "WRONG program; do not use", flush=True)
 
     trivial = jax.jit(lambda a: a[0, 0].astype(jnp.int32))
     float(trivial(outs["xla"]))
@@ -123,6 +137,7 @@ def main() -> None:
         **{f"{n}_device_ms": round(v, 2) for n, v in timeline.items()},
         **{f"{n}_mpxs": round(v, 1) for n, v in meds.items()},
         "label_mismatch_px": mism,
+        "label_mismatch_flat_px": mism_flat,
         "label_mismatch_up_px": mism_up,
     }))
 

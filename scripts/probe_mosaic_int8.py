@@ -189,9 +189,7 @@ def main() -> None:
 
         from annonet_tpu.ops.int8_conv_mosaic import quantize_up_entry
 
-        a_t, b_t, scale_q, off_q = jax.jit(quantize_up_entry)(
-            (args[0], args[1], args[2], args[3])
-        )
+        a_t, b_t, scale_q, off_q = jax.jit(quantize_up_entry)(args)
         for rows in (4, 109):
             if h % rows:
                 continue
