@@ -60,6 +60,11 @@ def main() -> None:
         args.iters = min(args.iters, 2)
         args.passes = min(args.passes, 2)
 
+    from annonet_tpu.cli.common import apply_platform_env
+
+    apply_platform_env()  # ANNONET_TPU_PLATFORM=cpu pins the backend
+    # (the axon plugin silently overrides JAX_PLATFORMS — CLAUDE.md)
+
     import jax
     import numpy as np
 
