@@ -459,6 +459,17 @@ class TiledInferer:
         self.use_pallas_blend = use_pallas_blend
         self.mesh = mesh
         self.mesh_axis = mesh_axis
+        # opt-in Mosaic tap-GEMM kernels on the FLOAT folded path
+        # (ANNONET_TPU_MOSAIC_FLOAT=1; the int8 path has its own flag,
+        # _maybe_mosaicize). Read once — the choice is part of this
+        # inferer's compiled-program identity.
+        import os as _os
+
+        self.use_mosaic_float = (
+            _os.environ.get("ANNONET_TPU_MOSAIC_FLOAT") == "1"
+            and not self.quantize
+            and not use_pallas_conv
+        )
         self._compiled: Dict[Tuple, object] = {}
         self._plan_constants: Dict[TilePlan, Tuple] = {}
 
@@ -512,6 +523,7 @@ class TiledInferer:
             with_detection,
             fold0,
             self.use_pallas_conv,
+            self.use_mosaic_float,
             quantized,
             image_batch,
             str(self.blend_dtype),
@@ -563,12 +575,20 @@ class TiledInferer:
             self._compiled[key] = fn
         return fn, fold0, quantized
 
-    def _get_folded(self, fold0: int):
-        """(static (fold0, spec), device array tuple) for the folded net."""
-        # keyed by (fold0, use_pallas_conv): the pallas variant folds a
-        # different parameter layout, so flipping the flag after a fold has
-        # been cached must not reuse the other mode's params
-        cached = self._folded_cache.get((fold0, self.use_pallas_conv))
+    def _get_folded(self, fold0: int, mosaic: Optional[bool] = None):
+        """(static (fold0, spec), device array tuple) for the folded net.
+
+        ``mosaic`` selects the Mosaic float-kernel rewrite (None =
+        the inferer's use_mosaic_float); the calibration/quantization
+        walkers always request the PLAIN spec (mosaic=False) — they only
+        understand the XLA kinds."""
+        if mosaic is None:
+            mosaic = self.use_mosaic_float
+        # keyed by (fold0, use_pallas_conv, mosaic): each variant folds or
+        # rewrites a different parameter layout, so flipping flags after a
+        # fold has been cached must not reuse another mode's params
+        cache_key = (fold0, self.use_pallas_conv, mosaic)
+        cached = self._folded_cache.get(cache_key)
         if cached is None:
             from annonet_tpu.models.folded_runtime import (
                 fold_runtime_params,
@@ -579,16 +599,22 @@ class TiledInferer:
                 self.params, self.config, fold0,
                 pallas_s1=self.use_pallas_conv,
             )
-            static, arrays = split_folded(fparams)
-            cached = (static, arrays)
-            self._folded_cache[(fold0, self.use_pallas_conv)] = cached
+            (f0, spec), arrays = split_folded(fparams)
+            if mosaic:
+                from annonet_tpu.ops.int8_conv_mosaic import mosaicize_folded
+
+                spec, arrays = mosaicize_folded(
+                    spec, arrays, jnp.dtype(self.config.compute_dtype)
+                )
+            cached = ((f0, spec), arrays)
+            self._folded_cache[cache_key] = cached
         return cached
 
     def _collect_calib(self, fold0: int, plan: TilePlan, padded_image):
         """Per-REAL-channel post-ReLU activation maxima of one image: up to
         4 tiles spread across the plan, through the bf16 folded net
         (models/quantized_runtime.py::collect_calibration)."""
-        (f0, spec), arrays = self._get_folded(fold0)
+        (f0, spec), arrays = self._get_folded(fold0, mosaic=False)
         positions = list(plan.tile_yx)
         if len(positions) > 4:
             # spread the picks across the whole plan (first/last included),
@@ -634,7 +660,7 @@ class TiledInferer:
         if self._preloaded_calib is not None:
             from annonet_tpu.models.quantized_runtime import quantize_folded
 
-            (f0, spec), arrays = self._get_folded(fold0)
+            (f0, spec), arrays = self._get_folded(fold0, mosaic=False)
             expected = len(spec)
             if len(self._preloaded_calib) != expected:
                 raise ValueError(
@@ -660,7 +686,7 @@ class TiledInferer:
             return
         from annonet_tpu.models.quantized_runtime import quantize_folded
 
-        (f0, spec), arrays = self._get_folded(fold0)
+        (f0, spec), arrays = self._get_folded(fold0, mosaic=False)
         self._calib_frozen[fold0] = accum
         self._quantized_cache[fold0] = _maybe_mosaicize(
             quantize_folded(spec, arrays, accum, self.config, f0)

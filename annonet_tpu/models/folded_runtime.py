@@ -365,6 +365,20 @@ def apply_folded_split(
                 fold_l, cin_l, rows=rows_l,
                 interpret=jax.default_backend() != "tpu",
             )
+        elif kind == "fs1":
+            # Mosaic float tap-GEMM kernel (ops/int8_conv_mosaic.py::
+            # mosaicize_folded); XLA conv fallback at prime heights
+            from annonet_tpu.ops.int8_conv_mosaic import (
+                fconv3x3_s1_bias_relu, pick_rows,
+            )
+
+            wl, wc, wr, b, w = entry
+            rows_l = pick_rows(int(x.shape[1]))
+            if rows_l > 1:
+                x = fconv3x3_s1_bias_relu(x, wl, wc, wr, b, rows=rows_l)
+            else:
+                strides, padding = FOLDED_CONV_GEOMETRY["s1"]
+                x = conv(x, w, b, strides, padding)
         elif kind in FOLDED_CONV_GEOMETRY:
             strides, padding = FOLDED_CONV_GEOMETRY[kind]
             x = conv(x, entry[0], entry[1], strides, padding)

@@ -231,6 +231,114 @@ def qup_requant(
       scale.astype(jnp.float32)[None, :], offset.astype(jnp.float32)[None, :])
 
 
+def _fconv_kernel(top_ref, mid_ref, bot_ref, wl_ref, wc_ref, wr_ref,
+                  b_ref, out_ref, *, rows: int):
+    r = rows
+    hb = pl.num_programs(1)
+    rb = pl.program_id(1)
+    top = jnp.where(rb == 0, jnp.zeros_like(top_ref[0]), top_ref[0])
+    bot = jnp.where(rb == hb - 1, jnp.zeros_like(bot_ref[0]), bot_ref[0])
+    p_full = jnp.concatenate([top, mid_ref[0], bot], axis=0)
+    p_cat = jnp.concatenate(
+        [p_full[0:r], p_full[1:r + 1], p_full[2:r + 2]], axis=-1
+    )
+    zrow = jnp.zeros_like(p_cat[:, :1])
+    p_l = jnp.concatenate([zrow, p_cat[:, :-1]], axis=1)
+    p_r = jnp.concatenate([p_cat[:, 1:], zrow], axis=1)
+
+    dn = (((2,), (0,)), ((), ()))
+
+    def dotg(p, w):
+        return lax.dot_general(
+            p, w[:], dn, preferred_element_type=jnp.float32
+        )
+
+    acc = dotg(p_l, wl_ref) + dotg(p_cat, wc_ref) + dotg(p_r, wr_ref)
+    out_ref[0] = jnp.maximum(acc + b_ref[0], 0.0).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "interpret"))
+def fconv3x3_s1_bias_relu(
+    x: jnp.ndarray,        # [N, H, WB, C] bf16/f32 folded activations
+    wl: jnp.ndarray,       # [3C, C'] (x.dtype)
+    wc: jnp.ndarray,
+    wr: jnp.ndarray,
+    bias: jnp.ndarray,     # [C'] f32
+    rows: int = 8,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Float twin of qconv3x3_s1_requant: fused folded 3x3/s1 conv +
+    bias + ReLU for the bf16 inference path. Same tap-GEMM/halo-view
+    structure; f32 accumulation on the MXU (preferred_element_type), so
+    results match the XLA folded conv to accumulation-order tolerance.
+    bf16's (16, 128) tiling pads WB=109 only to 112 (97% M rows, vs
+    int8's 109/128)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n, h, wb, c = x.shape
+    cout = wc.shape[1]
+    assert h % rows == 0, (h, rows)
+    hb = h // rows
+
+    top_spec = pl.BlockSpec(
+        (1, 1, wb, c),
+        lambda bb, r: (bb, jnp.maximum(r * rows - 1, 0), 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    bot_spec = pl.BlockSpec(
+        (1, 1, wb, c),
+        lambda bb, r: (bb, jnp.minimum((r + 1) * rows, h - 1), 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    row_spec = pl.BlockSpec(
+        (1, rows, wb, c), lambda bb, r: (bb, r, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    flops = 2 * n * h * wb * (3 * c) * cout * 3
+    return pl.pallas_call(
+        functools.partial(_fconv_kernel, rows=rows),
+        grid=(n, hb),
+        in_specs=[top_spec, row_spec, bot_spec, full, full, full, full],
+        out_specs=pl.BlockSpec(
+            (1, rows, wb, cout), lambda bb, r: (bb, r, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, h, wb, cout), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(2 * x.size + n * h * wb * cout
+                            ) * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, x, x, wl, wc, wr, bias.astype(jnp.float32)[None, :])
+
+
+def mosaicize_folded(spec, arrays, dtype):
+    """Rewrite the FLOAT folded net's eligible "s1" entries to the Mosaic
+    GEMM kernel ("fs1"): entry -> (wl, wc, wr, bias, w) with the taps in
+    ``dtype`` (the net's compute dtype) and the original kernel kept for
+    the rows==1 fallback. Only for non-quantized inferers — the int8
+    path has its own rewrite (mosaicize_qspec)."""
+    out_spec, out_arrays = [], []
+    for kind, entry in zip(spec, arrays):
+        if kind == "s1":
+            w, b = entry
+            kh, kw, cin, cout = w.shape
+            if cin % 128 == 0 and (kh, kw) == (3, 3):
+                taps = [
+                    jnp.reshape(w[:, t], (kh * cin, cout)).astype(dtype)
+                    for t in range(3)
+                ]
+                out_spec.append("fs1")
+                out_arrays.append(tuple(taps) + (b, w))
+                continue
+        out_spec.append(kind)
+        out_arrays.append(entry)
+    return tuple(out_spec), tuple(out_arrays)
+
+
 def quantize_up_entry(entry):
     """Quantize a folded "up" entry's bf16 kernel for the int8 GEMM form.
 

@@ -208,6 +208,52 @@ def main() -> None:
                   f"{flops / ms / 1e9:.0f} TOP/s ==", flush=True)
             results[f"mup{rows}_{tag}"] = ms
 
+    # float (bf16) s1 layer: the tap-GEMM kernel vs XLA's folded conv
+    from annonet_tpu.ops.int8_conv_mosaic import fconv3x3_s1_bias_relu
+
+    for tag, shape in (("f16_hot109", (25, 872, 109, 128)),):
+        n, h, wb, c = shape
+        x = jnp.asarray(
+            rng.standard_normal(shape).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        w_np = (rng.standard_normal((3, 3, c, c)) * 0.05).astype(np.float32)
+        bias = jnp.asarray(rng.standard_normal(c).astype(np.float32))
+        jax.block_until_ready(x)
+        flops = 2 * n * h * wb * c * c * 9
+
+        def xla_fconv(x, w, bias):
+            out = lax.conv_general_dilated(
+                x, w.astype(x.dtype), (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=_DN,
+            )
+            return jnp.maximum(out + bias, 0.0).astype(x.dtype)
+
+        w_dev = jnp.asarray(w_np)
+        xla_c = jax.jit(xla_fconv).lower(x, w_dev, bias).compile()
+        ms, ops = trace_ms(xla_c, (x, w_dev, bias), f"xla_{tag}")
+        print(f"\n== XLA bf16 {tag}: {ms:.3f} ms, "
+              f"{flops / ms / 1e9:.0f} TFLOP/s ==", flush=True)
+        results[f"xla_{tag}"] = ms
+        taps = [jnp.asarray(w_np[:, t].reshape(3 * c, c)).astype(jnp.bfloat16)
+                for t in range(3)]
+        for rows in (8,):
+            try:
+                mos_c = fconv3x3_s1_bias_relu.lower(
+                    x, taps[0], taps[1], taps[2], bias, rows=rows
+                ).compile()
+                ms, ops = trace_ms(
+                    mos_c, (x, taps[0], taps[1], taps[2], bias),
+                    f"mf{rows}_{tag}",
+                )
+            except Exception as e:
+                print(f"mosaic f16 rows={rows} FAILED: {e}", flush=True)
+                continue
+            print(f"== Mosaic bf16 rows={rows}: {ms:.3f} ms, "
+                  f"{flops / ms / 1e9:.0f} TFLOP/s ==", flush=True)
+            for m, op in ops[:6]:
+                print(f"  {m:8.3f} ms  {op[:64]}", flush=True)
+            results[f"mf{rows}_{tag}"] = ms
+
     print(json.dumps({"metric": "mosaic_int8_qs1",
                       **{k: round(v, 3) for k, v in results.items()}}))
 

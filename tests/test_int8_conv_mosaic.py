@@ -219,3 +219,63 @@ def test_mosaicized_whole_net_with_int8_up_layers():
     # logits differ only by the up layers' int8 weight rounding
     denom = np.maximum(np.abs(ref).max(), 1.0)
     assert np.abs(got - ref).max() / denom < 0.08
+
+
+def test_mosaic_fconv_matches_xla_conv():
+    """The float tap-GEMM kernel == the XLA folded conv to accumulation-
+    order tolerance (f32 accumulation both sides, different tap order)."""
+    from annonet_tpu.ops.int8_conv_mosaic import fconv3x3_s1_bias_relu
+
+    rng = np.random.default_rng(11)
+    n, h, wb, c = 2, 16, 11, 128
+    x = rng.standard_normal((n, h, wb, c)).astype(np.float32)
+    w = (rng.standard_normal((3, 3, c, 128)) * 0.05).astype(np.float32)
+    bias = rng.standard_normal(128).astype(np.float32)
+
+    ref = lax.conv_general_dilated(
+        jnp.asarray(x), jnp.asarray(w), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=_DN,
+    )
+    ref = jnp.maximum(ref + jnp.asarray(bias), 0.0)
+
+    taps = [jnp.asarray(w[:, t].reshape(3 * c, 128)) for t in range(3)]
+    got = fconv3x3_s1_bias_relu(
+        jnp.asarray(x), taps[0], taps[1], taps[2], jnp.asarray(bias),
+        rows=8, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_mosaicized_float_net_matches_plain(monkeypatch):
+    """ANNONET_TPU_MOSAIC_FLOAT=1 through TiledInferer == the plain float
+    inferer's label map (same math, different tap order)."""
+    from annonet_tpu.infer.core import TiledInferer
+    from annonet_tpu.infer.tiling import TilingParameters
+    from annonet_tpu.models.segnet import (
+        SegNetConfig, fold_batchnorm, init_state,
+        required_input_dimension,
+    )
+
+    cfg = SegNetConfig(class_count=3, level_count=1, base_width=16)
+    params, bn = init_state(jax.random.PRNGKey(4), cfg)
+    rt = fold_batchnorm(params, bn, cfg)
+    overlap = required_input_dimension(cfg)
+    tiling = TilingParameters(64, 64, overlap, overlap)
+    rng = np.random.default_rng(6)
+    image = rng.integers(0, 256, size=(96, 96, 3), dtype=np.uint8)
+
+    def run(flag):
+        monkeypatch.setenv("ANNONET_TPU_MOSAIC_FLOAT", flag)
+        inf = TiledInferer(rt, cfg, tiling)
+        if flag == "1":
+            assert inf.use_mosaic_float
+            spec = inf._get_folded(8)[0][1]
+            assert "fs1" in spec
+        labels, _ = inf.infer_arrays(image)
+        return np.asarray(labels)
+
+    a, b = run("0"), run("1")
+    agree = float((a == b).mean())
+    assert agree > 0.995, agree
