@@ -379,6 +379,34 @@ def apply_folded_split(
             else:
                 strides, padding = FOLDED_CONV_GEOMETRY["s1"]
                 x = conv(x, w, b, strides, padding)
+        elif kind == "fs2":
+            from annonet_tpu.ops.int8_conv_mosaic import (
+                fconv3x3_s2_bias_relu, pick_rows,
+            )
+
+            w0, w1, b, w = entry
+            h_cur = int(x.shape[1])
+            rows_l = pick_rows(h_cur // 2) if h_cur % 2 == 0 else 1
+            if rows_l > 1:
+                x = fconv3x3_s2_bias_relu(x, w0, w1, b, rows=rows_l)
+            else:
+                strides, padding = FOLDED_CONV_GEOMETRY["s2"]
+                x = conv(x, w, b, strides, padding)
+        elif kind == "fup":
+            from annonet_tpu.ops.int8_conv_mosaic import (
+                fup_bias_relu, pick_rows,
+            )
+
+            a_t, b_t, b, w = entry
+            rows_l = pick_rows(int(x.shape[1]))
+            if rows_l > 1:
+                x = fup_bias_relu(x, a_t, b_t, b, rows=rows_l)
+            else:
+                out = lax.conv_transpose(
+                    x, w.astype(dtype), strides=(2, 1),
+                    padding="SAME", dimension_numbers=_DN,
+                )
+                x = jnp.maximum(out + b, 0.0).astype(dtype)
         elif kind in FOLDED_CONV_GEOMETRY:
             strides, padding = FOLDED_CONV_GEOMETRY[kind]
             x = conv(x, entry[0], entry[1], strides, padding)

@@ -315,25 +315,169 @@ def fconv3x3_s1_bias_relu(
     )(x, x, x, wl, wc, wr, bias.astype(jnp.float32)[None, :])
 
 
+def _fconv_s2_kernel(mid_ref, bot_ref, w0_ref, w1_ref, b_ref, out_ref,
+                     *, rows: int):
+    r = rows
+    bot = jnp.where(
+        pl.program_id(1) == pl.num_programs(1) - 1,
+        jnp.zeros_like(bot_ref[0]), bot_ref[0],
+    )
+    p_full = jnp.concatenate([mid_ref[0], bot], axis=0)
+    p_cat = jnp.concatenate(
+        [p_full[0 : 2 * r - 1 : 2], p_full[1 : 2 * r : 2],
+         p_full[2 : 2 * r + 1 : 2]],
+        axis=-1,
+    )
+    zrow = jnp.zeros_like(p_cat[:, :1])
+    p_r = jnp.concatenate([p_cat[:, 1:], zrow], axis=1)
+
+    dn = (((2,), (0,)), ((), ()))
+
+    def dotg(p, w):
+        return lax.dot_general(p, w[:], dn, preferred_element_type=jnp.float32)
+
+    acc = dotg(p_cat, w0_ref) + dotg(p_r, w1_ref)
+    out_ref[0] = jnp.maximum(acc + b_ref[0], 0.0).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "interpret"))
+def fconv3x3_s2_bias_relu(
+    x: jnp.ndarray,        # [N, H, WB, C] bf16/f32 (H even)
+    w0: jnp.ndarray,       # [3C, C'] (x.dtype)
+    w1: jnp.ndarray,
+    bias: jnp.ndarray,     # [C'] f32
+    rows: int = 8,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Float twin of qconv3x3_s2_requant: [N, H, WB, C] ->
+    [N, H//2, WB, C'] with bias + ReLU. ``rows`` must divide H//2."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n, h, wb, c = x.shape
+    cout = w0.shape[1]
+    assert h % 2 == 0, h
+    h_out = h // 2
+    assert h_out % rows == 0, (h_out, rows)
+    hb = h_out // rows
+
+    bot_spec = pl.BlockSpec(
+        (1, 1, wb, c),
+        lambda bb, r: (bb, jnp.minimum(2 * (r + 1) * rows, h - 1), 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    in_spec = pl.BlockSpec(
+        (1, 2 * rows, wb, c), lambda bb, r: (bb, r, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    flops = 2 * n * h_out * wb * (3 * c) * cout * 2
+    return pl.pallas_call(
+        functools.partial(_fconv_s2_kernel, rows=rows),
+        grid=(n, hb),
+        in_specs=[in_spec, bot_spec, full, full, full],
+        out_specs=pl.BlockSpec(
+            (1, rows, wb, cout), lambda bb, r: (bb, r, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, h_out, wb, cout), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(x.size + n * h_out * wb * cout) * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, x, w0, w1, bias.astype(jnp.float32)[None, :])
+
+
+def _fup_kernel(mid_ref, a_ref, b_ref, bias_ref, out_ref, *, rows: int):
+    x = mid_ref[0]
+    dn = (((2,), (0,)), ((), ()))
+
+    def dotg(p, w):
+        return lax.dot_general(p, w[:], dn, preferred_element_type=jnp.float32)
+
+    def ep(acc):
+        return jnp.maximum(acc + bias_ref[0], 0.0).astype(out_ref.dtype)
+
+    y0 = ep(dotg(x, a_ref))
+    y1 = ep(dotg(x, b_ref))
+    q = jnp.stack([y0, y1], axis=1)
+    out_ref[0] = q.reshape(2 * rows, q.shape[2], q.shape[3])
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "interpret"))
+def fup_bias_relu(
+    x: jnp.ndarray,        # [N, H, WB, C] bf16/f32
+    a: jnp.ndarray,        # [C, C'] (x.dtype) — even rows (w[1, 0])
+    b: jnp.ndarray,        # [C, C'] — odd rows (w[0, 0])
+    bias: jnp.ndarray,     # [C'] f32
+    rows: int = 8,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Float twin of qup_requant: the folded 2x upsample as two
+    dilation-free GEMMs + bias + ReLU, [N, H, WB, C] -> [N, 2H, WB, C'].
+    The XLA GEMM form of this op loses to conv_transpose on the
+    interleave materialization (DESIGN.md §6); here the interleave is an
+    outer-dim stack in VMEM."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n, h, wb, c = x.shape
+    cout = a.shape[1]
+    assert h % rows == 0, (h, rows)
+    hb = h // rows
+
+    in_spec = pl.BlockSpec(
+        (1, rows, wb, c), lambda bb, r: (bb, r, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    flops = 2 * n * h * wb * c * cout * 2
+    return pl.pallas_call(
+        functools.partial(_fup_kernel, rows=rows),
+        grid=(n, hb),
+        in_specs=[in_spec, full, full, full],
+        out_specs=pl.BlockSpec(
+            (1, 2 * rows, wb, cout), lambda bb, r: (bb, r, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, 2 * h, wb, cout), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(x.size + n * 2 * h * wb * cout
+                            ) * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, a, b, bias.astype(jnp.float32)[None, :])
+
+
 def mosaicize_folded(spec, arrays, dtype):
-    """Rewrite the FLOAT folded net's eligible "s1" entries to the Mosaic
-    GEMM kernel ("fs1"): entry -> (wl, wc, wr, bias, w) with the taps in
-    ``dtype`` (the net's compute dtype) and the original kernel kept for
-    the rows==1 fallback. Only for non-quantized inferers — the int8
+    """Rewrite the FLOAT folded net's eligible entries to the Mosaic GEMM
+    kernels: "s1" -> ("fs1", (wl, wc, wr, bias, w)), "s2" ->
+    ("fs2", (w0, w1, bias, w)), "up" -> ("fup", (a, b, bias, w)); taps
+    in ``dtype`` (the net's compute dtype), original kernels kept for
+    the rows==1 fallbacks. Only for non-quantized inferers — the int8
     path has its own rewrite (mosaicize_qspec)."""
     out_spec, out_arrays = [], []
     for kind, entry in zip(spec, arrays):
-        if kind == "s1":
+        if kind in ("s1", "s2") and entry[0].shape[2] % 128 == 0:
             w, b = entry
             kh, kw, cin, cout = w.shape
-            if cin % 128 == 0 and (kh, kw) == (3, 3):
-                taps = [
-                    jnp.reshape(w[:, t], (kh * cin, cout)).astype(dtype)
-                    for t in range(3)
-                ]
-                out_spec.append("fs1")
-                out_arrays.append(tuple(taps) + (b, w))
-                continue
+            taps = [
+                jnp.reshape(w[:, t], (kh * cin, cout)).astype(dtype)
+                for t in range(kw)
+            ]
+            out_spec.append("fs1" if kind == "s1" else "fs2")
+            out_arrays.append(tuple(taps) + (b, w))
+            continue
+        if kind == "up" and entry[0].shape[2] % 128 == 0:
+            w, b = entry
+            out_spec.append("fup")
+            out_arrays.append(
+                (jnp.asarray(w[1, 0]).astype(dtype),
+                 jnp.asarray(w[0, 0]).astype(dtype), b, w)
+            )
+            continue
         out_spec.append(kind)
         out_arrays.append(entry)
     return tuple(out_spec), tuple(out_arrays)

@@ -279,3 +279,44 @@ def test_mosaicized_float_net_matches_plain(monkeypatch):
     a, b = run("0"), run("1")
     agree = float((a == b).mean())
     assert agree > 0.995, agree
+
+
+def test_mosaic_fs2_fup_kernels_match_xla():
+    """Float s2/up twins == XLA to accumulation-order tolerance."""
+    from annonet_tpu.ops.int8_conv_mosaic import (
+        fconv3x3_s2_bias_relu, fup_bias_relu,
+    )
+
+    rng = np.random.default_rng(13)
+    n, h, wb, c = 2, 16, 11, 128
+    x = rng.standard_normal((n, h, wb, c)).astype(np.float32)
+    bias = rng.standard_normal(128).astype(np.float32)
+
+    w2 = (rng.standard_normal((3, 2, c, 128)) * 0.05).astype(np.float32)
+    ref = lax.conv_general_dilated(
+        jnp.asarray(x), jnp.asarray(w2), (2, 1), [(0, 1), (0, 1)],
+        dimension_numbers=_DN,
+    )
+    ref = jnp.maximum(ref + jnp.asarray(bias), 0.0)
+    taps = [jnp.asarray(w2[:, t].reshape(3 * c, 128)) for t in range(2)]
+    got = fconv3x3_s2_bias_relu(
+        jnp.asarray(x), taps[0], taps[1], jnp.asarray(bias),
+        rows=4, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
+
+    wu = (rng.standard_normal((2, 1, c, 128)) * 0.05).astype(np.float32)
+    ref = lax.conv_transpose(
+        jnp.asarray(x), jnp.asarray(wu), strides=(2, 1),
+        padding="SAME", dimension_numbers=_DN,
+    )
+    ref = jnp.maximum(ref + jnp.asarray(bias), 0.0)
+    got = fup_bias_relu(
+        jnp.asarray(x), jnp.asarray(wu[1, 0]), jnp.asarray(wu[0, 0]),
+        jnp.asarray(bias), rows=8, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
