@@ -1,11 +1,17 @@
-"""Mosaic (pallas) int8 3x3 stride-1 conv + requant for the folded net.
+"""Mosaic (pallas) tap-GEMM conv kernels for the folded net.
+
+Six kernels sharing one structure — int8+requant and float+bias/ReLU
+twins of the folded stride-1 conv, stride-2 conv, and 2x upsample
+(geometries: models/folded_runtime.py) — plus the net rewrites that
+apply them (mosaicize_qspec for the int8 net, mosaicize_folded for the
+float net; both opt-in via env flags read in infer/core.py).
 
 The round-3 inference profile left ONE named lever (docs/DESIGN.md
 par.15-16): the int8 folded convs run at 212-263 TOP/s of the v5e's 394
-int8 peak under XLA's conv emitters. This kernel reformulates the folded
-stride-1 conv ("qs1" geometry: 3x3, stride 1, pad ((1,1),(1,1)),
-cin = cout = 128 folded channels — models/folded_runtime.py) as three
-int8 MXU GEMMs with the requant epilogue fused, to test whether a
+int8 peak under XLA's conv emitters. These kernels reformulate each
+folded conv ("qs1" geometry: 3x3, stride 1, pad ((1,1),(1,1)),
+cin = cout = 128 folded channels, and its s2/up siblings) as lane-
+aligned MXU GEMMs with the epilogue fused, to test whether a
 hand-scheduled kernel clears XLA's rate.
 
 Formulation (per output row block of R rows):
