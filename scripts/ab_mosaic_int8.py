@@ -42,6 +42,8 @@ from annonet_tpu.models.segnet import (
 SIZE = 4096
 ITERS = 5
 ROUNDS = 4
+# tile plan override: "--tile W H" (e.g. 768 872 makes the folded WB=96,
+# a whole number of int8 sublane tiles — no M padding in the s1 GEMMs)
 
 
 def device_timeline_ms(trace_dir):
@@ -50,11 +52,19 @@ def device_timeline_ms(trace_dir):
 
 
 def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tile", nargs=2, type=int, default=[1024, 1024],
+                    metavar=("W", "H"))
+    tile_w, tile_h = ap.parse_args().tile
+
     config = SegNetConfig(class_count=3, level_count=3, base_width=16)
     params, bn_stats = init_state(jax.random.PRNGKey(0), config)
     rp = fold_batchnorm(params, bn_stats, config)
     overlap = required_input_dimension(config)
-    tiling = TilingParameters(1024, 1024, overlap, overlap)
+    tiling = TilingParameters(tile_w, tile_h, overlap, overlap)
+    print(f"tile plan: {tile_w}x{tile_h}", flush=True)
 
     # both arms in ONE process: flip the env around inferer CONSTRUCTION
     # is not enough (the rewrite happens at calibration freeze), so flip
