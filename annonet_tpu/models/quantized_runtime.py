@@ -364,7 +364,7 @@ def apply_folded_int8(
             else:
                 strides, padding = FOLDED_CONV_GEOMETRY["s1"]
                 x = requant(qconv(x, w_q, strides, padding), scale, offset)
-        elif kind == "mup":
+        elif kind.split(":")[0] == "mup":
             from annonet_tpu.ops.int8_conv_mosaic import (
                 pick_rows, qup_requant,
             )
@@ -372,7 +372,10 @@ def apply_folded_int8(
             a_t, b_t, scale, offset, orig = entry
             rows = pick_rows(int(x.shape[1]))
             if rows > 1:
-                x = qup_requant(x, a_t, b_t, scale, offset, rows=rows)
+                x = qup_requant(
+                    x, a_t, b_t, scale, offset, rows=rows,
+                    flatten=kind.endswith(":flat"),
+                )
             else:
                 # prime input height (e.g. the deepest up at H=109):
                 # keep the measured bf16 conv_transpose path
@@ -383,7 +386,7 @@ def apply_folded_int8(
                     padding="SAME", dimension_numbers=_DN,
                 )
                 x = requant(out, scale_o, offset_o)
-        elif kind == "ms2":
+        elif kind.split(":")[0] == "ms2":
             from annonet_tpu.ops.int8_conv_mosaic import (
                 pick_rows, qconv3x3_s2_requant,
             )
@@ -392,7 +395,10 @@ def apply_folded_int8(
             h = int(x.shape[1])
             rows = pick_rows(h // 2) if h % 2 == 0 else 1
             if rows > 1:
-                x = qconv3x3_s2_requant(x, w0, w1, scale, offset, rows=rows)
+                x = qconv3x3_s2_requant(
+                    x, w0, w1, scale, offset, rows=rows,
+                    flatten=kind.endswith(":flat"),
+                )
             else:
                 strides, padding = FOLDED_CONV_GEOMETRY["s2"]
                 x = requant(qconv(x, w_q, strides, padding), scale, offset)

@@ -80,7 +80,8 @@ def build_tap_gemms_s2(w_q: np.ndarray):
 
 
 def _qconv_s2_kernel(mid_ref, bot_ref, w0_ref, w1_ref,
-                     scale_ref, offset_ref, out_ref, *, rows: int):
+                     scale_ref, offset_ref, out_ref, *, rows: int,
+                     flatten: bool):
     r = rows
     # clamped 1-row halo view of x; the last block's tap is the (0, 1)
     # zero padding row
@@ -98,17 +99,32 @@ def _qconv_s2_kernel(mid_ref, bot_ref, w0_ref, w1_ref,
     zrow = jnp.zeros_like(p_cat[:, :1])
     p_r = jnp.concatenate([p_cat[:, 1:], zrow], axis=1)  # wb+1 tap
 
-    dn = (((2,), (0,)), ((), ()))
+    wb, k = p_cat.shape[1], p_cat.shape[2]
+    if flatten:
+        dn = (((1,), (0,)), ((), ()))
 
-    def dotg(p, w):
-        return lax.dot_general(p, w[:], dn, preferred_element_type=jnp.int32)
+        def dotg(p, w):
+            return lax.dot_general(
+                p.reshape(r * wb, k), w[:], dn,
+                preferred_element_type=jnp.int32,
+            )
+    else:
+        dn = (((2,), (0,)), ((), ()))
+
+        def dotg(p, w):
+            return lax.dot_general(
+                p, w[:], dn, preferred_element_type=jnp.int32
+            )
 
     acc = dotg(p_cat, w0_ref) + dotg(p_r, w1_ref)
     f = acc.astype(jnp.float32) * scale_ref[0] + offset_ref[0]
-    out_ref[0] = jnp.clip(f, 0.0, 127.0).astype(jnp.int8)
+    q = jnp.clip(f, 0.0, 127.0).astype(jnp.int8)
+    out_ref[0] = q.reshape(r, wb, -1) if flatten else q
 
 
-@functools.partial(jax.jit, static_argnames=("rows", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("rows", "interpret", "flatten")
+)
 def qconv3x3_s2_requant(
     x_q: jnp.ndarray,      # [N, H, WB, C] int8 (H even)
     w0: jnp.ndarray,       # [3C, C'] int8 (build_tap_gemms_s2)
@@ -117,11 +133,13 @@ def qconv3x3_s2_requant(
     offset: jnp.ndarray,   # [C'] f32
     rows: int = 8,
     interpret: bool | None = None,
+    flatten: bool = False,
 ) -> jnp.ndarray:
     """Fused int8 folded 3x3/s2 conv + requant: [N, H, WB, C] ->
     [N, H//2, WB, C'] int8. Exactly equal (tested) to quantized_runtime's
     requant(qconv(x, w_q, (2, 1), [(0, 1), (0, 1)])). ``rows`` (output
-    row-block) must divide H//2."""
+    row-block) must divide H//2; ``flatten`` merges (rows, WB) into one
+    GEMM M dim (see qconv3x3_s1_requant)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n, h, wb, c = x_q.shape
@@ -149,7 +167,7 @@ def qconv3x3_s2_requant(
     bytes_accessed = (x_q.size + n * hb * wb * c
                       + n * h_out * wb * cout + 3 * 2 * c * cout)
     return pl.pallas_call(
-        functools.partial(_qconv_s2_kernel, rows=rows),
+        functools.partial(_qconv_s2_kernel, rows=rows, flatten=flatten),
         grid=(n, hb),
         in_specs=[in_spec, bot_spec, full, full, full, full],
         out_specs=pl.BlockSpec(
@@ -166,16 +184,28 @@ def qconv3x3_s2_requant(
 
 
 def _qup_kernel(mid_ref, a_ref, b_ref, scale_ref, offset_ref, out_ref,
-                *, rows: int):
+                *, rows: int, flatten: bool):
     x = mid_ref[0]  # [R, WB, C]
-    dn = (((2,), (0,)), ((), ()))
+    r, wb, c = x.shape
+    if flatten:
+        dn = (((1,), (0,)), ((), ()))
 
-    def dotg(p, w):
-        return lax.dot_general(p, w[:], dn, preferred_element_type=jnp.int32)
+        def dotg(p, w):
+            return lax.dot_general(
+                p.reshape(r * wb, c), w[:], dn,
+                preferred_element_type=jnp.int32,
+            )
+    else:
+        dn = (((2,), (0,)), ((), ()))
+
+        def dotg(p, w):
+            return lax.dot_general(
+                p, w[:], dn, preferred_element_type=jnp.int32
+            )
 
     def requant(acc):
         f = acc.astype(jnp.float32) * scale_ref[0] + offset_ref[0]
-        return jnp.clip(f, 0.0, 127.0).astype(jnp.int8)
+        return jnp.clip(f, 0.0, 127.0).astype(jnp.int8).reshape(r, wb, -1)
 
     y0 = requant(dotg(x, a_ref))  # even output rows
     y1 = requant(dotg(x, b_ref))  # odd output rows
@@ -183,7 +213,9 @@ def _qup_kernel(mid_ref, a_ref, b_ref, scale_ref, offset_ref, out_ref,
     out_ref[0] = q.reshape(2 * rows, q.shape[2], q.shape[3])
 
 
-@functools.partial(jax.jit, static_argnames=("rows", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("rows", "interpret", "flatten")
+)
 def qup_requant(
     x_q: jnp.ndarray,      # [N, H, WB, C] int8
     a: jnp.ndarray,        # [C, C'] int8 — even rows' GEMM (w_q[1, 0])
@@ -192,6 +224,7 @@ def qup_requant(
     offset: jnp.ndarray,   # [C'] f32
     rows: int = 8,
     interpret: bool | None = None,
+    flatten: bool = False,
 ) -> jnp.ndarray:
     """Fused int8 folded 2x upsample (transpose conv) + requant:
     [N, H, WB, C] -> [N, 2H, WB, C'] int8.
@@ -203,7 +236,8 @@ def qup_requant(
     GEMM form has no halos and — unlike XLA's int8 conv_transpose,
     which mishandles lhs_dilation (3.4x regression, DESIGN.md) — no
     dilation at all; the row interleave is an outer-dim stack in VMEM
-    instead of a materialized relayout. ``rows`` must divide H.
+    instead of a materialized relayout. ``rows`` must divide H;
+    ``flatten`` merges (rows, WB) into one GEMM M dim.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -219,7 +253,7 @@ def qup_requant(
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     flops = 2 * n * h * wb * c * cout * 2
     return pl.pallas_call(
-        functools.partial(_qup_kernel, rows=rows),
+        functools.partial(_qup_kernel, rows=rows, flatten=flatten),
         grid=(n, hb),
         in_specs=[in_spec, full, full, full, full],
         out_specs=pl.BlockSpec(
@@ -547,11 +581,11 @@ def mosaicize_qspec(qspec, qarrays, quantize_up: bool = False,
             cin = w_q.shape[2]
             if cin % 128 == 0 and w_q.shape[:2] == (3, 2):
                 w0, w1 = taps(w_q)
-                out_spec.append("ms2")
+                out_spec.append("ms2:flat" if flatten else "ms2")
                 out_arrays.append((w0, w1, scale, offset, w_q))
                 continue
         if kind == "up" and quantize_up and entry[0].shape[2] % 128 == 0:
-            out_spec.append("mup")
+            out_spec.append("mup:flat" if flatten else "mup")
             # keep the original bf16 entry for the rows==1 fallback
             # (prime input heights, e.g. the deepest up at H=109)
             out_arrays.append(quantize_up_entry(entry) + (entry,))

@@ -61,11 +61,12 @@ def test_mosaicized_whole_net_matches_plain_int8():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+@pytest.mark.parametrize("flatten", [False, True])
 @pytest.mark.parametrize("shape,rows", [
     ((2, 16, 11, 128), 4),
     ((1, 32, 8, 256), 8),
 ])
-def test_mosaic_qconv_s2_matches_xla(shape, rows):
+def test_mosaic_qconv_s2_matches_xla(shape, rows, flatten):
     n, h, wb, c = shape
     rng = np.random.default_rng(9)
     x_q = rng.integers(0, 128, size=shape, dtype=np.int8)
@@ -84,6 +85,7 @@ def test_mosaic_qconv_s2_matches_xla(shape, rows):
     got = qconv3x3_s2_requant(
         jnp.asarray(x_q), jnp.asarray(w0), jnp.asarray(w1),
         jnp.asarray(scale), jnp.asarray(offset), rows=rows, interpret=True,
+        flatten=flatten,
     )
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
@@ -127,11 +129,12 @@ def test_mosaic_qconv_matches_xla(shape, rows, flatten):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+@pytest.mark.parametrize("flatten", [False, True])
 @pytest.mark.parametrize("shape,rows", [
     ((2, 16, 11, 128), 8),
     ((1, 9, 8, 256), 3),      # odd H, wider channels
 ])
-def test_mosaic_qup_matches_int32_einsum(shape, rows):
+def test_mosaic_qup_matches_int32_einsum(shape, rows, flatten):
     """qup_requant == an independent int32 einsum + affine reference
     (exact: int8 x int8 -> int32 accumulation is associative)."""
     from annonet_tpu.ops.int8_conv_mosaic import qup_requant
@@ -157,6 +160,7 @@ def test_mosaic_qup_matches_int32_einsum(shape, rows):
     got = qup_requant(
         jnp.asarray(x_q), jnp.asarray(a), jnp.asarray(b),
         jnp.asarray(scale), jnp.asarray(offset), rows=rows, interpret=True,
+        flatten=flatten,
     )
     np.testing.assert_array_equal(np.asarray(got), ref)
 
