@@ -7,6 +7,8 @@ warm in one long-lived :class:`TiledInferer`, and serves inference over
 plain HTTP (stdlib only — no framework dependency):
 
   GET  /healthz          -> JSON: model metadata, classes, ready state
+  GET  /stats            -> JSON: request/batch counters + request-latency
+                            percentiles over a bounded recent window
   POST /infer            -> body: an encoded image (PNG/JPEG/...);
                             response: the label map in the requested form
 
@@ -158,6 +160,10 @@ class _ModelService:
         self._stats_lock = threading.Lock()
         self.requests_served = 0
         self.batches_dispatched = 0
+        # bounded per-request latency samples (seconds) for GET /stats
+        from collections import deque
+
+        self._latencies = deque(maxlen=2048)
         # dynamic batching: a dispatcher thread groups concurrent
         # same-shape/same-params requests into one infer_arrays_batch
         # call — the TPU-native answer to many small concurrent images
@@ -271,6 +277,7 @@ class _ModelService:
         )
         from annonet_tpu.infer.core import detection_veto
 
+        t_start = time.monotonic()
         orig_h, orig_w = image.shape[:2]
         if self.downscaling_factor != 1.0:
             h = max(1, int(round(orig_h / self.downscaling_factor)))
@@ -299,6 +306,7 @@ class _ModelService:
             labels = resize_label_image(labels, orig_w, orig_h)
         with self._stats_lock:
             self.requests_served += 1
+            self._latencies.append(time.monotonic() - t_start)
         return labels
 
     def encode_png(self, labels) -> bytes:
@@ -314,6 +322,37 @@ class _ModelService:
         buf = io.BytesIO()
         Image.fromarray(rgba, mode="RGBA").save(buf, format="PNG")
         return buf.getvalue()
+
+    def stats(self) -> dict:
+        """Serving statistics: request/batch counters and request-latency
+        percentiles over a bounded window of recent requests (the infer
+        flow end-to-end: downscale, device pass incl. any batching wait,
+        blob veto, upscale — not decode/encode, which run in the request
+        threads)."""
+        with self._stats_lock:
+            lat = sorted(self._latencies)
+            served = self.requests_served
+            batches = self.batches_dispatched
+
+        def pct(p):
+            if not lat:
+                return None
+            return round(lat[min(len(lat) - 1, int(p * len(lat)))] * 1e3, 2)
+
+        return {
+            "requests_served": served,
+            "batches_dispatched": batches,
+            "latency_window": len(lat),
+            "latency_ms": {
+                "mean": (round(sum(lat) / len(lat) * 1e3, 2)
+                         if lat else None),
+                "p50": pct(0.50),
+                "p90": pct(0.90),
+                "p99": pct(0.99),
+                "max": (round(lat[-1] * 1e3, 2) if lat else None),
+            },
+            "compiled_programs": len(self.inferer._compiled),
+        }
 
     def healthz(self) -> dict:
         return {
@@ -380,8 +419,11 @@ def make_server(args, service: Optional[_ModelService] = None):
                        json.dumps(obj).encode("utf-8"))
 
         def do_GET(self):
-            if urlparse(self.path).path in ("/healthz", "/"):
+            path = urlparse(self.path).path
+            if path in ("/healthz", "/"):
                 self._send_json(200, svc.healthz())
+            elif path == "/stats":
+                self._send_json(200, svc.stats())
             else:
                 self._send_json(404, {"error": "not found"})
 
@@ -482,6 +524,9 @@ def _warmup(service: _ModelService, sizes) -> None:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    from annonet_tpu.cli.common import apply_platform_env
+
+    apply_platform_env()  # ANNONET_TPU_PLATFORM=cpu pins the backend
     if not args.no_compilation_cache:
         from annonet_tpu.cli.common import enable_compilation_cache
 

@@ -338,3 +338,17 @@ def test_serve_int8_mosaic_flag_matches_plain_int8(tmp_path, monkeypatch):
         return out
 
     np.testing.assert_array_equal(run("0"), run("1"))
+
+
+def test_stats_endpoint_reports_latency_percentiles(server_url):
+    url, service = server_url
+    with _post(url + "/infer?format=labels", _png_bytes(64, 64)) as r:
+        r.read()
+    with urllib.request.urlopen(url + "/stats", timeout=60) as r:
+        stats = json.loads(r.read())
+    assert stats["requests_served"] >= 1
+    assert stats["latency_window"] >= 1
+    lat = stats["latency_ms"]
+    assert lat["p50"] is not None and lat["p50"] > 0
+    assert lat["max"] >= lat["p50"]
+    assert stats["compiled_programs"] >= 1
