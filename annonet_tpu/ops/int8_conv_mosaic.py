@@ -79,47 +79,94 @@ def build_tap_gemms_s2(w_q: np.ndarray):
     )
 
 
-def _qconv_s2_kernel(mid_ref, bot_ref, w0_ref, w1_ref,
-                     scale_ref, offset_ref, out_ref, *, rows: int,
-                     flatten: bool):
-    r = rows
-    # clamped 1-row halo view of x; the last block's tap is the (0, 1)
-    # zero padding row
+
+# --------------------------------------------------------------------------
+# Shared kernel building blocks (every kernel composes these three):
+# tap assembly (s1 / s2 geometries), the dot with optional flattened M,
+# and an epilogue (requant or bias+ReLU).
+# --------------------------------------------------------------------------
+
+
+def _s1_taps(top_ref, mid_ref, bot_ref, r):
+    """(p_l, p_cat, p_r) for the 3x3/s1 geometry: dy taps as a
+    lane-aligned concat, wb taps as sublane shifts, H-halo rows from the
+    clamped 1-row views masked to zero padding at the image edges."""
+    hb = pl.num_programs(1)
+    rb = pl.program_id(1)
+    top = jnp.where(rb == 0, jnp.zeros_like(top_ref[0]), top_ref[0])
+    bot = jnp.where(rb == hb - 1, jnp.zeros_like(bot_ref[0]), bot_ref[0])
+    p_full = jnp.concatenate([top, mid_ref[0], bot], axis=0)  # [R+2, WB, C]
+    p_cat = jnp.concatenate(
+        [p_full[0:r], p_full[1:r + 1], p_full[2:r + 2]], axis=-1
+    )  # [R, WB, 3C]
+    zrow = jnp.zeros_like(p_cat[:, :1])
+    p_l = jnp.concatenate([zrow, p_cat[:, :-1]], axis=1)
+    p_r = jnp.concatenate([p_cat[:, 1:], zrow], axis=1)
+    return p_l, p_cat, p_r
+
+
+def _s2_taps(mid_ref, bot_ref, r):
+    """(p_cat, p_r) for the 3x3/s2 geometry: input rows 2h+dy via three
+    stride-2 outer-dim slices; the last block's bottom halo is the (0,1)
+    zero padding row; wb+1 tap as a sublane shift."""
     bot = jnp.where(
         pl.program_id(1) == pl.num_programs(1) - 1,
         jnp.zeros_like(bot_ref[0]), bot_ref[0],
     )
-    p_full = jnp.concatenate([mid_ref[0], bot], axis=0)  # [2R+1,WB,C]
-    # input rows 2h+dy, h in [0, R): three stride-2 outer-dim slices
+    p_full = jnp.concatenate([mid_ref[0], bot], axis=0)  # [2R+1, WB, C]
     p_cat = jnp.concatenate(
         [p_full[0 : 2 * r - 1 : 2], p_full[1 : 2 * r : 2],
          p_full[2 : 2 * r + 1 : 2]],
         axis=-1,
     )  # [R, WB, 3C]
     zrow = jnp.zeros_like(p_cat[:, :1])
-    p_r = jnp.concatenate([p_cat[:, 1:], zrow], axis=1)  # wb+1 tap
+    p_r = jnp.concatenate([p_cat[:, 1:], zrow], axis=1)
+    return p_cat, p_r
 
-    wb, k = p_cat.shape[1], p_cat.shape[2]
+
+def _make_dotg(acc_dtype, flatten, r, wb):
+    """GEMM helper: 3D [R, WB, K] @ [K, C'] (M = WB per batch row), or —
+    with ``flatten`` — 2D [R*WB, K] @ [K, C'] (one merged M dim; WB=109
+    alone caps int8 MXU row utilization at 109/128)."""
     if flatten:
         dn = (((1,), (0,)), ((), ()))
 
         def dotg(p, w):
             return lax.dot_general(
-                p.reshape(r * wb, k), w[:], dn,
-                preferred_element_type=jnp.int32,
+                p.reshape(r * wb, p.shape[-1]), w[:], dn,
+                preferred_element_type=acc_dtype,
             )
     else:
         dn = (((2,), (0,)), ((), ()))
 
         def dotg(p, w):
             return lax.dot_general(
-                p, w[:], dn, preferred_element_type=jnp.int32
+                p, w[:], dn, preferred_element_type=acc_dtype
             )
+    return dotg
 
-    acc = dotg(p_cat, w0_ref) + dotg(p_r, w1_ref)
+
+def _requant(acc, scale_ref, offset_ref, r, wb):
+    """ReLU + round + requant as ONE affine + clamp (identical math to
+    quantized_runtime.apply_folded_int8.requant)."""
     f = acc.astype(jnp.float32) * scale_ref[0] + offset_ref[0]
-    q = jnp.clip(f, 0.0, 127.0).astype(jnp.int8)
-    out_ref[0] = q.reshape(r, wb, -1) if flatten else q
+    return jnp.clip(f, 0.0, 127.0).astype(jnp.int8).reshape(r, wb, -1)
+
+
+def _bias_relu(acc, b_ref, out_dtype, r, wb):
+    return jnp.maximum(acc + b_ref[0], 0.0).astype(out_dtype).reshape(
+        r, wb, -1
+    )
+
+
+def _qconv_s2_kernel(mid_ref, bot_ref, w0_ref, w1_ref,
+                     scale_ref, offset_ref, out_ref, *, rows: int,
+                     flatten: bool):
+    p_cat, p_r = _s2_taps(mid_ref, bot_ref, rows)
+    wb = p_cat.shape[1]
+    dotg = _make_dotg(jnp.int32, flatten, rows, wb)
+    acc = dotg(p_cat, w0_ref) + dotg(p_r, w1_ref)
+    out_ref[0] = _requant(acc, scale_ref, offset_ref, rows, wb)
 
 
 @functools.partial(
@@ -186,29 +233,10 @@ def qconv3x3_s2_requant(
 def _qup_kernel(mid_ref, a_ref, b_ref, scale_ref, offset_ref, out_ref,
                 *, rows: int, flatten: bool):
     x = mid_ref[0]  # [R, WB, C]
-    r, wb, c = x.shape
-    if flatten:
-        dn = (((1,), (0,)), ((), ()))
-
-        def dotg(p, w):
-            return lax.dot_general(
-                p.reshape(r * wb, c), w[:], dn,
-                preferred_element_type=jnp.int32,
-            )
-    else:
-        dn = (((2,), (0,)), ((), ()))
-
-        def dotg(p, w):
-            return lax.dot_general(
-                p, w[:], dn, preferred_element_type=jnp.int32
-            )
-
-    def requant(acc):
-        f = acc.astype(jnp.float32) * scale_ref[0] + offset_ref[0]
-        return jnp.clip(f, 0.0, 127.0).astype(jnp.int8).reshape(r, wb, -1)
-
-    y0 = requant(dotg(x, a_ref))  # even output rows
-    y1 = requant(dotg(x, b_ref))  # odd output rows
+    r, wb, _c = x.shape
+    dotg = _make_dotg(jnp.int32, flatten, r, wb)
+    y0 = _requant(dotg(x, a_ref), scale_ref, offset_ref, r, wb)  # even rows
+    y1 = _requant(dotg(x, b_ref), scale_ref, offset_ref, r, wb)  # odd rows
     q = jnp.stack([y0, y1], axis=1)  # [R, 2, WB, C'] — outer-dim interleave
     out_ref[0] = q.reshape(2 * rows, q.shape[2], q.shape[3])
 
@@ -273,28 +301,11 @@ def qup_requant(
 
 def _fconv_kernel(top_ref, mid_ref, bot_ref, wl_ref, wc_ref, wr_ref,
                   b_ref, out_ref, *, rows: int):
-    r = rows
-    hb = pl.num_programs(1)
-    rb = pl.program_id(1)
-    top = jnp.where(rb == 0, jnp.zeros_like(top_ref[0]), top_ref[0])
-    bot = jnp.where(rb == hb - 1, jnp.zeros_like(bot_ref[0]), bot_ref[0])
-    p_full = jnp.concatenate([top, mid_ref[0], bot], axis=0)
-    p_cat = jnp.concatenate(
-        [p_full[0:r], p_full[1:r + 1], p_full[2:r + 2]], axis=-1
-    )
-    zrow = jnp.zeros_like(p_cat[:, :1])
-    p_l = jnp.concatenate([zrow, p_cat[:, :-1]], axis=1)
-    p_r = jnp.concatenate([p_cat[:, 1:], zrow], axis=1)
-
-    dn = (((2,), (0,)), ((), ()))
-
-    def dotg(p, w):
-        return lax.dot_general(
-            p, w[:], dn, preferred_element_type=jnp.float32
-        )
-
+    p_l, p_cat, p_r = _s1_taps(top_ref, mid_ref, bot_ref, rows)
+    wb = p_cat.shape[1]
+    dotg = _make_dotg(jnp.float32, False, rows, wb)
     acc = dotg(p_l, wl_ref) + dotg(p_cat, wc_ref) + dotg(p_r, wr_ref)
-    out_ref[0] = jnp.maximum(acc + b_ref[0], 0.0).astype(out_ref.dtype)
+    out_ref[0] = _bias_relu(acc, b_ref, out_ref.dtype, rows, wb)
 
 
 @functools.partial(jax.jit, static_argnames=("rows", "interpret"))
@@ -357,27 +368,11 @@ def fconv3x3_s1_bias_relu(
 
 def _fconv_s2_kernel(mid_ref, bot_ref, w0_ref, w1_ref, b_ref, out_ref,
                      *, rows: int):
-    r = rows
-    bot = jnp.where(
-        pl.program_id(1) == pl.num_programs(1) - 1,
-        jnp.zeros_like(bot_ref[0]), bot_ref[0],
-    )
-    p_full = jnp.concatenate([mid_ref[0], bot], axis=0)
-    p_cat = jnp.concatenate(
-        [p_full[0 : 2 * r - 1 : 2], p_full[1 : 2 * r : 2],
-         p_full[2 : 2 * r + 1 : 2]],
-        axis=-1,
-    )
-    zrow = jnp.zeros_like(p_cat[:, :1])
-    p_r = jnp.concatenate([p_cat[:, 1:], zrow], axis=1)
-
-    dn = (((2,), (0,)), ((), ()))
-
-    def dotg(p, w):
-        return lax.dot_general(p, w[:], dn, preferred_element_type=jnp.float32)
-
+    p_cat, p_r = _s2_taps(mid_ref, bot_ref, rows)
+    wb = p_cat.shape[1]
+    dotg = _make_dotg(jnp.float32, False, rows, wb)
     acc = dotg(p_cat, w0_ref) + dotg(p_r, w1_ref)
-    out_ref[0] = jnp.maximum(acc + b_ref[0], 0.0).astype(out_ref.dtype)
+    out_ref[0] = _bias_relu(acc, b_ref, out_ref.dtype, rows, wb)
 
 
 @functools.partial(jax.jit, static_argnames=("rows", "interpret"))
@@ -431,16 +426,10 @@ def fconv3x3_s2_bias_relu(
 
 def _fup_kernel(mid_ref, a_ref, b_ref, bias_ref, out_ref, *, rows: int):
     x = mid_ref[0]
-    dn = (((2,), (0,)), ((), ()))
-
-    def dotg(p, w):
-        return lax.dot_general(p, w[:], dn, preferred_element_type=jnp.float32)
-
-    def ep(acc):
-        return jnp.maximum(acc + bias_ref[0], 0.0).astype(out_ref.dtype)
-
-    y0 = ep(dotg(x, a_ref))
-    y1 = ep(dotg(x, b_ref))
+    r, wb, _c = x.shape
+    dotg = _make_dotg(jnp.float32, False, r, wb)
+    y0 = _bias_relu(dotg(x, a_ref), bias_ref, out_ref.dtype, r, wb)
+    y1 = _bias_relu(dotg(x, b_ref), bias_ref, out_ref.dtype, r, wb)
     q = jnp.stack([y0, y1], axis=1)
     out_ref[0] = q.reshape(2 * rows, q.shape[2], q.shape[3])
 
@@ -607,48 +596,11 @@ def pick_rows(h: int, max_rows: int = 16) -> int:
 def _qconv_kernel(top_ref, mid_ref, bot_ref, wl_ref, wc_ref, wr_ref,
                   scale_ref, offset_ref, out_ref, *, rows: int,
                   flatten: bool):
-    r = rows
-    hb = pl.num_programs(1)
-    rb = pl.program_id(1)
-    # the halo refs are 1-row views of x itself with edge-clamped index
-    # maps; at the image's top/bottom the conv's zero padding applies
-    top = jnp.where(rb == 0, jnp.zeros_like(top_ref[0]), top_ref[0])
-    bot = jnp.where(rb == hb - 1, jnp.zeros_like(bot_ref[0]), bot_ref[0])
-    p_full = jnp.concatenate(
-        [top, mid_ref[0], bot], axis=0
-    )  # [R+2, WB, C]
-    # dy taps as a lane-aligned concat (offsets 0/C/2C)
-    p_cat = jnp.concatenate(
-        [p_full[0:r], p_full[1:r + 1], p_full[2:r + 2]], axis=-1
-    )  # [R, WB, 3C]
-    zrow = jnp.zeros_like(p_cat[:, :1])
-    p_l = jnp.concatenate([zrow, p_cat[:, :-1]], axis=1)
-    p_r = jnp.concatenate([p_cat[:, 1:], zrow], axis=1)
-
-    wb, k = p_cat.shape[1], p_cat.shape[2]
-    if flatten:
-        # merge (R, WB) into one M dim: WB=109 alone caps MXU row
-        # utilization at 109/128; M = R*WB tiles at 97%+ — IF Mosaic's
-        # sublane-compacting relayout for the reshape is cheap (measured)
-        dn = (((1,), (0,)), ((), ()))
-
-        def dotg(p, w):
-            return lax.dot_general(
-                p.reshape(r * wb, k), w[:], dn,
-                preferred_element_type=jnp.int32,
-            )
-    else:
-        dn = (((2,), (0,)), ((), ()))
-
-        def dotg(p, w):
-            return lax.dot_general(
-                p, w[:], dn, preferred_element_type=jnp.int32
-            )
-
+    p_l, p_cat, p_r = _s1_taps(top_ref, mid_ref, bot_ref, rows)
+    wb = p_cat.shape[1]
+    dotg = _make_dotg(jnp.int32, flatten, rows, wb)
     acc = dotg(p_l, wl_ref) + dotg(p_cat, wc_ref) + dotg(p_r, wr_ref)
-    f = acc.astype(jnp.float32) * scale_ref[0] + offset_ref[0]
-    q = jnp.clip(f, 0.0, 127.0).astype(jnp.int8)
-    out_ref[0] = q.reshape(r, wb, -1) if flatten else q
+    out_ref[0] = _requant(acc, scale_ref, offset_ref, rows, wb)
 
 
 @functools.partial(
