@@ -693,3 +693,33 @@ def test_cli_infer_blend_dtype_flag(tmp_path, capsys):
     )
     assert rc == 0
     assert "All result images written!" in capsys.readouterr().out
+
+
+def test_every_entry_point_pins_the_platform():
+    """Each process entry point (CLIs + bench.py) must call
+    apply_platform_env before backend init — on hosts with a device
+    plugin, JAX_PLATFORMS is silently overridden and a forgotten pin
+    sends a 'CPU' run to the device (two such bugs were found in serve
+    and bench after they shipped; this guards the class)."""
+    import inspect
+    import os
+
+    import annonet_tpu.cli.autotune
+    import annonet_tpu.cli.infer
+    import annonet_tpu.cli.serve
+    import annonet_tpu.cli.train
+
+    for mod in (
+        annonet_tpu.cli.autotune,
+        annonet_tpu.cli.infer,
+        annonet_tpu.cli.serve,
+        annonet_tpu.cli.train,
+    ):
+        src = inspect.getsource(mod.main)
+        assert "apply_platform_env" in src, mod.__name__
+    bench = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "bench.py",
+    )
+    with open(bench) as f:
+        assert "apply_platform_env" in f.read()
