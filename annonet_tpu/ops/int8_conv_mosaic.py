@@ -106,19 +106,22 @@ def _s1_taps(top_ref, mid_ref, bot_ref, r):
 
 
 def _s2_taps(mid_ref, bot_ref, r):
-    """(p_cat, p_r) for the 3x3/s2 geometry: input rows 2h+dy via three
-    stride-2 outer-dim slices; the last block's bottom halo is the (0,1)
+    """(p_cat, p_r) for the 3x3/s2 geometry: input rows 2h+dy via an
+    outer-dim (R, 2) pair split — NOT strided slices, which Mosaic's
+    hardware lowering rejects as >2D gathers (interpret mode accepts
+    them; found on-device) — the last block's bottom halo is the (0,1)
     zero padding row; wb+1 tap as a sublane shift."""
     bot = jnp.where(
         pl.program_id(1) == pl.num_programs(1) - 1,
         jnp.zeros_like(bot_ref[0]), bot_ref[0],
     )
     p_full = jnp.concatenate([mid_ref[0], bot], axis=0)  # [2R+1, WB, C]
-    p_cat = jnp.concatenate(
-        [p_full[0 : 2 * r - 1 : 2], p_full[1 : 2 * r : 2],
-         p_full[2 : 2 * r + 1 : 2]],
-        axis=-1,
-    )  # [R, WB, 3C]
+    wb, c = p_full.shape[1], p_full.shape[2]
+    pairs = p_full[: 2 * r].reshape(r, 2, wb, c)  # outer-dim split: free
+    even = pairs[:, 0]  # rows 2h   (dy=0 taps)
+    odd = pairs[:, 1]   # rows 2h+1 (dy=1)
+    nxt = jnp.concatenate([even[1:], p_full[2 * r :]], axis=0)  # rows 2h+2
+    p_cat = jnp.concatenate([even, odd, nxt], axis=-1)  # [R, WB, 3C]
     zrow = jnp.zeros_like(p_cat[:, :1])
     p_r = jnp.concatenate([p_cat[:, 1:], zrow], axis=1)
     return p_cat, p_r
