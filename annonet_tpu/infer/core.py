@@ -60,28 +60,24 @@ _CANVAS_BUCKET = 128
 from annonet_tpu.ops.blobs import label_connected_blobs
 
 
-def _maybe_mosaicize(quantized):
-    """Opt-in rewrite of the int8 net's convs to the fused Mosaic kernels
-    (ops/int8_conv_mosaic.py): ANNONET_TPU_MOSAIC_INT8=1 rewrites the
-    stride-1/2 convs (bit-exact vs the XLA path,
-    tests/test_int8_conv_mosaic.py); =2 additionally quantizes the bf16
-    up layers to the int8 GEMM kernel (not bit-exact — int8 up weights;
-    accuracy floors asserted in tests). Off by default pending the
-    composed device measurement."""
+def _mosaic_int8_mode() -> str:
+    """Mosaic-kernel policy for the int8 net (ops/int8_conv_mosaic.py).
+
+    ANNONET_TPU_MOSAIC_INT8: "0"=off, "s1"=stride-1 convs only,
+    "1"=stride-1+2 convs (both bit-exact vs the XLA path,
+    tests/test_int8_conv_mosaic.py), "2"=additionally quantize the bf16
+    up layers to the int8 GEMM kernel (NOT bit-exact — int8 up weights;
+    accuracy floors asserted in tests). Unset = off, pending the
+    composed device A/B (scripts/ab_mosaic_int8.py).
+
+    Whatever the mode, the rewrite only applies to tile plans whose
+    folded width is in the measured-fast set (MOSAIC_FAST_WB — the
+    kernels are PATHOLOGICAL at other widths, e.g. 4x slower at the
+    872-px plan's WB=109), checked per plan in _get_quantized."""
     import os
 
     flag = os.environ.get("ANNONET_TPU_MOSAIC_INT8")
-    if flag not in ("1", "2"):
-        return quantized
-    from annonet_tpu.ops.int8_conv_mosaic import mosaicize_qspec
-
-    return mosaicize_qspec(
-        *quantized,
-        quantize_up=(flag == "2"),
-        # resolved ONCE here so every compiled program of the frozen
-        # net runs the same variant
-        flatten=os.environ.get("ANNONET_TPU_MOSAIC_FLATTEN") == "1",
-    )
+    return {"s1": "s1", "1": "s1s2", "2": "up"}.get(flag or "", "off")
 
 
 def _tiled_forward(
@@ -390,6 +386,10 @@ class TiledInferer:
         blend_dtype: Optional[str] = None,  # None = auto (bf16 iff int8)
         mesh=None,
         mesh_axis: str = "batch",
+        # None = auto (the Mosaic fast-width snap when that path is on);
+        # explicit list overrides, () disables — for A/B harnesses that
+        # must pin both arms to one plan
+        prefer_tile_widths: Optional[Sequence[int]] = None,
     ):
         self.params = jax.tree_util.tree_map(jnp.asarray, runtime_params)
         self.config = config
@@ -461,7 +461,7 @@ class TiledInferer:
         self.mesh_axis = mesh_axis
         # opt-in Mosaic tap-GEMM kernels on the FLOAT folded path
         # (ANNONET_TPU_MOSAIC_FLOAT=1; the int8 path has its own flag,
-        # _maybe_mosaicize). Read once — the choice is part of this
+        # _mosaic_int8_mode). Read once — the choice is part of this
         # inferer's compiled-program identity.
         import os as _os
 
@@ -470,6 +470,22 @@ class TiledInferer:
             and not self.quantize
             and not use_pallas_conv
         )
+        # int8 Mosaic policy + flatten variant, read once: part of this
+        # inferer's compiled-program identity (_mosaic_int8_mode)
+        self.mosaic_int8_mode = (
+            _mosaic_int8_mode() if self.quantize else "off"
+        )
+        self._mosaic_flatten = (
+            _os.environ.get("ANNONET_TPU_MOSAIC_FLATTEN") == "1"
+        )
+        # tests/harnesses may force the Mosaic rewrite past the fast-WB
+        # gate (CPU interpret-mode suites run tiny tiles whose WB is
+        # never in the measured-fast set)
+        self._mosaic_force = (
+            _os.environ.get("ANNONET_TPU_MOSAIC_FORCE") == "1"
+        )
+        self._mosaic_q_cache: Dict[Tuple, Tuple] = {}
+        self._prefer_tile_widths = prefer_tile_widths
         self._compiled: Dict[Tuple, object] = {}
         self._plan_constants: Dict[TilePlan, Tuple] = {}
 
@@ -477,13 +493,33 @@ class TiledInferer:
 
     def plan(self, image_height: int, image_width: int) -> TilePlan:
         lane_align = True
+        prefer_widths = None
         if self.use_folded_net:
             from annonet_tpu.models.folded_runtime import folding_supported
 
             # under the folded net the lane dim is the folded channels, so
             # tiles only need to divide the fold — skipping the 128 round-up
             # trims ~5% redundant tile pixels
-            lane_align = not folding_supported(self.config, 8 * 128)
+            fold = folding_supported(self.config, 8 * 128)
+            lane_align = not fold
+            if (
+                self._prefer_tile_widths is None
+                and fold
+                and self.quantize
+                and self.mosaic_int8_mode != "off"
+            ):
+                # steer the plan onto a folded width where the Mosaic
+                # kernels are fast (they are pathological elsewhere —
+                # MOSAIC_FAST_WB; WB = tile_width / fold, so scale by the
+                # config's actual fold); the snap only ever grows the
+                # tile, so correctness/coverage are unchanged and
+                # _get_quantized falls back to the XLA net when no fast
+                # width fits
+                from annonet_tpu.ops.int8_conv_mosaic import MOSAIC_FAST_WB
+
+                prefer_widths = sorted(fold * wb for wb in MOSAIC_FAST_WB)
+        if self._prefer_tile_widths is not None:
+            prefer_widths = list(self._prefer_tile_widths) or None
         return plan_tiles(
             image_height,
             image_width,
@@ -491,6 +527,7 @@ class TiledInferer:
             self.tiling,
             canvas_bucket=_CANVAS_BUCKET,
             lane_align_tiles=lane_align,
+            prefer_tile_widths=prefer_widths,
         )
 
     def _get_compiled(
@@ -524,6 +561,7 @@ class TiledInferer:
             fold0,
             self.use_pallas_conv,
             self.use_mosaic_float,
+            self.mosaic_int8_mode,
             quantized,
             image_batch,
             str(self.blend_dtype),
@@ -547,7 +585,9 @@ class TiledInferer:
             folded = None
             if quantized:
                 # calibration must already have run (infer_arrays does)
-                qspec, _qarrays = self._quantized_cache[fold0]
+                qspec, _qarrays = self._get_quantized(
+                    fold0, plan.tile_width
+                )
                 folded = (fold0, qspec)
             elif fold0:
                 folded = self._get_folded(fold0)[0]
@@ -574,6 +614,37 @@ class TiledInferer:
             )
             self._compiled[key] = fn
         return fn, fold0, quantized
+
+    def _get_quantized(self, fold0: int, tile_width: int):
+        """The (qspec, qarrays) to EXECUTE for a plan: the plain int8 net,
+        or — when the Mosaic mode is on AND the plan's folded width is in
+        the measured-fast set — the Mosaic-rewritten variant (cached; the
+        rewrite itself is width-independent, eligibility is not)."""
+        plain = self._quantized_cache[fold0]
+        mode = self.mosaic_int8_mode
+        if mode == "off":
+            return plain
+        from annonet_tpu.ops.int8_conv_mosaic import (
+            MOSAIC_FAST_WB,
+            mosaicize_qspec,
+        )
+
+        if (
+            tile_width // fold0 not in MOSAIC_FAST_WB
+            and not self._mosaic_force
+        ):
+            return plain
+        key = (fold0, mode, self._mosaic_flatten)
+        cached = self._mosaic_q_cache.get(key)
+        if cached is None:
+            cached = mosaicize_qspec(
+                *plain,
+                quantize_up=(mode == "up"),
+                flatten=self._mosaic_flatten,
+                kinds=("qs1",) if mode == "s1" else ("qs1", "qs2"),
+            )
+            self._mosaic_q_cache[key] = cached
+        return cached
 
     def _get_folded(self, fold0: int, mosaic: Optional[bool] = None):
         """(static (fold0, spec), device array tuple) for the folded net.
@@ -668,10 +739,8 @@ class TiledInferer:
                     f"vectors, model expects {expected} (wrong model?)"
                 )
             self._calib_frozen[fold0] = self._preloaded_calib
-            self._quantized_cache[fold0] = _maybe_mosaicize(
-                quantize_folded(
-                    spec, arrays, self._preloaded_calib, self.config, f0
-                )
+            self._quantized_cache[fold0] = quantize_folded(
+                spec, arrays, self._preloaded_calib, self.config, f0
             )
             return
         calib = self._collect_calib(fold0, plan, padded_image)
@@ -688,8 +757,8 @@ class TiledInferer:
 
         (f0, spec), arrays = self._get_folded(fold0, mosaic=False)
         self._calib_frozen[fold0] = accum
-        self._quantized_cache[fold0] = _maybe_mosaicize(
-            quantize_folded(spec, arrays, accum, self.config, f0)
+        self._quantized_cache[fold0] = quantize_folded(
+            spec, arrays, accum, self.config, f0
         )
 
     def export_calibration(self):
@@ -916,7 +985,7 @@ class TiledInferer:
             image_batch=image.shape[0] if batched else 0,
         )
         if quantized:
-            exec_params = self._quantized_cache[fold0][1]
+            exec_params = self._get_quantized(fold0, plan.tile_width)[1]
         else:
             exec_params = (
                 self._get_folded(fold0)[1] if fold0 else self.params

@@ -35,7 +35,7 @@ the blend denominator is a per-layout host-computed constant
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -154,6 +154,7 @@ def plan_tiles(
     params: TilingParameters,
     canvas_bucket: int = 128,
     lane_align_tiles: bool = True,
+    prefer_tile_widths: Optional[Sequence[int]] = None,
 ) -> TilePlan:
     """Plan the static tile grid for one image size.
 
@@ -161,6 +162,13 @@ def plan_tiles(
     that a directory of slightly-varying image sizes shares compiled
     programs (each distinct canvas is one XLA compilation; the extra rows/
     columns are replicate padding discarded after the crop back to H x W).
+
+    ``prefer_tile_widths``: snap the computed tile width UP to the
+    smallest listed width that still fits (<= the user's max tile width
+    and <= the bucketed canvas). Used by the int8 Mosaic-kernel path,
+    whose tap-GEMM rate cliffs on specific folded widths
+    (ops/int8_conv_mosaic.MOSAIC_FAST_WB); growing a tile only deepens
+    overlap, so coverage and correctness are unaffected.
     """
     bucketed_w = bucket_dim(image_width, canvas_bucket)
     bucketed_h = bucket_dim(image_height, canvas_bucket)
@@ -172,6 +180,12 @@ def plan_tiles(
         bucketed_h, params.max_tile_height, params.overlap_y, config,
         lane_align=lane_align_tiles,
     )
+    if prefer_tile_widths:
+        limit = min(params.max_tile_width, bucketed_w)
+        snapped = [p for p in sorted(prefer_tile_widths)
+                   if tile_w <= p <= limit]
+        if snapped:
+            tile_w = snapped[0]
 
     padded_w = max(tile_w, bucketed_w)
     padded_h = max(tile_h, bucketed_h)

@@ -36,8 +36,15 @@ Formulation (per output row block of R rows):
 Weights: W[dy, t] is w_q[:, t].reshape(3*C, C) — rows (dy, ci), exactly
 the folded block-Toeplitz kernel's t-th width tap.
 
-STATUS: measurement record lives in docs/DESIGN.md par.20 and
-scripts/probe_mosaic_int8.py.
+STATUS — research negative, ships OFF (docs/DESIGN.md par.20/21):
+micro-benches win 1.5-1.7x at selected folded widths (MOSAIC_FAST_WB),
+but the COMPOSED int8 program at the snapped fast plan (WB=128) runs
+0.56x XLA (48.95 vs 27.03 ms/image device timeline, 4096^2,
+scripts/ab_mosaic_int8.py) and the s1 kernel is NOT bit-exact on
+hardware at composed scale (66,371 px label disagreement vs the
+same-plan XLA arm; interpret-mode exactness holds — a known
+hardware/interpret semantics divergence class, CLAUDE.md). The
+ANNONET_TPU_MOSAIC_INT8/FLOAT flags stay for measurement only.
 """
 
 from __future__ import annotations
@@ -50,6 +57,30 @@ import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+# Folded tile widths (WB = tile_width / fold) where the tap-GEMM kernels
+# actually clear XLA's conv rate on hardware. Measured on v5e
+# (scripts/probe_mosaic_wb.py, 3-trace device timeline, [25,872,WB,128]):
+#
+#   WB   xla_s1  mos_s1 | xla_s2  mos_s2     (ms)
+#   92    3.42    5.96  |  1.42    3.01     <- pathological
+#   96    3.81    2.28  |  1.33    1.45     <- s1 wins 1.67x, s2 loses
+#   104   3.84    2.54  |  1.40    1.53     <- s1 wins 1.51x
+#   109   3.85   15.4   |  1.58    6.83     <- shipped plan: pathological
+#   112   4.18    3.28  |  1.91    1.67     <- s1 wins 1.27x, s2 wins
+#   128   4.54    2.82  |  1.72    1.67     <- s1 wins 1.61x
+#
+# The cliff is not a simple alignment rule (96/104/128 fast, 92/109/112
+# mixed), so eligibility is this measured allowlist, checked per tile
+# plan: mosaic kernels only run on plans whose WB is in the set, and the
+# tile planner snaps the quantized path's tile width up to the nearest
+# fast width (infer/tiling.py prefer_tile_widths).
+#
+# COMPOSED VERDICT (module STATUS): even at WB=128 the whole-program A/B
+# loses 0.56x and hardware exactness fails — the gate keeps the research
+# path honest but does not rescue it.
+MOSAIC_FAST_WB = frozenset({96, 104, 128})
 
 
 def build_tap_gemms(w_q: np.ndarray):
@@ -534,7 +565,8 @@ def quantize_up_entry(entry):
 
 
 def mosaicize_qspec(qspec, qarrays, quantize_up: bool = False,
-                    flatten: bool = False):
+                    flatten: bool = False,
+                    kinds: tuple = ("qs1", "qs2")):
     """Rewrite eligible "qs1"/"qs2" entries to Mosaic form ("ms1"/"ms2").
 
     Eligible: plain folded stride-1/2 convs (no :pad4 stem suffix — its
@@ -543,6 +575,12 @@ def mosaicize_qspec(qspec, qarrays, quantize_up: bool = False,
     the requant affine, and the original kernel so apply_folded_int8
     can fall back to the XLA conv for heights with no usable row-block
     divisor. The rewrite is bit-exact vs the XLA int8 path.
+
+    ``kinds`` selects which conv kinds to rewrite: at the fast tile
+    widths the s1 kernel beats XLA but the s2 kernel does not always
+    (MOSAIC_FAST_WB table — at WB=96 XLA's s2 is faster), so the
+    default policy rewrites s1 only ("s1" mode) and full s1+s2 stays
+    selectable.
 
     ``quantize_up`` additionally rewrites the bf16 "up" layers to the
     int8 GEMM kernel ("mup", quantize_up_entry) — NOT bit-exact (the up
@@ -560,7 +598,7 @@ def mosaicize_qspec(qspec, qarrays, quantize_up: bool = False,
         return [jnp.reshape(w_q[:, t], (kh * cin, cout)) for t in range(kw)]
 
     for kind, entry in zip(qspec, qarrays):
-        if kind == "qs1":
+        if kind == "qs1" and "qs1" in kinds:
             w_q, scale, offset = entry
             cin = w_q.shape[2]
             if cin % 128 == 0 and w_q.shape[:2] == (3, 3):
@@ -568,7 +606,7 @@ def mosaicize_qspec(qspec, qarrays, quantize_up: bool = False,
                 out_spec.append("ms1:flat" if flatten else "ms1")
                 out_arrays.append((wl, wc, wr, scale, offset, w_q))
                 continue
-        if kind == "qs2":
+        if kind == "qs2" and "qs2" in kinds:
             w_q, scale, offset = entry
             cin = w_q.shape[2]
             if cin % 128 == 0 and w_q.shape[:2] == (3, 2):

@@ -1,17 +1,26 @@
 """A/B: Mosaic int8 conv kernels vs XLA convs on the COMPOSED program.
 
-Four TiledInferers in one process:
-  xla         — the shipped int8 program;
-  mosaic      — ANNONET_TPU_MOSAIC_INT8=1 (stride-1/2 Mosaic kernels;
-                MUST match xla bit-for-bit, asserted below);
-  mosaic_flat — same + the flattened-M s1 variant (also bit-exact;
-                interpret-mode exactness does NOT guarantee hardware
-                exactness for Mosaic relayouts, so asserted on device);
-  mosaic_up   — ANNONET_TPU_MOSAIC_INT8=2 (int8 up layers; NOT
-                bit-exact — int8 up weights — mismatch is reported).
+The WB sweep (scripts/probe_mosaic_wb.py, recorded in
+ops/int8_conv_mosaic.MOSAIC_FAST_WB) showed the tap-GEMM kernels are
+pathological at the shipped 872-px plan's WB=109 but beat XLA 1.5-1.7x
+at WB in {96, 104, 128}. The shipped policy therefore snaps the int8
+tile plan to a fast width and rewrites convs per MOSAIC_FAST_WB. This
+measures the four composed candidates in one process:
 
-Interleaved wall-clock rounds PLUS the par.16 arbiter: whole-program
-device-timeline ms from a profiler trace of each arm.
+  xla      — mode off, auto plan (the shipped 872x872 program);
+  xla_s    — mode off, plan pinned to the Mosaic snap (1024 wide —
+             the snap only grows, and WB=128 is the best fast width
+             per pixel): same-geometry exactness partner for the
+             mosaic arms, and measures what the snap alone costs XLA;
+  mos_s1   — ANNONET_TPU_MOSAIC_INT8=s1 (stride-1 kernels, snapped
+             plan; must match xla_s bit-for-bit — asserted);
+  mos_s1s2 — ANNONET_TPU_MOSAIC_INT8=1 (+stride-2 kernels, also
+             bit-exact; the sweep says XLA s2 is faster at WB=96, the
+             composed program decides).
+
+Cross-plan comparisons are reported in Mpx/s (same 4096^2 image for
+every arm). Interleaved wall-clock rounds PLUS the par.16 arbiter:
+whole-program device-timeline ms from a profiler trace of each arm.
 
 Run alone on the TPU:  python -u scripts/ab_mosaic_int8.py
 """
@@ -42,8 +51,6 @@ from annonet_tpu.models.segnet import (
 SIZE = 4096
 ITERS = 5
 ROUNDS = 4
-# tile plan override: "--tile W H" (e.g. 768 872 makes the folded WB=96,
-# a whole number of int8 sublane tiles — no M padding in the s1 GEMMs)
 
 
 def device_timeline_ms(trace_dir):
@@ -52,56 +59,50 @@ def device_timeline_ms(trace_dir):
 
 
 def main() -> None:
-    import argparse
-
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--tile", nargs=2, type=int, default=[1024, 1024],
-                    metavar=("W", "H"))
-    tile_w, tile_h = ap.parse_args().tile
-
     config = SegNetConfig(class_count=3, level_count=3, base_width=16)
     params, bn_stats = init_state(jax.random.PRNGKey(0), config)
     rp = fold_batchnorm(params, bn_stats, config)
     overlap = required_input_dimension(config)
-    tiling = TilingParameters(tile_w, tile_h, overlap, overlap)
-    print(f"tile plan: {tile_w}x{tile_h}", flush=True)
+    tiling = TilingParameters(1024, 1024, overlap, overlap)
 
-    # both arms in ONE process: flip the env around inferer CONSTRUCTION
-    # is not enough (the rewrite happens at calibration freeze), so flip
-    # it around the first infer_arrays call of each arm
-    inferers = {}
     rng = np.random.default_rng(0)
     image = jnp.asarray(
         rng.integers(0, 256, size=(SIZE, SIZE, 3), dtype=np.uint8)
     )
     float(jnp.max(image).astype(jnp.int32))
 
-    outs = {}
-    for name, flag, flat in (
-        ("xla", "0", "0"),
-        ("mosaic", "1", "0"),
-        ("mosaic_flat", "1", "1"),
-        ("mosaic_up", "2", "0"),
-    ):
+    # (name, ANNONET_TPU_MOSAIC_INT8, prefer_tile_widths)
+    arms = (
+        ("xla", "0", None),
+        ("xla_s", "0", [1024]),
+        ("mos_s1", "s1", None),
+        ("mos_s1s2", "1", None),
+    )
+    inferers, outs, plans = {}, {}, {}
+    for name, flag, prefer in arms:
         os.environ["ANNONET_TPU_MOSAIC_INT8"] = flag
-        os.environ["ANNONET_TPU_MOSAIC_FLATTEN"] = flat
-        inf = TiledInferer(rp, config, tiling, quantize="int8")
+        inf = TiledInferer(
+            rp, config, tiling, quantize="int8",
+            prefer_tile_widths=prefer,
+        )
+        plan = inf.plan(SIZE, SIZE)
+        plans[name] = (plan.tile_height, plan.tile_width, plan.tile_count)
+        print(f"{name}: plan {plan.tile_width}x{plan.tile_height} "
+              f"n={plan.tile_count}", flush=True)
         for _ in range(2):  # calib program + int8 program
             labels, _ = inf.infer_arrays(image, device_output=True)
             float(jnp.max(labels).astype(jnp.int32))
         inferers[name] = inf
         outs[name] = labels
-    mism = int(jnp.sum(outs["xla"] != outs["mosaic"]))
-    print(f"label disagreement xla-vs-mosaic: {mism} px (must be 0)",
-          flush=True)
-    mism_flat = int(jnp.sum(outs["xla"] != outs["mosaic_flat"]))
-    print(f"label disagreement xla-vs-mosaic_flat: {mism_flat} px "
-          f"(must be 0 — hardware check of the flatten relayout)",
-          flush=True)
-    mism_up = int(jnp.sum(outs["xla"] != outs["mosaic_up"]))
-    print(f"label disagreement xla-vs-mosaic_up: {mism_up} px "
-          f"({mism_up / SIZE / SIZE:.5%}; int8 up weights)", flush=True)
-    if mism or mism_flat:
+
+    exact_fail = False
+    for name in ("mos_s1", "mos_s1s2"):
+        partner = "xla_s" if plans[name] == plans["xla_s"] else "xla"
+        mism = int(jnp.sum(outs[name] != outs[partner]))
+        print(f"label disagreement {name} vs {partner}: {mism} px "
+              f"(must be 0)", flush=True)
+        exact_fail |= bool(mism)
+    if exact_fail:
         print("!! bit-exact arm mismatch — perf numbers below are for a "
               "WRONG program; do not use", flush=True)
 
@@ -146,9 +147,8 @@ def main() -> None:
         "metric": "mosaic_int8_composed",
         **{f"{n}_device_ms": round(v, 2) for n, v in timeline.items()},
         **{f"{n}_mpxs": round(v, 1) for n, v in meds.items()},
-        "label_mismatch_px": mism,
-        "label_mismatch_flat_px": mism_flat,
-        "label_mismatch_up_px": mism_up,
+        "exact_fail": exact_fail,
+        "plans": {n: f"{w}x{h}/n{c}" for n, (h, w, c) in plans.items()},
     }))
 
 

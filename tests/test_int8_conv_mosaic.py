@@ -324,3 +324,88 @@ def test_mosaic_fs2_fup_kernels_match_xla():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5
     )
+
+
+# ------------------------------------------------- fast-WB gating policy
+
+
+def test_plan_tiles_prefer_width_snaps_up_only():
+    """prefer_tile_widths snaps the tile width UP to the smallest listed
+    width that fits; widths below the computed tile or above the user
+    max are ignored (the snap may only grow the tile)."""
+    from annonet_tpu.infer.tiling import TilingParameters, plan_tiles
+    from annonet_tpu.models.segnet import SegNetConfig
+
+    cfg = SegNetConfig(class_count=3, level_count=3, base_width=16)
+    tiling = TilingParameters(1024, 1024, 152, 152)
+    base = plan_tiles(4096, 4096, cfg, tiling, lane_align_tiles=False)
+    snapped = plan_tiles(
+        4096, 4096, cfg, tiling, lane_align_tiles=False,
+        prefer_tile_widths=[768, 832, 1024],
+    )
+    # 768/832 are below the computed width -> first fitting is 1024
+    assert snapped.tile_width == 1024
+    assert snapped.tile_height == base.tile_height
+    # a list with nothing >= the computed width leaves the plan alone
+    unsnapped = plan_tiles(
+        4096, 4096, cfg, tiling, lane_align_tiles=False,
+        prefer_tile_widths=[256],
+    )
+    assert unsnapped.tile_width == base.tile_width
+    # the user's max tile width is a hard cap
+    capped = plan_tiles(
+        4096, 4096, cfg, tiling, lane_align_tiles=False,
+        prefer_tile_widths=[2048],
+    )
+    assert capped.tile_width == base.tile_width
+
+
+def test_inferer_wb_gate_and_auto_snap(monkeypatch):
+    """With the Mosaic mode on, the planner snaps the quantized plan to a
+    fast folded width and _get_quantized rewrites only at those widths
+    (plain net elsewhere, unless forced)."""
+    from annonet_tpu.infer.core import TiledInferer
+    from annonet_tpu.infer.tiling import TilingParameters
+    from annonet_tpu.models.segnet import (
+        SegNetConfig, fold_batchnorm, init_state,
+    )
+    from annonet_tpu.ops.int8_conv_mosaic import MOSAIC_FAST_WB
+
+    cfg = SegNetConfig(class_count=3, level_count=3, base_width=16)
+    params, bn = init_state(jax.random.PRNGKey(0), cfg)
+    rt = fold_batchnorm(params, bn, cfg)
+    tiling = TilingParameters(1024, 1024, 152, 152)
+
+    monkeypatch.setenv("ANNONET_TPU_MOSAIC_INT8", "s1")
+    inf = TiledInferer(rt, cfg, tiling, quantize="int8")
+    assert inf.mosaic_int8_mode == "s1"
+    plan = inf.plan(4096, 4096)
+    assert plan.tile_width // 8 in MOSAIC_FAST_WB
+
+    # populate the quantized cache through a tiny real inference
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(
+        rng.integers(0, 256, size=(96, 96, 3), dtype=np.uint8)
+    )
+    inf.infer_arrays(img)
+    (fold0,) = inf._quantized_cache.keys()
+
+    # small widths are not in the fast set -> the plain net executes
+    small = inf.plan(96, 96)
+    assert small.tile_width // fold0 not in MOSAIC_FAST_WB
+    qspec, _ = inf._get_quantized(fold0, small.tile_width)
+    assert not any(k.startswith("ms") for k in qspec)
+
+    # at a fast width the s1 convs are rewritten, s2 stays XLA (mode s1)
+    qspec, _ = inf._get_quantized(fold0, 128 * fold0)
+    assert any(k.startswith("ms1") for k in qspec)
+    assert not any(k.startswith("ms2") for k in qspec)
+
+    # mode "1" = s1+s2; FORCE pushes past the gate at any width
+    monkeypatch.setenv("ANNONET_TPU_MOSAIC_INT8", "1")
+    monkeypatch.setenv("ANNONET_TPU_MOSAIC_FORCE", "1")
+    inf2 = TiledInferer(rt, cfg, tiling, quantize="int8")
+    inf2.infer_arrays(img)
+    qspec, _ = inf2._get_quantized(fold0, small.tile_width)
+    assert any(k.startswith("ms1") for k in qspec)
+    assert any(k.startswith("ms2") for k in qspec)

@@ -328,6 +328,9 @@ def test_serve_int8_mosaic_flag_matches_plain_int8(tmp_path, monkeypatch):
 
     def run(flag):
         monkeypatch.setenv("ANNONET_TPU_MOSAIC_INT8", flag)
+        # the 64-px test tiles' folded width is never in MOSAIC_FAST_WB;
+        # force the rewrite so the Mosaic path is what actually runs
+        monkeypatch.setenv("ANNONET_TPU_MOSAIC_FORCE", "1")
         service = _ModelService(build_parser().parse_args(argv))
         image = service.decode(png)
         out = None
