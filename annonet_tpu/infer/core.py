@@ -507,6 +507,11 @@ class TiledInferer:
                 and fold
                 and self.quantize
                 and self.mosaic_int8_mode != "off"
+                # only pay the snap's overlap tax when the rewrite will
+                # actually apply: mosaicize_qspec requires 128-multiple
+                # folded channels, i.e. fold * stem width == 128 (the
+                # fold search caps the product at 128)
+                and fold * self.config.width(0) == 128
             ):
                 # steer the plan onto a folded width where the Mosaic
                 # kernels are fast (they are pathological elsewhere —
@@ -514,7 +519,10 @@ class TiledInferer:
                 # config's actual fold); the snap only ever grows the
                 # tile, so correctness/coverage are unchanged and
                 # _get_quantized falls back to the XLA net when no fast
-                # width fits
+                # width fits. NOTE the gate is stem-level: deeper levels
+                # run their rewritten convs at WB/2^level, widths the
+                # probe never measured — one more reason the composed
+                # program lost (module STATUS).
                 from annonet_tpu.ops.int8_conv_mosaic import MOSAIC_FAST_WB
 
                 prefer_widths = sorted(fold * wb for wb in MOSAIC_FAST_WB)

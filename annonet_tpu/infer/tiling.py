@@ -182,8 +182,15 @@ def plan_tiles(
     )
     if prefer_tile_widths:
         limit = min(params.max_tile_width, bucketed_w)
-        snapped = [p for p in sorted(prefer_tile_widths)
-                   if tile_w <= p <= limit]
+        # stride-align caller-supplied widths (a raw 1020 at level_count 3
+        # would produce a plan whose skip concats mis-match mid-net);
+        # recommended_input_dimension is the same rounding every
+        # internally computed tile dim goes through
+        cands = sorted({
+            int(recommended_input_dimension(config, int(p)))
+            for p in prefer_tile_widths
+        })
+        snapped = [p for p in cands if tile_w <= p <= limit]
         if snapped:
             tile_w = snapped[0]
 

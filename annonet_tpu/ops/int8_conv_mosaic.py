@@ -71,11 +71,14 @@ from jax.experimental.pallas import tpu as pltpu
 #   112   4.18    3.28  |  1.91    1.67     <- s1 wins 1.27x, s2 wins
 #   128   4.54    2.82  |  1.72    1.67     <- s1 wins 1.61x
 #
-# The cliff is not a simple alignment rule (96/104/128 fast, 92/109/112
-# mixed), so eligibility is this measured allowlist, checked per tile
-# plan: mosaic kernels only run on plans whose WB is in the set, and the
-# tile planner snaps the quantized path's tile width up to the nearest
-# fast width (infer/tiling.py prefer_tile_widths).
+# The cliff is not a simple alignment rule (96 and 104 are fast while
+# the neighbouring 92 and 109 are pathological); 112 wins too but only
+# marginally (s1 1.27x) and is excluded as not worth a snap. Eligibility
+# is this measured allowlist, checked per tile plan AT THE STEM LEVEL
+# (deeper levels run their convs at WB/2^level — unmeasured widths; one
+# more reason the composed program lost), and the tile planner snaps the
+# quantized path's tile width up to the nearest fast width
+# (infer/tiling.py prefer_tile_widths).
 #
 # COMPOSED VERDICT (module STATUS): even at WB=128 the whole-program A/B
 # loses 0.56x and hardware exactness fails — the gate keeps the research

@@ -78,6 +78,9 @@ def main() -> None:
         ("mos_s1", "s1", None),
         ("mos_s1s2", "1", None),
     )
+    # pin the flatten variant OFF so a leftover shell export can't
+    # silently switch the mosaic arms to the :flat kernels
+    os.environ["ANNONET_TPU_MOSAIC_FLATTEN"] = "0"
     inferers, outs, plans = {}, {}, {}
     for name, flag, prefer in arms:
         os.environ["ANNONET_TPU_MOSAIC_INT8"] = flag
@@ -97,11 +100,18 @@ def main() -> None:
 
     exact_fail = False
     for name in ("mos_s1", "mos_s1s2"):
-        partner = "xla_s" if plans[name] == plans["xla_s"] else "xla"
-        mism = int(jnp.sum(outs[name] != outs[partner]))
-        print(f"label disagreement {name} vs {partner}: {mism} px "
-              f"(must be 0)", flush=True)
-        exact_fail |= bool(mism)
+        if plans[name] == plans["xla_s"]:
+            mism = int(jnp.sum(outs[name] != outs["xla_s"]))
+            print(f"label disagreement {name} vs xla_s: {mism} px "
+                  f"(must be 0)", flush=True)
+            exact_fail |= bool(mism)
+        else:
+            # different tile geometry -> different calibration crops ->
+            # legitimately different int8 scales; informational only
+            mism = int(jnp.sum(outs[name] != outs["xla"]))
+            print(f"label disagreement {name} vs xla: {mism} px "
+                  f"(CROSS-PLAN — informational, no exactness claim)",
+                  flush=True)
     if exact_fail:
         print("!! bit-exact arm mismatch — perf numbers below are for a "
               "WRONG program; do not use", flush=True)

@@ -358,6 +358,16 @@ def test_plan_tiles_prefer_width_snaps_up_only():
         prefer_tile_widths=[2048],
     )
     assert capped.tile_width == base.tile_width
+    # misaligned caller widths are stride-aligned before snapping (a raw
+    # 1020 would break the level-3 skip concats mid-net)
+    from annonet_tpu.models.segnet import recommended_input_dimension
+
+    aligned = plan_tiles(
+        4096, 4096, cfg, tiling, lane_align_tiles=False,
+        prefer_tile_widths=[1020],
+    )
+    assert aligned.tile_width == recommended_input_dimension(cfg, 1020)
+    assert aligned.tile_width % (2 ** cfg.level_count) == 0
 
 
 def test_inferer_wb_gate_and_auto_snap(monkeypatch):
