@@ -9,7 +9,10 @@ plain HTTP (stdlib only — no framework dependency):
   GET  /healthz          -> JSON: model metadata, classes, ready state
   GET  /stats            -> JSON: request/batch counters + request-latency
                             percentiles over a bounded recent window
-  POST /infer            -> body: an encoded image (PNG/JPEG/...);
+  POST /infer            -> body: an encoded image (PNG/JPEG/...), or raw
+                            uint8 pixels with an ``X-Image-Shape: h,w,c``
+                            header (the zero-codec embedding path used by
+                            native/annonet_client.cpp);
                             response: the label map in the requested form
 
 `POST /infer` query parameters:
@@ -194,6 +197,45 @@ class _ModelService:
             arr = __import__("numpy").asarray(im, dtype="uint8")
         if self.config.grayscale:
             arr = arr[..., None]
+        return arr
+
+    def decode_raw(self, body: bytes, shape_header: str):
+        """Raw uint8 pixels + ``X-Image-Shape: h,w,c`` -> (H, W, C) uint8
+        in the model's channel layout — the zero-codec embedding path
+        (no PNG encode on the client, no decode here). Channel
+        conversions match :meth:`decode` exactly: a 3-channel body into a
+        grayscale model goes through PIL's ITU-R 601-2 ``convert("L")``,
+        a 1-channel body into an RGB model replicates (PIL's L->RGB)."""
+        import numpy as np
+        from PIL import Image
+
+        try:
+            h, w, c = (int(v) for v in shape_header.split(","))
+        except ValueError:
+            raise ValueError(
+                f"bad X-Image-Shape {shape_header!r} (expected h,w,c)"
+            ) from None
+        if h < 1 or w < 1 or c not in (1, 3):
+            raise ValueError(
+                f"bad X-Image-Shape {shape_header!r} "
+                "(h, w >= 1; c must be 1 or 3)"
+            )
+        if len(body) != h * w * c:
+            raise ValueError(
+                f"raw body is {len(body)} bytes, expected "
+                f"{h}*{w}*{c} = {h * w * c}"
+            )
+        arr = np.frombuffer(body, dtype=np.uint8).reshape(h, w, c)
+        want = 1 if self.config.grayscale else 3
+        if c != want:
+            mode = "L" if c == 1 else "RGB"
+            im = Image.fromarray(arr if c == 3 else arr[..., 0], mode=mode)
+            arr = np.asarray(
+                im.convert("L" if self.config.grayscale else "RGB"),
+                dtype=np.uint8,
+            )
+            if self.config.grayscale:
+                arr = arr[..., None]
         return arr
 
     def _device_pass(self, image, gains, detection_levels):
@@ -455,7 +497,11 @@ def make_server(args, service: Optional[_ModelService] = None):
                 fmt = query.get("format", ["png"])[0]
                 if fmt not in ("png", "labels", "counts"):
                     raise ValueError(f"unknown format: {fmt}")
-                image = svc.decode(body)
+                raw_shape = self.headers.get("X-Image-Shape")
+                if raw_shape is not None:
+                    image = svc.decode_raw(body, raw_shape)
+                else:
+                    image = svc.decode(body)
             except Exception as e:  # bad input -> 400 with the message
                 self._send_json(400, {"error": str(e)})
                 return
@@ -557,6 +603,23 @@ def main(argv=None) -> int:
             return 1
     server, _ = make_server(args, service)
     host, port = server.server_address[:2]
+
+    # Graceful SIGTERM (the production stop signal): stop accepting,
+    # finish in-flight requests, exit 0. shutdown() blocks until
+    # serve_forever returns, so it must run off the signal-handler
+    # thread (which IS the serve_forever thread here). Installed BEFORE
+    # the "listening on" line so a supervisor that reacts to that line
+    # can never beat the handler into the process.
+    import signal
+
+    def _term(_signum, _frame):
+        print("shutting down (SIGTERM)", flush=True)
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    try:
+        signal.signal(signal.SIGTERM, _term)
+    except (ValueError, OSError):  # non-main thread / exotic platform
+        pass
     print(f"annonet_serve: listening on http://{host}:{port} "
           f"(model={args.model}, quantize={args.quantize})", flush=True)
     try:
