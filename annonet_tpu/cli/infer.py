@@ -10,9 +10,11 @@ per-pixel and per-region confusion matrices when ground truth exists, write
 timing report (total; average/max excluding the first, compile-warm-up,
 image).
 
-The default tile size is 1024 like the reference's accelerator (CUDA) build
-(annonet_infer_main.cpp:300-303); TPU HBM handles it comfortably and larger
-tiles amortize blending better — tune with -w/-h.
+The default tile size is auto: 1088 on TPU (the measured plan optimum —
+docs/DESIGN.md; the reference's own default is hardware-conditional, 1024
+CUDA / 4096 CPU per annonet_infer_main.cpp:300-307) and 1024 elsewhere.
+Tune with -w/-h; sizes well past ~1100 LOSE on TPU (XLA folded-conv
+emitter cliffs), they don't win.
 """
 
 from __future__ import annotations
@@ -40,8 +42,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Supply a class-specific gain, for example: 1:-0.5")
     p.add_argument("-d", "--detection", action="append", default=[],
                    help="Supply a class-specific detection level that _comes on top of gain_, for example: 1:1.5")
-    p.add_argument("-w", "--tile-max-width", type=int, default=1024)
-    p.add_argument("-h", "--tile-max-height", type=int, default=1024)
+    p.add_argument("-w", "--tile-max-width", type=int, default=None,
+                   help="Max tile width (default: auto — 1088 on TPU, the "
+                        "measured plan optimum, docs/DESIGN.md; 1024 "
+                        "elsewhere, the reference accelerator default)")
+    p.add_argument("-h", "--tile-max-height", type=int, default=None,
+                   help="Max tile height (default: auto, like -w)")
     p.add_argument("--full-image-reader-thread-count", type=int,
                    default=os.cpu_count() or 1)
     p.add_argument("--result-image-writer-thread-count", type=int,
@@ -222,6 +228,17 @@ def _run_impl(args, input_directory, stack) -> int:
 
     if args.device is not None:
         stack.enter_context(select_device(args.device))
+
+    # resolve the auto tile default only now: default_tile_max initializes
+    # the backend, which must come after mesh setup / --device
+    if args.tile_max_width is None or args.tile_max_height is None:
+        from annonet_tpu.cli.common import default_tile_max
+
+        auto_tile = default_tile_max()
+        if args.tile_max_width is None:
+            args.tile_max_width = auto_tile
+        if args.tile_max_height is None:
+            args.tile_max_height = auto_tile
 
     min_input_dimension = required_input_dimension(model_config)
     if args.tile_max_width < min_input_dimension or args.tile_max_height < min_input_dimension:

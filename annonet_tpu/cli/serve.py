@@ -68,8 +68,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Server-default class-specific gain, e.g. 1:-0.5")
     p.add_argument("-d", "--detection", action="append", default=[],
                    help="Server-default class-specific detection level")
-    p.add_argument("-w", "--tile-max-width", type=int, default=1024)
-    p.add_argument("--tile-max-height", type=int, default=1024)
+    p.add_argument("-w", "--tile-max-width", type=int, default=None,
+                   help="Max tile width (default: auto — 1088 on TPU, the "
+                        "measured plan optimum; 1024 elsewhere)")
+    p.add_argument("--tile-max-height", type=int, default=None,
+                   help="Max tile height (default: auto, like -w)")
     p.add_argument("--quantize", choices=["none", "int8"], default="none",
                    help="int8 = 2x-MXU quantized conv stack (calibrated on "
                         "the first inferred or warm-up image)")
@@ -127,8 +130,9 @@ class _ModelService:
             args.detection, len(self.anno_classes),
             require_non_negative=True)
         min_dim = required_input_dimension(self.config)
-        if (args.tile_max_width < min_dim
-                or args.tile_max_height < min_dim):
+        if (args.tile_max_width is not None and args.tile_max_width < min_dim
+                or args.tile_max_height is not None
+                and args.tile_max_height < min_dim):
             raise RuntimeError(f"Tile size must be at least {min_dim}")
         self.required_input_dimension = min_dim
         calibration = None
@@ -144,6 +148,19 @@ class _ModelService:
             from annonet_tpu.cli.common import make_cli_mesh
 
             mesh = make_cli_mesh(args.mesh)
+        # auto tile default: resolve only AFTER mesh setup (default_tile_max
+        # initializes the JAX backend, which would freeze the device list
+        # before the virtual-device flags take effect)
+        if args.tile_max_width is None or args.tile_max_height is None:
+            from annonet_tpu.cli.common import default_tile_max
+
+            auto_tile = default_tile_max()
+            if args.tile_max_width is None:
+                args.tile_max_width = auto_tile
+            if args.tile_max_height is None:
+                args.tile_max_height = auto_tile
+            if args.tile_max_width < min_dim or args.tile_max_height < min_dim:
+                raise RuntimeError(f"Tile size must be at least {min_dim}")
         self.inferer = TiledInferer(
             self.params, self.config,
             TilingParameters(

@@ -34,7 +34,13 @@ BASELINE_MPX_PER_S = 200.0
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--image-size", type=int, default=4096)
-    parser.add_argument("--tile-size", type=int, default=1024)
+    parser.add_argument(
+        "--tile-size", type=int, default=None,
+        help="max tile dimension (default: auto — 1088 on TPU, the "
+             "measured plan optimum giving 1072-px tiles at 4096^2, "
+             "+12%% int8 / +28%% bf16 over the old 1024 default; "
+             "docs/DESIGN.md)",
+    )
     parser.add_argument("--iters", type=int, default=5)
     parser.add_argument(
         "--passes", type=int, default=3,
@@ -56,14 +62,16 @@ def main() -> None:
     args = parser.parse_args()
     if args.quick:
         args.image_size = min(args.image_size, 512)
-        args.tile_size = min(args.tile_size, 256)
+        args.tile_size = min(args.tile_size or 1024, 256)
         args.iters = min(args.iters, 2)
         args.passes = min(args.passes, 2)
 
-    from annonet_tpu.cli.common import apply_platform_env
+    from annonet_tpu.cli.common import apply_platform_env, default_tile_max
 
     apply_platform_env()  # ANNONET_TPU_PLATFORM=cpu pins the backend
     # (the axon plugin silently overrides JAX_PLATFORMS — CLAUDE.md)
+    if args.tile_size is None:
+        args.tile_size = default_tile_max()
 
     import jax
     import numpy as np

@@ -38,8 +38,9 @@ from annonet_tpu.models.segnet import (
     required_input_dimension,
 )
 
-SIZE = 4096
-TRACE_DIR = "/tmp/int8_trace_r3"
+SIZE = int(os.environ.get("ANALYZE_SIZE", "4096"))
+TILE = int(os.environ.get("ANALYZE_TILE", "1024"))
+TRACE_DIR = f"/tmp/int8_trace_r3_{SIZE}_{TILE}"
 
 
 def main() -> None:
@@ -47,7 +48,7 @@ def main() -> None:
     params, bn_stats = init_state(jax.random.PRNGKey(0), config)
     rp = fold_batchnorm(params, bn_stats, config)
     overlap = required_input_dimension(config)
-    tiling = TilingParameters(1024, 1024, overlap, overlap)
+    tiling = TilingParameters(TILE, TILE, overlap, overlap)
     inferer = TiledInferer(rp, config, tiling, quantize="int8")
 
     rng = np.random.default_rng(0)

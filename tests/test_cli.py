@@ -48,8 +48,15 @@ def test_infer_parser_defaults_and_h_flag():
     from annonet_tpu.cli.infer import build_parser
 
     args = build_parser().parse_args(["/data"])
-    assert args.tile_max_width == 1024
-    assert args.tile_max_height == 1024
+    # parse-time default is None = auto; resolution is backend-dependent
+    # (1088 on TPU per the measured plan sweep, 1024 elsewhere — the
+    # reference's own default is hardware-conditional too,
+    # annonet_infer_main.cpp:300-307)
+    assert args.tile_max_width is None
+    assert args.tile_max_height is None
+    from annonet_tpu.cli.common import default_tile_max
+
+    assert default_tile_max() == 1024  # CPU test backend
     assert args.gain == [] and args.detection == []
     # -h means tile-max-height like the reference, NOT help
     args = build_parser().parse_args(["-w", "512", "-h", "256", "/data"])
