@@ -133,12 +133,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "(the flush lags a full interval so it never stalls "
                         "the in-flight pipeline). "
                         "1 = block per step (fully synchronous)")
-    p.add_argument("--steps-per-dispatch", type=int, default=4,
+    p.add_argument("--steps-per-dispatch", type=int, default=8,
                    help="lax.scan K train steps into ONE device dispatch "
                         "(device-image-cache path, single-device and "
                         "--mesh): amortizes per-dispatch host overhead "
-                        "across K steps (measured 40 -> 24 ms/step e2e on "
-                        "a tunneled link); numerically equivalent to K "
+                        "across K steps (measured 40 -> 24 ms/step e2e for "
+                        "K=4 on a tunneled link; K=8 a further ~7%% there, "
+                        "scripts/ab_superstep.py); numerically equivalent to K "
                         "single dispatches (scan compilation may reorder "
                         "reductions). Losses are read back in K-sized "
                         "batches, so the plateau detector can see them up "
