@@ -104,6 +104,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "containing image N (including its earlier images) "
                         "runs quantized. Raise for directories whose first "
                         "image is unrepresentative (dark, low-contrast)")
+    p.add_argument("--plan-autotune", action="store_true",
+                   help="Measured tile-plan selection (TPU extension): on "
+                        "the first image of each canvas size, compile the "
+                        "default tile plan AND its neighbouring grid "
+                        "counts, time each on the device, and use the "
+                        "fastest for the rest of the run. Per-shape conv "
+                        "rates are non-monotonic in tile size, so this "
+                        "rescues canvas sizes where the static default "
+                        "sits on a slow shape — at the cost of one extra "
+                        "20-40 s compile per candidate per canvas size. "
+                        "Chosen plans are printed after the run")
     p.add_argument("--blend-dtype", choices=["auto", "float32", "bfloat16"],
                    default="auto",
                    help="Accumulation dtype of the tile-blend epilogue. "
@@ -271,6 +282,7 @@ def _run_impl(args, input_directory, stack) -> int:
         blend_dtype=(None if args.blend_dtype == "auto"
                      else args.blend_dtype),
         mesh=mesh,
+        plan_autotune=args.plan_autotune,
     )
 
     files = find_image_files(input_directory, require_ground_truth=False)
@@ -538,6 +550,19 @@ def _run_impl(args, input_directory, stack) -> int:
             if isinstance(ok, Exception):
                 raise ok
         print("All result images written!")
+
+        if args.plan_autotune:
+            for key, report in sorted(inferer.autotune_reports.items()):
+                parts = ", ".join(
+                    f"{p.tile_height}x{p.tile_width}x{p.tile_count}"
+                    + (f" = {r:.1f} Mpx/s" if r else "")
+                    for p, r in report
+                )
+                print(
+                    f"Plan autotune for canvas {key[0]}x{key[1]}: "
+                    f"chose {parts.split(',')[0].strip()} "
+                    f"(candidates: {parts})"
+                )
 
         if args.quantize == "int8" and last_image[0] is not None:
             # clip-saturation telemetry: how far the LAST image's

@@ -107,6 +107,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "light load)")
     p.add_argument("--no-compilation-cache", action="store_true",
                    help="Disable the persistent XLA compilation cache")
+    p.add_argument("--plan-autotune", action="store_true",
+                   help="Measured tile-plan selection: on the first image "
+                        "of each canvas size (ideally at --warmup), "
+                        "compile the default tile plan and its "
+                        "neighbouring grid counts, time each on the "
+                        "device, and serve with the fastest (one extra "
+                        "20-40 s compile per candidate per canvas)")
     return p
 
 
@@ -172,6 +179,7 @@ class _ModelService:
             calibration_images=args.calibration_images,
             calibration=calibration,
             mesh=mesh,
+            plan_autotune=getattr(args, "plan_autotune", False),
         )
         self.quantize = args.quantize
         self.model_path = args.model
@@ -583,6 +591,23 @@ def _warmup(service: _ModelService, sizes) -> None:
                       service.default_detection)
         print(f"  compiled + ran in {time.monotonic() - t0:.1f} s",
               flush=True)
+        from annonet_tpu.infer.tiling import bucket_dim
+
+        key = (bucket_dim(h, 128), bucket_dim(w, 128))
+        report = service.inferer.autotune_reports.get(key)
+        if report:
+            chosen = report[0][0]
+            print(
+                f"  plan autotune {key[0]}x{key[1]}: chose "
+                f"{chosen.tile_height}x{chosen.tile_width}x"
+                f"{chosen.tile_count} of "
+                + ", ".join(
+                    f"{p.tile_height}x{p.tile_width}x{p.tile_count}"
+                    + (f"={r:.0f}Mpx/s" if r else "")
+                    for p, r in report
+                ),
+                flush=True,
+            )
 
 
 def main(argv=None) -> int:

@@ -50,6 +50,7 @@ from annonet_tpu.infer.tiling import (
     TilingParameters,
     bucket_dim,
     inverse_weight_sum,
+    plan_for_counts,
     plan_tiles,
     ramp_weights,
 )
@@ -390,6 +391,14 @@ class TiledInferer:
         # explicit list overrides, () disables — for A/B harnesses that
         # must pin both arms to one plan
         prefer_tile_widths: Optional[Sequence[int]] = None,
+        # measured plan selection: on the first image of each canvas
+        # bucket, compile the default plan AND its neighbouring grid
+        # counts, time each on the device, and keep the fastest
+        # (docs/DESIGN.md par.22: per-shape conv rates are non-monotonic
+        # in tile size, so the static heuristic can sit on a cliff for
+        # canvas sizes the sweep never measured). Costs one extra XLA
+        # compile (~20-40 s) per extra candidate per canvas.
+        plan_autotune: bool = False,
     ):
         self.params = jax.tree_util.tree_map(jnp.asarray, runtime_params)
         self.config = config
@@ -488,10 +497,28 @@ class TiledInferer:
         self._prefer_tile_widths = prefer_tile_widths
         self._compiled: Dict[Tuple, object] = {}
         self._plan_constants: Dict[TilePlan, Tuple] = {}
+        self.plan_autotune = plan_autotune
+        # canvas bucket (h, w) -> chosen TilePlan, and the measurement
+        # record behind each choice: [(plan, Mpx/s), ...] fastest-first
+        self._autotune_cache: Dict[Tuple[int, int], TilePlan] = {}
+        self.autotune_reports: Dict[Tuple[int, int], list] = {}
+        self._plan_override: Optional[TilePlan] = None
+        self._autotuning = False
 
     # ------------------------------------------------------------- planning
 
     def plan(self, image_height: int, image_width: int) -> TilePlan:
+        if self._plan_override is not None:
+            return self._plan_override
+        if self.plan_autotune:
+            chosen = self._autotune_cache.get(
+                (
+                    bucket_dim(image_height, _CANVAS_BUCKET),
+                    bucket_dim(image_width, _CANVAS_BUCKET),
+                )
+            )
+            if chosen is not None:
+                return chosen
         lane_align = True
         prefer_widths = None
         if self.use_folded_net:
@@ -537,6 +564,97 @@ class TiledInferer:
             lane_align_tiles=lane_align,
             prefer_tile_widths=prefer_widths,
         )
+
+    def _autotune_for(self, image2d: np.ndarray) -> None:
+        """Measure the default plan and its neighbouring grid counts for
+        this canvas on the device; cache the fastest for every later image
+        in the bucket.
+
+        Why measured: per-shape conv rates on TPU are non-monotonic in
+        tile size (docs/DESIGN.md par.22 — e.g. 1408-px tiles run ~2x
+        slower per pixel than 1072-px ones), so for canvas sizes the
+        static default was never measured on, the only robust selector is
+        the composed program itself. Candidates are the default plan plus
+        denser grids (count+1, count+2 per axis) — the max-tile flags stay
+        a hard cap, so only SMALLER tiles are explored. Timing uses the
+        chained-dispatch + one-scalar-readback discipline (CLAUDE.md);
+        candidates are compared on the same uploaded image. The int8
+        path's calibration (if not yet frozen) happens during the first
+        candidate's warm-up, so all timed loops run the production
+        execution path.
+        """
+        import os as _os
+        import time as _time
+
+        h, w = image2d.shape[:2]
+        key = (bucket_dim(h, _CANVAS_BUCKET), bucket_dim(w, _CANVAS_BUCKET))
+        if key in self._autotune_cache:
+            return
+        default = self.plan(h, w)
+        ny = len({y for y, _ in default.tile_yx})
+        nx = len({x for _, x in default.tile_yx})
+        candidates = [default]
+        lane_align = True
+        if self.use_folded_net:
+            from annonet_tpu.models.folded_runtime import folding_supported
+
+            lane_align = not folding_supported(self.config, 8 * 128)
+        for dy, dx in ((1, 1), (2, 2)):
+            p = plan_for_counts(
+                h, w, self.config, self.tiling, ny + dy, nx + dx,
+                canvas_bucket=_CANVAS_BUCKET, lane_align_tiles=lane_align,
+            )
+            if p is not None and p not in candidates:
+                candidates.append(p)
+        if len(candidates) == 1:
+            self._autotune_cache[key] = default
+            self.autotune_reports[key] = [(default, 0.0)]
+            return
+        # pre-pad once and upload once: the timed loop must not move
+        # pixels host->device per iteration
+        h_b, w_b = key
+        padded = np.pad(
+            image2d, ((0, h_b - h), (0, w_b - w), (0, 0)), mode="edge"
+        )
+        img_dev = jnp.asarray(padded)
+        float(jnp.max(img_dev).astype(jnp.int32))  # finish the upload
+        trivial = jax.jit(lambda a: a[0, 0].astype(jnp.int32))
+        iters = max(
+            1, int(_os.environ.get("ANNONET_TPU_AUTOTUNE_ITERS", "3"))
+        )
+        results = []
+        self._autotuning = True
+        try:
+            for p in candidates:
+                self._plan_override = p
+                try:
+                    # warm-up with the HOST array: compiles the program and
+                    # (first candidate, int8 path) runs calibration, whose
+                    # walkers expect host pixels
+                    labels, _ = self._infer(
+                        padded, False, None, None, True
+                    )
+                    float(jnp.max(labels).astype(jnp.int32))
+                    float(trivial(labels))
+                    t0 = _time.monotonic()
+                    for _ in range(3):
+                        float(trivial(labels))
+                    rtt = (_time.monotonic() - t0) / 3
+                    t0 = _time.monotonic()
+                    for _ in range(iters):
+                        labels, _ = self._infer(
+                            img_dev, False, None, None, True
+                        )
+                    float(jnp.max(labels).astype(jnp.int32))
+                    elapsed = max(1e-9, _time.monotonic() - t0 - rtt)
+                finally:
+                    self._plan_override = None
+                results.append((h * w * iters / 1e6 / elapsed, p))
+        finally:
+            self._autotuning = False
+        results.sort(key=lambda t: -t[0])
+        self._autotune_cache[key] = results[0][1]
+        self.autotune_reports[key] = [(p, r) for r, p in results]
 
     def _get_compiled(
         self, plan: TilePlan, with_detection: bool, image_batch: int = 0
@@ -938,6 +1056,15 @@ class TiledInferer:
 
         with_detection = bool((det_arr > 0.0).any())
 
+        if (
+            self.plan_autotune
+            and not self._autotuning
+            and self._plan_override is None
+        ):
+            # first image of a canvas bucket: measure candidate plans now
+            # (one np.asarray: a device-resident input is pulled back once)
+            self._autotune_for(np.asarray(image[0] if batched else image))
+
         plan = self.plan(h, w)
         # host-side replicate pad up to the canvas bucket (<= bucket-1 rows/
         # cols); the device pads the remainder for the small-image case.
@@ -946,11 +1073,15 @@ class TiledInferer:
         w_b = min(bucket_dim(w, _CANVAS_BUCKET), plan.padded_width)
         if (h_b, w_b) != (h, w):
             lead = ((0, 0),) if batched else ()
-            image = np.pad(
-                image,
-                lead + ((0, h_b - h), (0, w_b - w), (0, 0)),
-                mode="edge",
-            )
+            widths = lead + ((0, h_b - h), (0, w_b - w), (0, 0))
+            if isinstance(image, jax.Array):
+                # a device-resident input must be padded ON DEVICE —
+                # np.pad would silently round-trip the pixels through the
+                # host (measured 30x throughput loss on a thin link for
+                # non-bucket-aligned sizes)
+                image = jnp.pad(image, widths, mode="edge")
+            else:
+                image = np.pad(image, widths, mode="edge")
         constants = self._plan_constants.get(plan)
         if constants is None:
             ramp = jnp.asarray(

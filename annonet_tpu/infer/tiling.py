@@ -214,6 +214,78 @@ def plan_tiles(
     )
 
 
+def plan_for_counts(
+    image_height: int,
+    image_width: int,
+    config: SegNetConfig,
+    params: TilingParameters,
+    count_y: int,
+    count_x: int,
+    canvas_bucket: int = 128,
+    lane_align_tiles: bool = True,
+) -> Optional[TilePlan]:
+    """The minimum-area plan with an EXPLICIT tile-grid count per axis.
+
+    Used by the measured plan autotuner (infer/core.py): XLA's per-shape
+    conv rates are non-monotonic in tile size (docs/DESIGN.md par.22), so
+    the autotuner compares the default plan against its neighbouring grid
+    counts on the device. Returns None when the requested count cannot
+    produce a valid covering (count too large for the overlap), or when a
+    tile dimension would exceed the caller's max (the max-tile flags stay
+    a hard memory-proxy cap, as in the reference).
+    """
+
+    def dim_for(canvas: int, count: int, overlap: int, max_tile: int):
+        if count < 1:
+            return None
+        if count == 1:
+            tile = recommended_input_dimension(config, canvas)
+        else:
+            even = -(-(canvas - overlap) // count) + overlap
+            tile = recommended_input_dimension(config, even)
+            if lane_align_tiles and tile > 128:
+                tile = _round_up(tile, 128)
+            else:
+                tile = _round_up(tile, 8)
+            if tile >= canvas:
+                # this count degenerates to fewer/one tile — not distinct
+                return None
+            if (count - 1) * (tile - overlap) + tile < canvas:
+                return None  # cannot cover (overlap too deep for count)
+        if tile > max_tile:
+            return None
+        return tile
+
+    bucketed_w = bucket_dim(image_width, canvas_bucket)
+    bucketed_h = bucket_dim(image_height, canvas_bucket)
+    tile_w = dim_for(
+        bucketed_w, count_x, params.overlap_x, params.max_tile_width
+    )
+    tile_h = dim_for(
+        bucketed_h, count_y, params.overlap_y, params.max_tile_height
+    )
+    if tile_w is None or tile_h is None:
+        return None
+    padded_w = max(tile_w, bucketed_w)
+    padded_h = max(tile_h, bucketed_h)
+    xs = _positions(padded_w, tile_w, params.overlap_x)
+    ys = _positions(padded_h, tile_h, params.overlap_y)
+    if len(xs) != count_x or len(ys) != count_y:
+        # the even grid for this count collapsed to a different count
+        return None
+    return TilePlan(
+        image_height=image_height,
+        image_width=image_width,
+        padded_height=padded_h,
+        padded_width=padded_w,
+        tile_height=tile_h,
+        tile_width=tile_w,
+        overlap_x=params.overlap_x,
+        overlap_y=params.overlap_y,
+        tile_yx=tuple((y, x) for y in ys for x in xs),
+    )
+
+
 def ramp_weights(tile_h: int, tile_w: int, overlap_y: int, overlap_x: int) -> np.ndarray:
     """The shared [tile_h, tile_w] float32 blend-weight map.
 

@@ -53,6 +53,12 @@ def main() -> None:
         help="small sizes for CPU smoke-testing",
     )
     parser.add_argument(
+        "--plan-autotune", action="store_true",
+        help="measured tile-plan selection: also compile the neighbouring "
+             "grid counts at warm-up and bench with the fastest "
+             "(infer/core.py::_autotune_for)",
+    )
+    parser.add_argument(
         "--quantize", choices=["none", "int8"], default="int8",
         help="int8 (default) runs the conv stack on the 2x-rate int8 MXU "
              "path — measured 523 vs 362 Mpx/s/chip, with accuracy above "
@@ -99,6 +105,7 @@ def main() -> None:
     inferer = TiledInferer(
         runtime_params, config, tiling,
         quantize=None if args.quantize == "none" else args.quantize,
+        plan_autotune=args.plan_autotune,
     )
 
     import jax.numpy as jnp

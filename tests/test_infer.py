@@ -378,3 +378,75 @@ def test_batch_pad_to_bucket_int_target():
     assert padded.shape == (2, 60, 60)
     with pytest.raises(ValueError, match="below the batch size"):
         inferer.infer_arrays_batch(images, pad_to_bucket=1)
+
+
+# ------------------------------------------------------- plan autotune
+
+
+def test_plan_for_counts_geometry():
+    from annonet_tpu.infer.tiling import plan_for_counts
+
+    config = small_config()
+    params = TilingParameters(
+        max_tile_width=96, max_tile_height=96, overlap_x=8, overlap_y=8
+    )
+    base = plan_tiles(200, 200, config, params, lane_align_tiles=False)
+    ny = len({y for y, _ in base.tile_yx})
+    nx = len({x for _, x in base.tile_yx})
+    # the denser grid covers the same canvas with smaller tiles
+    denser = plan_for_counts(
+        200, 200, config, params, ny + 1, nx + 1, lane_align_tiles=False
+    )
+    assert denser is not None
+    assert denser.tile_count == (ny + 1) * (nx + 1)
+    assert denser.tile_width <= base.tile_width
+    covered = np.zeros((denser.padded_height, denser.padded_width), bool)
+    for y, x in denser.tile_yx:
+        covered[y:y + denser.tile_height, x:x + denser.tile_width] = True
+    assert covered.all()
+    # counts that cannot cover (overlap deeper than tiles allow) -> None
+    assert plan_for_counts(
+        200, 200, config, params, 60, 60, lane_align_tiles=False
+    ) is None
+    # the max-tile flags stay a hard cap: a 1-tile plan over a canvas
+    # larger than the max is rejected
+    assert plan_for_counts(
+        200, 200, config, params, 1, 1, lane_align_tiles=False
+    ) is None
+
+
+def test_plan_autotune_selects_caches_and_matches_pinned(monkeypatch):
+    """Measured plan selection (TPU extension, docs/DESIGN.md par.22):
+    the first image of a canvas measures candidate plans, later images
+    reuse the cached winner, and the output equals a twin inferer pinned
+    to the chosen plan exactly."""
+    monkeypatch.setenv("ANNONET_TPU_AUTOTUNE_ITERS", "1")
+    config = small_config()
+    params = runtime_net(config)
+    rng = np.random.default_rng(1)
+    image = rng.integers(0, 256, size=(150, 150, 3), dtype=np.uint8)
+    overlap = required_input_dimension(config)
+    tiling = TilingParameters(96, 96, overlap, overlap)
+
+    tuned = TiledInferer(params, config, tiling, plan_autotune=True)
+    labels, _ = tuned.infer_arrays(image)
+    assert labels.shape == (150, 150)
+    assert len(tuned.autotune_reports) == 1
+    (key, report), = tuned.autotune_reports.items()
+    assert len(report) >= 2, "expected alternative grid counts"
+    chosen = report[0][0]
+    assert tuned.plan(150, 150) == chosen
+    # rates are fastest-first
+    rates = [r for _, r in report]
+    assert rates == sorted(rates, reverse=True)
+
+    # second call reuses the cache (no new measurement entries)
+    labels2, _ = tuned.infer_arrays(image)
+    np.testing.assert_array_equal(labels, labels2)
+    assert len(tuned.autotune_reports) == 1
+
+    # exact equality with a twin pinned to the chosen plan
+    twin = TiledInferer(params, config, tiling)
+    twin._plan_override = chosen
+    pinned, _ = twin.infer_arrays(image)
+    np.testing.assert_array_equal(labels, pinned)
