@@ -417,17 +417,42 @@ def apply_folded_split(
             )
             x = jnp.maximum(out + entry[1], 0.0).astype(dtype)
         elif kind == "head":
-            out = lax.conv_general_dilated(
-                x, entry[0].astype(dtype), (1, 1), "SAME",
-                dimension_numbers=_DN,
-            )
-            x = (out + entry[1]).astype(jnp.float32)
+            x = _head_matmul(x, entry[0], entry[1], dtype)
         else:  # pragma: no cover
             raise ValueError(kind)
 
     if folded_output:
         return x
     return unfold_logits(x, config.class_count)
+
+
+def _head_matmul(x, w, b, dtype, default_dot: bool = False):
+    """The 1x1 head as an explicit matmul (identical math to the SAME-pad
+    conv) or as the conv emitter, per the measured default for each path
+    (docs/DESIGN.md par.24): the int8 twin passes default_dot=True (the
+    conv emitters pick batch-in-sublanes strategies that collapse at some
+    tile counts — dot measured +7-17% composed), while this bf16 path
+    keeps the conv (its head fusion already carries the blend epilogue;
+    dot measured a ~1% composed loss). ANNONET_TPU_HEAD_DOT=1/0
+    force-overrides either way for A/B."""
+    import os as _os
+
+    env = _os.environ.get("ANNONET_TPU_HEAD_DOT")
+    use_dot = default_dot if env is None else env != "0"
+    if not use_dot:
+        out = lax.conv_general_dilated(
+            x, jnp.asarray(w).astype(dtype), (1, 1), "SAME",
+            dimension_numbers=_DN,
+        )
+        return (out + jnp.asarray(b)).astype(jnp.float32)
+    n_, h_, wb_, c_ = x.shape
+    w2 = jnp.asarray(w).astype(dtype).reshape(c_, -1)
+    out = lax.dot_general(
+        x.reshape(n_ * h_ * wb_, c_), w2,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(n_, h_, wb_, -1)
+    return (out + jnp.asarray(b)).astype(jnp.float32)
 
 
 def folding_supported(config: SegNetConfig, tile_width: int) -> int:
@@ -500,11 +525,7 @@ def apply_runtime_folded(
             )
             x = jnp.maximum(out + jnp.asarray(b), 0.0).astype(dtype)
         elif kind == "head":
-            out = lax.conv_general_dilated(
-                x, jnp.asarray(a).astype(dtype), (1, 1), "SAME",
-                dimension_numbers=_DN,
-            )
-            x = (out + jnp.asarray(b)).astype(jnp.float32)
+            x = _head_matmul(x, a, b, dtype)
         else:  # pragma: no cover
             raise ValueError(kind)
 

@@ -49,6 +49,17 @@ from jax import lax
 from annonet_tpu.models.segnet import SegNetConfig, _normalize_input
 from annonet_tpu.models.folded_runtime import FOLDED_CONV_GEOMETRY
 
+# A/B knob for the 1x1 head: conv emitter vs explicit dot (measurement
+# record in docs/DESIGN.md par.24). Read at trace time so the composed
+# A/B scripts can flip it per arm (each arm compiles its own program).
+import os as _os
+
+
+def _head_dot() -> bool:
+    # int8 default: dot (measured +7-17% composed over the conv emitter,
+    # bit-identical labels on hardware — docs/DESIGN.md par.24)
+    return _os.environ.get("ANNONET_TPU_HEAD_DOT", "1") != "0"
+
 _DN = ("NHWC", "HWIO", "NHWC")
 
 # exact input grid: q = round(a * 254) for a = u/255 - 0.5 in [-0.5, 0.5]
@@ -416,7 +427,20 @@ def apply_folded_int8(
             x = requant(out, scale, offset)
         elif kind == "qhead":
             w_q, s_w, b = entry
-            acc = qconv(x, w_q, (1, 1), "SAME")
+            if _head_dot():
+                # the 1x1 head as an explicit matmul: XLA's CONV emitters
+                # for [N,H,WB,128]x[1,1,128,24] pick batch-in-sublanes
+                # strategies that collapse at some tile counts (7.7 ms at
+                # N=9 vs ~2 ms as a dot — docs/DESIGN.md par.24)
+                n_, h_, wb_, c_ = x.shape
+                acc = lax.dot_general(
+                    x.reshape(n_ * h_ * wb_, c_),
+                    jnp.asarray(w_q)[0, 0],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ).reshape(n_, h_, wb_, -1)
+            else:
+                acc = qconv(x, w_q, (1, 1), "SAME")
             x = acc.astype(jnp.float32) * s_w + b
         else:  # pragma: no cover
             raise ValueError(kind)

@@ -443,3 +443,22 @@ def test_calibration_weights_fingerprint_rejects_retrained_model(tmp_path):
         serialization.load_calibration(path, config, runtime_b)
     # loader without params still works (fingerprint check is opt-in)
     assert serialization.load_calibration(path, config) is not None
+
+
+def test_head_dot_and_conv_agree_exactly(monkeypatch):
+    """The 1x1 int8 head as dot_general vs the conv emitter: identical
+    integer math, so labels must agree bit-for-bit (docs/DESIGN.md
+    par.24; also verified on TPU hardware at 2048^2 — 0 px differ)."""
+    config = SegNetConfig(class_count=3, level_count=1, base_width=16)
+    params, bn = init_state(jax.random.PRNGKey(0), config)
+    runtime = fold_batchnorm(params, bn, config)
+    tiling = TilingParameters(64, 64, 20, 20)
+    rng = np.random.default_rng(3)
+    image = rng.integers(0, 256, size=(100, 100, 3), dtype=np.uint8)
+
+    out = {}
+    for flag in ("0", "1"):
+        monkeypatch.setenv("ANNONET_TPU_HEAD_DOT", flag)
+        inferer = TiledInferer(runtime, config, tiling, quantize="int8")
+        out[flag] = annonet_infer(inferer, image)
+    np.testing.assert_array_equal(out["0"], out["1"])
