@@ -587,8 +587,28 @@ def _warmup(service: _ModelService, sizes) -> None:
         image = np.full(
             (h, w, 1 if service.config.grayscale else 3), 127, np.uint8
         )
-        service.infer(image, service.default_gains,
-                      service.default_detection)
+        inferer = service.inferer
+        synthetic_calib = (
+            service.quantize == "int8" and not inferer._calib_frozen
+            and inferer._preloaded_calib is None
+        )
+        if synthetic_calib:
+            # the flat gray warm-up image must NOT freeze int8 activation
+            # scales (it would clip every real request); warm the float
+            # program and leave calibration to the first real images
+            print(
+                "  note: no --calibration given — warm-up compiles the "
+                "float program only; int8 calibrates (and compiles) on "
+                "the first real image(s). Persist scales with "
+                "annonet_infer --save-calibration for full warm-up.",
+                flush=True,
+            )
+            with inferer.pause_calibration():
+                service.infer(image, service.default_gains,
+                              service.default_detection)
+        else:
+            service.infer(image, service.default_gains,
+                          service.default_detection)
         print(f"  compiled + ran in {time.monotonic() - t0:.1f} s",
               flush=True)
         from annonet_tpu.infer.tiling import bucket_dim

@@ -504,6 +504,7 @@ class TiledInferer:
         self.autotune_reports: Dict[Tuple[int, int], list] = {}
         self._plan_override: Optional[TilePlan] = None
         self._autotuning = False
+        self._calibration_paused = False
 
     # ------------------------------------------------------------- planning
 
@@ -555,7 +556,7 @@ class TiledInferer:
                 prefer_widths = sorted(fold * wb for wb in MOSAIC_FAST_WB)
         if self._prefer_tile_widths is not None:
             prefer_widths = list(self._prefer_tile_widths) or None
-        return plan_tiles(
+        plan = plan_tiles(
             image_height,
             image_width,
             self.config,
@@ -564,6 +565,25 @@ class TiledInferer:
             lane_align_tiles=lane_align,
             prefer_tile_widths=prefer_widths,
         )
+        if not lane_align and prefer_widths is None:
+            # measured count-cliff bump (docs/DESIGN.md par.24-25): XLA's
+            # conv emitters collapse ~2x when an axis has exactly 3 tiles
+            # ((3,3)/(3,4)/(4,3) all measured ~330-420 device-Mpx/s vs
+            # (4,4)'s ~740-810, int8 AND bf16 folded paths; the 4-count
+            # tiles are smaller, so the user's max-tile cap still holds
+            # and the ~3% extra overlap area buys back >2x rate)
+            ny = len({y for y, _ in plan.tile_yx})
+            nx = len({x for _, x in plan.tile_yx})
+            if ny == 3 or nx == 3:
+                bumped = plan_for_counts(
+                    image_height, image_width, self.config, self.tiling,
+                    4 if ny == 3 else ny, 4 if nx == 3 else nx,
+                    canvas_bucket=_CANVAS_BUCKET,
+                    lane_align_tiles=lane_align,
+                )
+                if bumped is not None:
+                    plan = bumped
+        return plan
 
     def _autotune_for(self, image2d: np.ndarray) -> None:
         """Measure the default plan and its neighbouring grid counts for
@@ -908,6 +928,30 @@ class TiledInferer:
             ]
         return merged
 
+    def pause_calibration(self):
+        """Context manager: images inferred inside do NOT contribute to
+        (or freeze) int8 activation calibration — they run the exact bf16
+        path if quantization is not yet frozen, int8 as usual if it is.
+
+        For synthetic traffic that must not poison the scales: e.g.
+        annonet_serve's flat mid-gray --warmup image would otherwise
+        freeze calibration on a constant image and silently clip every
+        real request's activations (the reference has no analog — its
+        engine has no calibration state to protect).
+        """
+        import contextlib
+
+        @contextlib.contextmanager
+        def _pause():
+            prev = self._calibration_paused
+            self._calibration_paused = True
+            try:
+                yield self
+            finally:
+                self._calibration_paused = prev
+
+        return _pause()
+
     def calibration_overshoot(self, image: np.ndarray) -> float:
         """Clip-saturation telemetry: how far ``image``'s activations
         exceed the frozen int8 calibration range.
@@ -1101,7 +1145,11 @@ class TiledInferer:
             from annonet_tpu.models.folded_runtime import folding_supported
 
             q_fold0 = folding_supported(self.config, plan.tile_width)
-            if q_fold0 and q_fold0 not in self._quantized_cache:
+            if (
+                q_fold0
+                and q_fold0 not in self._quantized_cache
+                and not self._calibration_paused
+            ):
                 # each not-yet-frozen call contributes one image (or, when
                 # batched, as many of the batch as calibration still needs)
                 candidates = image if batched else image[None]

@@ -34,5 +34,12 @@ run mosaic_micro python -u scripts/probe_mosaic_int8.py
 run mosaic_ab    python -u scripts/ab_mosaic_int8.py
 run mosaic_float python -u scripts/ab_mosaic_float.py
 run bench        python -u bench.py
+# round-3 session-6 regression canaries (DESIGN.md par.22-25): the
+# non-power-of-two canvas (count-bump + device-pad paths), the measured
+# plan autotuner, and the head-dot A/B guard
+run bench_3000   python -u bench.py --image-size 3000
+run bench_tuned  python -u bench.py --plan-autotune
+run head_ab      env ANNONET_TPU_HEAD_DOT=0 python -u bench.py
+run plan_counts  python -u scripts/probe_plan_counts.py --size 3000 --counts 3 3 4 4
 
 echo "=== battery done $(date) ===" >> "$LOG"

@@ -450,3 +450,26 @@ def test_plan_autotune_selects_caches_and_matches_pinned(monkeypatch):
     twin._plan_override = chosen
     pinned, _ = twin.infer_arrays(image)
     np.testing.assert_array_equal(labels, pinned)
+
+
+def test_plan_count_cliff_bump():
+    """The static planner bumps a 3-tile axis to 4 on the folded path
+    (measured ~2x count cliff, docs/DESIGN.md par.24-25); the bumped
+    tiles are smaller, so the max-tile cap still holds."""
+    config = small_config(base_width=4)  # folds: 8 * width(0) <= 128
+    params = runtime_net(config)
+    ov = required_input_dimension(config)
+    # canvas/tile ratio that lands on 3 tiles per axis
+    inferer = TiledInferer(
+        params, config, TilingParameters(96, 96, ov, ov)
+    )
+    plan = inferer.plan(232, 232)
+    ny = len({y for y, _ in plan.tile_yx})
+    nx = len({x for _, x in plan.tile_yx})
+    assert 3 not in (ny, nx), (ny, nx)
+    assert plan.tile_width <= 96 and plan.tile_height <= 96
+    # coverage invariant
+    covered = np.zeros((plan.padded_height, plan.padded_width), bool)
+    for y, x in plan.tile_yx:
+        covered[y:y + plan.tile_height, x:x + plan.tile_width] = True
+    assert covered.all()

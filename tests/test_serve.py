@@ -355,3 +355,36 @@ def test_stats_endpoint_reports_latency_percentiles(server_url):
     assert lat["p50"] is not None and lat["p50"] > 0
     assert lat["max"] >= lat["p50"]
     assert stats["compiled_programs"] >= 1
+
+
+def test_warmup_does_not_calibrate_int8_on_synthetic_gray(tmp_path, capsys):
+    """--warmup with --quantize int8 and NO persisted calibration must not
+    freeze activation scales on the flat gray warm-up image (that would
+    silently clip every real request); calibration belongs to the first
+    real image."""
+    from annonet_tpu.cli.serve import _ModelService, _warmup
+
+    model_path = str(tmp_path / "annonet.dnn")
+    config = SegNetConfig(class_count=3, level_count=0, base_width=16)
+    params, bn = init_state(jax.random.PRNGKey(0), config)
+    runtime = fold_batchnorm(params, bn, config)
+    serialization.save_model(
+        model_path, runtime, config,
+        anno_classes_to_json(default_anno_classes()), 1.0,
+    )
+    args = build_parser().parse_args(
+        ["--model", model_path, "--quantize", "int8",
+         "--tile-max-width", "64", "--tile-max-height", "64"]
+    )
+    service = _ModelService(args)
+    _warmup(service, ["64x64"])
+    out = capsys.readouterr().out
+    assert "float program only" in out
+    # nothing frozen, nothing accumulated from the gray image
+    assert not service.inferer._calib_frozen
+    assert not service.inferer._calib_seen
+    # a real image then calibrates and freezes as usual
+    rng = np.random.default_rng(0)
+    real = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
+    service.infer(real, service.default_gains, service.default_detection)
+    assert service.inferer._calib_frozen
