@@ -53,6 +53,7 @@ from annonet_tpu.infer.tiling import (
     plan_for_counts,
     plan_tiles,
     ramp_weights,
+    weight_sum_factors,
 )
 
 # images are padded up to compile buckets before tracing, so nearby image
@@ -81,6 +82,31 @@ def _mosaic_int8_mode() -> str:
     return {"s1": "s1", "1": "s1s2", "2": "up"}.get(flag or "", "off")
 
 
+def _gather_sublane() -> bool:
+    """A/B knob for the tile-gather axis order (trace-time, like _head_dot).
+
+    The int8 conv emitters want the tile batch second-minor ("batch in
+    sublanes"); a leading-axis jnp.stack therefore costs a separate
+    relayout copy of the whole tile batch (copy.140, 1.94 ms/image at
+    4096² — profiled in scripts/analyze_int8_hlo.py). Stacking with the
+    tile axis second-minor and transposing back is logically identical
+    but lets XLA keep the stack's natural row-major layout and turn the
+    transpose into a relabel. Measured composed A/B:
+    scripts/ab_gather_order.py."""
+    import os
+
+    return os.environ.get("ANNONET_TPU_GATHER_ORDER") == "sublane"
+
+
+def _stack_tiles(slices):
+    """jnp.stack(slices) (-> [n, m, th, tw, c]) with a layout-motivated
+    axis order (see _gather_sublane)."""
+    if _gather_sublane():
+        tiles = jnp.stack(slices, axis=3)  # [m, th, tw, n, c]
+        return jnp.transpose(tiles, (3, 0, 1, 2, 4))
+    return jnp.stack(slices)
+
+
 def _tiled_forward(
     params,
     image: jnp.ndarray,  # [H, W, C] uint8 (unpadded)
@@ -99,6 +125,7 @@ def _tiled_forward(
     with_detection: bool,
     folded=None,  # (fold0, spec): params is then the folded array tuple
     quantized: bool = False,  # spec/params are the int8 qspec/qarrays
+    wsum_factors=None,  # (wy[Hp], wx[Wp]) np: wsum separable over the grid
     blend_dtype=jnp.float32,  # accumulation dtype of the blend epilogue
     use_pallas_blend: bool = False,
     mesh=None,
@@ -156,7 +183,7 @@ def _tiled_forward(
         f0 = folded[0]
         q_img = quantize_input(padded_image, f0, folded[1])
         lanes = q_img.shape[-1]
-        tiles = jnp.stack(
+        tiles = _stack_tiles(
             [
                 lax.slice(
                     q_img,
@@ -167,7 +194,7 @@ def _tiled_forward(
             ]
         )  # [n, m, th, twb, f0*C'] int8
     else:
-        tiles = jnp.stack(
+        tiles = _stack_tiles(
             [
                 lax.slice(
                     padded_image,
@@ -273,13 +300,42 @@ def _tiled_forward(
             acc = acc.at[:, y : y + tile_h, xb : xb + twb * kf].add(
                 weighted[i]
             )
-        inv_cm = jnp.broadcast_to(
-            inv_wsum.reshape(hp, wpb, 1, f), (hp, wpb, k, f)
-        ).reshape(hp, wpb * kf).astype(bd)
-        b4 = (acc * inv_cm[None]).reshape(m, hp, wpb, k, f)
-        labels4 = jnp.argmax(
-            b4 + gains.astype(bd)[None, None, None, :, None], axis=3
-        ).astype(jnp.int32)  # [M, Hp, WPb, f]
+        import os as _os
+
+        if (
+            not with_detection
+            and quantized
+            and wsum_factors is not None
+            and _os.environ.get("ANNONET_TPU_NO_ARGMAX_FOLD") != "1"
+        ):
+            # argmax is invariant to the shared positive per-pixel
+            # normalization 1/wsum: argmax_k(acc*inv + g) ==
+            # argmax_k(acc + g*wsum). wsum factorizes exactly over grid
+            # plans (tiling.weight_sum_factors), so the gain term enters
+            # the argmax as fused 1-D broadcasts and the full-canvas
+            # inv-wsum broadcast/convert/multiply passes disappear
+            # (measured: scripts/ab_argmax_norm.py). int8-path only:
+            # skipping the normalize reorders float rounding near exact
+            # ties, and the float path pins bit-parity with the
+            # unbatched/unfolded reference blending.
+            wy, wx = wsum_factors
+            acc4 = acc.reshape(m, hp, wpb, k, f)
+            gain_term = (
+                gains.astype(bd)[None, None, None, :, None]
+                * jnp.asarray(wy, bd)[None, :, None, None, None]
+                * jnp.asarray(wx.reshape(wpb, f), bd)[None, None, :, None, :]
+            )
+            labels4 = jnp.argmax(acc4 + gain_term, axis=3).astype(
+                jnp.int32
+            )  # [M, Hp, WPb, f]
+        else:
+            inv_cm = jnp.broadcast_to(
+                inv_wsum.reshape(hp, wpb, 1, f), (hp, wpb, k, f)
+            ).reshape(hp, wpb * kf).astype(bd)
+            b4 = (acc * inv_cm[None]).reshape(m, hp, wpb, k, f)
+            labels4 = jnp.argmax(
+                b4 + gains.astype(bd)[None, None, None, :, None], axis=3
+            ).astype(jnp.int32)  # [M, Hp, WPb, f]
         out_dtype = jnp.uint8 if k <= 255 else jnp.int32
         labels = labels4.reshape(m, hp, wp)
         if not batched:
@@ -752,6 +808,7 @@ class TiledInferer:
                     with_detection=with_detection,
                     folded=folded,
                     quantized=quantized,
+                    wsum_factors=weight_sum_factors(plan),
                     blend_dtype=self.blend_dtype,
                     use_pallas_blend=self.use_pallas_blend,
                     mesh=self.mesh,

@@ -317,3 +317,39 @@ def inverse_weight_sum(plan: TilePlan) -> np.ndarray:
     for y, x in plan.tile_yx:
         wsum[y : y + plan.tile_height, x : x + plan.tile_width] += ramp
     return (1.0 / np.maximum(wsum, 1e-12)).astype(np.float32)
+
+
+def weight_sum_factors(plan: TilePlan):
+    """1-D factorization wsum(y, x) = wy(y) * wx(x) of the blend denominator.
+
+    ramp_weights is a separable product and every plan from plan_tiles /
+    plan_for_counts is a full grid (tile_yx = ys x xs), so the ramp sum
+    factorizes exactly: sum_{yi,xi} rh(y-yi) rw(x-xi) =
+    (sum_yi rh(y-yi)) (sum_xi rw(x-xi)). The factors let the argmax fold
+    per-class gains as broadcasts instead of normalizing the whole
+    accumulated canvas (infer/core.py). Returns (wy[Hp], wx[Wp]) float32,
+    or None for a non-grid tile layout (never produced here; defensive).
+    """
+    ys = sorted({y for y, _ in plan.tile_yx})
+    xs = sorted({x for _, x in plan.tile_yx})
+    if set(plan.tile_yx) != {(y, x) for y in ys for x in xs}:
+        return None
+
+    def ramp1d(n: int, ov: int) -> np.ndarray:
+        j = np.arange(n, dtype=np.float64)
+        return np.minimum(
+            1.0, np.minimum((j + 1.0) / (ov + 1.0), (n - j) / (ov + 1.0))
+        )
+
+    wy = np.zeros(plan.padded_height, np.float64)
+    rh = ramp1d(plan.tile_height, plan.overlap_y)
+    for y in ys:
+        wy[y : y + plan.tile_height] += rh
+    wx = np.zeros(plan.padded_width, np.float64)
+    rw = ramp1d(plan.tile_width, plan.overlap_x)
+    for x in xs:
+        wx[x : x + plan.tile_width] += rw
+    return (
+        np.maximum(wy, 1e-6).astype(np.float32),
+        np.maximum(wx, 1e-6).astype(np.float32),
+    )

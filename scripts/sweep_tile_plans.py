@@ -41,7 +41,13 @@ ITERS = 5
 # (max_tile_h, max_tile_w) candidates; None = SIZE (full-canvas dimension)
 PLANS = [
     (1024, 1024),   # reference-default max tile
-    (1088, 1088),   # proposed TPU auto default
+    (1088, 1088),   # shipped TPU auto default
+    # slab plans (measured in round 3, seventh session — all LOSE to the
+    # 16-tile grid; the emitters want a filled tile batch, not fewer
+    # wider tiles): (1072, None) full-width slabs n=4 WB=512: 591;
+    # (2176, None) n=2: 561; (None, 1072) columns n=4 WB=134: 659;
+    # (544, None) n=9: 326; (None, 544) n=9 WB=64: 327 — vs 709 for
+    # (1088, 1088) in the same run. None = full canvas dimension.
 ]
 
 

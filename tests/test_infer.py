@@ -68,6 +68,58 @@ def test_plan_grid_covers_image_with_overlap():
         assert b - a <= plan.tile_width - params.overlap_x
 
 
+def test_weight_sum_factors_exact_factorization():
+    # wsum(y,x) = wy(y)*wx(x) exactly for grid plans: the separable-gain
+    # argmax fold (infer/core.py) relies on it
+    from annonet_tpu.infer.tiling import inverse_weight_sum, weight_sum_factors
+
+    config = small_config()
+    for (h, w, mt) in ((100, 70, 32), (20, 30, 64), (96, 200, 48)):
+        plan = plan_tiles(h, w, config, TilingParameters(mt, mt, 8, 8))
+        factors = weight_sum_factors(plan)
+        assert factors is not None
+        wy, wx = factors
+        assert wy.shape == (plan.padded_height,)
+        assert wx.shape == (plan.padded_width,)
+        np.testing.assert_allclose(
+            wy[:, None] * wx[None, :],
+            1.0 / inverse_weight_sum(plan),
+            rtol=1e-5,
+        )
+    # a non-grid layout is refused, not mis-factored
+    import dataclasses
+
+    assert plan.tile_count > 1
+    broken = dataclasses.replace(plan, tile_yx=plan.tile_yx[:-1])
+    assert weight_sum_factors(broken) is None
+
+
+def test_int8_argmax_fold_matches_normalize_path():
+    # the folded-gain argmax (skip inv-wsum normalize when detection is
+    # off) must agree with the normalizing path, including NONZERO gains
+    import os
+
+    config = small_config()
+    params = runtime_net(config)
+    rng = np.random.default_rng(11)
+    image = rng.integers(0, 256, size=(96, 96, 3), dtype=np.uint8)
+    tiling = TilingParameters(64, 64, 8, 8)
+    gains = [0.0, 0.7, -0.3]
+
+    outs = {}
+    for name, env in (("normalize", "1"), ("folded-gain", "")):
+        os.environ["ANNONET_TPU_NO_ARGMAX_FOLD"] = env
+        try:
+            inf = TiledInferer(params, config, tiling, quantize="int8")
+            inf.infer_arrays(image)  # calibration pass (bf16 program)
+            labels, _ = inf.infer_arrays(image, gains=gains)
+        finally:
+            os.environ.pop("ANNONET_TPU_NO_ARGMAX_FOLD", None)
+        outs[name] = labels
+    agree = (outs["normalize"] == outs["folded-gain"]).mean()
+    assert agree > 0.999, f"only {agree:.5f} agreement"
+
+
 def test_ramp_weights_partition_of_unity():
     t, ov = 32, 8
     ramp = ramp_weights(t, t, ov, ov)
