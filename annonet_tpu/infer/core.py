@@ -98,6 +98,75 @@ def _gather_sublane() -> bool:
     return os.environ.get("ANNONET_TPU_GATHER_ORDER") == "sublane"
 
 
+def _blend_strips() -> bool:
+    """A/B knob (trace-time): accumulate the blend canvas as per-tile-row
+    strips + one sublane-aligned concat overlap-add along H, instead of a
+    tile-count-deep serialized dynamic-update-slice chain.
+
+    Measured (scripts/ab_blend_strips.py, 4096² int8): a WASH — 774.9 vs
+    778.2 Mpx/s — XLA already overlaps the DUS chain with the convs; and
+    NOT bit-identical in y-overlap bands (the strip pre-sums regroup the
+    adds: (a1+a2)+(b1+b2) vs (((a1+a2)+b1)+b2); 26/16.8M px flipped).
+    Default OFF; kept for re-measurement on future toolchains."""
+    import os
+
+    return os.environ.get("ANNONET_TPU_BLEND_STRIPS") == "1"
+
+
+def _accumulate_canvas(
+    weighted, tile_yx, m, hp, row_width, tile_h, piece_w, x_to_col, bd
+):
+    """Sum ramp-weighted tile contributions into the [m, hp, row_width]
+    canvas. weighted is [n, m, tile_h, piece_w]; tile i covers rows
+    [y, y+tile_h) and columns [x_to_col(x), x_to_col(x)+piece_w).
+
+    Default layout: per-tile-row strips built with independent (hence
+    schedulable) update-slice chains, then ONE concat along H where the
+    only arithmetic is the small strip-overlap bands (y offsets are
+    8-multiples — sublane-aligned). Falls back to the flat chain for
+    non-grid layouts or under ANNONET_TPU_BLEND_STRIPS=0."""
+    ys = sorted({y for y, _ in tile_yx})
+    usable = (
+        _blend_strips()
+        and len(ys) > 1
+        and ys[0] == 0
+        and ys[-1] + tile_h == hp
+        # full coverage, and only CONSECUTIVE strips may overlap
+        and all(yb - ya <= tile_h for ya, yb in zip(ys, ys[1:]))
+        and all(yb - ya >= tile_h for ya, yb in zip(ys, ys[2:]))
+    )
+    if not usable:
+        acc = jnp.zeros((m, hp, row_width), bd)
+        for i, (y, x) in enumerate(tile_yx):
+            col = x_to_col(x)
+            acc = acc.at[:, y : y + tile_h, col : col + piece_w].add(
+                weighted[i]
+            )
+        return acc
+
+    strips = {}
+    for i, (y, x) in enumerate(tile_yx):
+        col = x_to_col(x)
+        strip = strips.get(y)
+        if strip is None:
+            strip = jnp.zeros((m, tile_h, row_width), bd)
+        strips[y] = strip.at[:, :, col : col + piece_w].add(weighted[i])
+
+    pieces = []
+    prev_tail = None
+    for j, y in enumerate(ys):
+        lo = 0 if j == 0 else ys[j - 1] + tile_h - y
+        hi = tile_h if j + 1 == len(ys) else ys[j + 1] - y
+        if j > 0 and lo > 0:
+            # overlap band with the previous strip: per-pixel add order
+            # matches the flat chain (earlier tile row first)
+            pieces.append(prev_tail + strips[y][:, :lo])
+        if hi > lo:
+            pieces.append(strips[y][:, lo:hi])
+        prev_tail = strips[y][:, hi:]
+    return jnp.concatenate(pieces, axis=1)
+
+
 def _stack_tiles(slices):
     """jnp.stack(slices) (-> [n, m, th, tw, c]) with a layout-motivated
     axis order (see _gather_sublane)."""
@@ -294,12 +363,10 @@ def _tiled_forward(
             logits.reshape(n, m, tile_h, twb * kf).astype(bd)
             * ramp_cm[None, None]
         )
-        acc = jnp.zeros((m, hp, wpb * kf), bd)
-        for i, (y, x) in enumerate(tile_yx):
-            xb = (x // f) * kf
-            acc = acc.at[:, y : y + tile_h, xb : xb + twb * kf].add(
-                weighted[i]
-            )
+        acc = _accumulate_canvas(
+            weighted, tile_yx, m, hp, wpb * kf, tile_h, twb * kf,
+            lambda x: (x // f) * kf, bd,
+        )
         import os as _os
 
         if (
