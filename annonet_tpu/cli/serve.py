@@ -9,11 +9,23 @@ plain HTTP (stdlib only — no framework dependency):
   GET  /healthz          -> JSON: model metadata, classes, ready state
   GET  /stats            -> JSON: request/batch counters + request-latency
                             percentiles over a bounded recent window
+  GET  /model            -> JSON: the served artifact's identity (path,
+                            mtime, reload count, classes)
   POST /infer            -> body: an encoded image (PNG/JPEG/...), or raw
                             uint8 pixels with an ``X-Image-Shape: h,w,c``
                             header (the zero-codec embedding path used by
                             native/annonet_client.cpp);
                             response: the label map in the requested form
+  POST /reload           -> hot-swap to the artifact currently on disk
+                            (?recalibrate=1 drops a stale --calibration
+                            file and recalibrates at runtime). SIGHUP
+                            triggers the same reload. Pairs with the
+                            reference trainer's periodic annonet.dnn
+                            snapshots (annonet_train_main.cpp:611-613):
+                            serve keeps traffic flowing while the
+                            retrained artifact loads and warms, then
+                            swaps atomically; on any failure the old
+                            model keeps serving
 
 `POST /infer` query parameters:
 
@@ -117,74 +129,103 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+class _ModelState:
+    """One loaded model: everything POST /reload swaps atomically — the
+    deserialized artifact, its parsed classes and server defaults, and
+    the warm :class:`TiledInferer` holding the compiled programs."""
+
+
+def _load_state(args, mesh, reload_count: int = 0,
+                ignore_calibration: bool = False) -> _ModelState:
+    import os
+
+    from annonet_tpu import serialization
+    from annonet_tpu.classes import parse_anno_classes
+    from annonet_tpu.cli.common import parse_class_specific_values
+    from annonet_tpu.infer.core import TiledInferer
+    from annonet_tpu.infer.tiling import TilingParameters
+    from annonet_tpu.models.segnet import required_input_dimension
+
+    st = _ModelState()
+    (st.params, st.config, st.anno_classes_json,
+     st.downscaling_factor) = serialization.load_model(args.model)
+    st.anno_classes = parse_anno_classes(st.anno_classes_json)
+    st.default_gains = parse_class_specific_values(
+        args.gain, len(st.anno_classes))
+    st.default_detection = parse_class_specific_values(
+        args.detection, len(st.anno_classes),
+        require_non_negative=True)
+    min_dim = required_input_dimension(st.config)
+    if (args.tile_max_width is not None and args.tile_max_width < min_dim
+            or args.tile_max_height is not None
+            and args.tile_max_height < min_dim):
+        raise RuntimeError(f"Tile size must be at least {min_dim}")
+    st.required_input_dimension = min_dim
+    calibration = None
+    if getattr(args, "calibration", None):
+        if args.quantize != "int8":
+            raise RuntimeError(
+                "--calibration requires --quantize int8"
+            )
+        if not ignore_calibration:
+            # fingerprint-checked against THIS model's weights: reloading
+            # a retrained artifact with a stale calibration file fails
+            # here (keeping the old model serving) unless the caller
+            # asked for runtime recalibration (POST /reload?recalibrate=1)
+            calibration = serialization.load_calibration(
+                args.calibration, st.config, st.params
+            )
+    # auto tile default: resolve only AFTER mesh setup (default_tile_max
+    # initializes the JAX backend, which would freeze the device list
+    # before the virtual-device flags take effect)
+    if args.tile_max_width is None or args.tile_max_height is None:
+        from annonet_tpu.cli.common import default_tile_max
+
+        auto_tile = default_tile_max()
+        if args.tile_max_width is None:
+            args.tile_max_width = auto_tile
+        if args.tile_max_height is None:
+            args.tile_max_height = auto_tile
+        if args.tile_max_width < min_dim or args.tile_max_height < min_dim:
+            raise RuntimeError(f"Tile size must be at least {min_dim}")
+    st.inferer = TiledInferer(
+        st.params, st.config,
+        TilingParameters(
+            max_tile_width=args.tile_max_width,
+            max_tile_height=args.tile_max_height,
+            overlap_x=min_dim, overlap_y=min_dim,
+        ),
+        quantize=None if args.quantize == "none" else args.quantize,
+        calibration_images=args.calibration_images,
+        calibration=calibration,
+        mesh=mesh,
+        plan_autotune=getattr(args, "plan_autotune", False),
+    )
+    st.quantize = args.quantize
+    st.model_path = args.model
+    try:
+        st.model_mtime = os.path.getmtime(args.model)
+    except OSError:
+        st.model_mtime = None
+    st.loaded_at = time.time()
+    st.reload_count = reload_count
+    return st
+
+
 class _ModelService:
     """The shared model state behind the HTTP handlers."""
 
     def __init__(self, args, mesh=None):
-        from annonet_tpu import serialization
-        from annonet_tpu.classes import parse_anno_classes
-        from annonet_tpu.cli.common import parse_class_specific_values
-        from annonet_tpu.infer.core import TiledInferer
-        from annonet_tpu.infer.tiling import TilingParameters
-        from annonet_tpu.models.segnet import required_input_dimension
-
-        (self.params, self.config, self.anno_classes_json,
-         self.downscaling_factor) = serialization.load_model(args.model)
-        self.anno_classes = parse_anno_classes(self.anno_classes_json)
-        self.default_gains = parse_class_specific_values(
-            args.gain, len(self.anno_classes))
-        self.default_detection = parse_class_specific_values(
-            args.detection, len(self.anno_classes),
-            require_non_negative=True)
-        min_dim = required_input_dimension(self.config)
-        if (args.tile_max_width is not None and args.tile_max_width < min_dim
-                or args.tile_max_height is not None
-                and args.tile_max_height < min_dim):
-            raise RuntimeError(f"Tile size must be at least {min_dim}")
-        self.required_input_dimension = min_dim
-        calibration = None
-        if getattr(args, "calibration", None):
-            if args.quantize != "int8":
-                raise RuntimeError(
-                    "--calibration requires --quantize int8"
-                )
-            calibration = serialization.load_calibration(
-                args.calibration, self.config, self.params
-            )
         if mesh is None and getattr(args, "mesh", None):
             from annonet_tpu.cli.common import make_cli_mesh
 
             mesh = make_cli_mesh(args.mesh)
-        # auto tile default: resolve only AFTER mesh setup (default_tile_max
-        # initializes the JAX backend, which would freeze the device list
-        # before the virtual-device flags take effect)
-        if args.tile_max_width is None or args.tile_max_height is None:
-            from annonet_tpu.cli.common import default_tile_max
-
-            auto_tile = default_tile_max()
-            if args.tile_max_width is None:
-                args.tile_max_width = auto_tile
-            if args.tile_max_height is None:
-                args.tile_max_height = auto_tile
-            if args.tile_max_width < min_dim or args.tile_max_height < min_dim:
-                raise RuntimeError(f"Tile size must be at least {min_dim}")
-        self.inferer = TiledInferer(
-            self.params, self.config,
-            TilingParameters(
-                max_tile_width=args.tile_max_width,
-                max_tile_height=args.tile_max_height,
-                overlap_x=min_dim, overlap_y=min_dim,
-            ),
-            quantize=None if args.quantize == "none" else args.quantize,
-            calibration_images=args.calibration_images,
-            calibration=calibration,
-            mesh=mesh,
-            plan_autotune=getattr(args, "plan_autotune", False),
-        )
-        self.quantize = args.quantize
-        self.model_path = args.model
+        self._args = args
+        self._mesh = mesh
+        self.state = _load_state(args, mesh)
         # one chip runs one program at a time; decode/encode stay parallel
         self.device_lock = threading.Lock()
+        self._reload_lock = threading.Lock()
         self._stats_lock = threading.Lock()
         self.requests_served = 0
         self.batches_dispatched = 0
@@ -210,21 +251,116 @@ class _ModelService:
             )
             self._dispatcher.start()
 
+    # -- the live-model snapshot (swapped by reload) ---------------------
+    # Back-compat delegates: in-process users (and the test suite) read
+    # these off the service; each read sees the CURRENT state. Request
+    # handlers instead snapshot `svc.state` once so a mid-request reload
+    # cannot mix two models' downscaling/classes/inferer.
+
+    @property
+    def inferer(self):
+        return self.state.inferer
+
+    @property
+    def config(self):
+        return self.state.config
+
+    @property
+    def params(self):
+        return self.state.params
+
+    @property
+    def anno_classes(self):
+        return self.state.anno_classes
+
+    @property
+    def anno_classes_json(self):
+        return self.state.anno_classes_json
+
+    @property
+    def downscaling_factor(self):
+        return self.state.downscaling_factor
+
+    @property
+    def default_gains(self):
+        return self.state.default_gains
+
+    @property
+    def default_detection(self):
+        return self.state.default_detection
+
+    @property
+    def quantize(self):
+        return self.state.quantize
+
+    @property
+    def model_path(self):
+        return self.state.model_path
+
+    @property
+    def required_input_dimension(self):
+        return self.state.required_input_dimension
+
+    def reload(self, recalibrate: bool = False) -> dict:
+        """Hot-swap to the artifact currently on disk (POST /reload).
+
+        The TPU-era pairing for the reference's periodic ``annonet.dnn``
+        snapshots (annonet_train_main.cpp:611-613 saves every
+        --save-interval minibatches): a long-lived server can pick up the
+        retrained artifact without dropping traffic. The new model is
+        loaded and its programs warmed (same --warmup sizes) WHILE the
+        old model keeps serving — device sections interleave through
+        device_lock — then the state pointer swaps atomically. On any
+        failure (missing/corrupt artifact, class-count vs -g mismatch,
+        stale --calibration fingerprint) the old model keeps serving and
+        the error is reported.
+
+        recalibrate=True drops a configured --calibration file for this
+        load and recalibrates at runtime on the first real image(s) —
+        needed when the artifact was retrained (its weights no longer
+        match the persisted calibration's fingerprint).
+        """
+        with self._reload_lock:
+            new = _load_state(
+                self._args, self._mesh,
+                reload_count=self.state.reload_count + 1,
+                ignore_calibration=recalibrate,
+            )
+            warmed = []
+            for spec in getattr(self._args, "warmup", []) or []:
+                h, w = _parse_warmup_spec(spec)
+                _warmup_one(self, new, h, w)
+                warmed.append(f"{h}x{w}")
+            with self.device_lock:
+                self.state = new
+        return {
+            "status": "reloaded",
+            "model": new.model_path,
+            "model_mtime": new.model_mtime,
+            "reload_count": new.reload_count,
+            "class_count": len(new.anno_classes),
+            "quantize": new.quantize,
+            "recalibrate": bool(recalibrate),
+            "warmed": warmed,
+        }
+
     # -- image pipeline (mirrors the batch CLI per-image flow) -----------
 
-    def decode(self, body: bytes):
+    def decode(self, body: bytes, state: "_ModelState" = None):
         """Encoded image bytes -> (H, W, C) uint8 in the model's channel
         layout (exact grayscale conversion parity with data.sample)."""
         from PIL import Image
 
+        grayscale = (state or self.state).config.grayscale
         with Image.open(io.BytesIO(body)) as im:
-            im = im.convert("L" if self.config.grayscale else "RGB")
+            im = im.convert("L" if grayscale else "RGB")
             arr = __import__("numpy").asarray(im, dtype="uint8")
-        if self.config.grayscale:
+        if grayscale:
             arr = arr[..., None]
         return arr
 
-    def decode_raw(self, body: bytes, shape_header: str):
+    def decode_raw(self, body: bytes, shape_header: str,
+                   state: "_ModelState" = None):
         """Raw uint8 pixels + ``X-Image-Shape: h,w,c`` -> (H, W, C) uint8
         in the model's channel layout — the zero-codec embedding path
         (no PNG encode on the client, no decode here). Channel
@@ -251,29 +387,30 @@ class _ModelService:
                 f"{h}*{w}*{c} = {h * w * c}"
             )
         arr = np.frombuffer(body, dtype=np.uint8).reshape(h, w, c)
-        want = 1 if self.config.grayscale else 3
+        grayscale = (state or self.state).config.grayscale
+        want = 1 if grayscale else 3
         if c != want:
             mode = "L" if c == 1 else "RGB"
             im = Image.fromarray(arr if c == 3 else arr[..., 0], mode=mode)
             arr = np.asarray(
-                im.convert("L" if self.config.grayscale else "RGB"),
+                im.convert("L" if grayscale else "RGB"),
                 dtype=np.uint8,
             )
-            if self.config.grayscale:
+            if grayscale:
                 arr = arr[..., None]
         return arr
 
-    def _device_pass(self, image, gains, detection_levels):
+    def _device_pass(self, image, gains, detection_levels, inferer):
         """One image through the device (no batching): (labels, seeds)."""
         import numpy as np
 
         with_detection = bool(np.any(np.asarray(detection_levels) != 0.0))
         with self.device_lock:
             if with_detection:
-                return self.inferer.infer_arrays(
+                return inferer.infer_arrays(
                     image, gains=gains, detection_levels=detection_levels
                 )
-            labels, _ = self.inferer.infer_arrays(image, gains=gains)
+            labels, _ = inferer.infer_arrays(image, gains=gains)
             return labels, None
 
     def _dispatch_loop(self):
@@ -303,15 +440,18 @@ class _ModelService:
                 group.append(nxt)
             by_key = {}
             for p in group:
+                # id(state) in the key: requests that straddle a reload
+                # must not share one device batch (their images were
+                # downscaled for, and must run on, their own model)
                 key = (p["image"].shape, tuple(p["gains"]),
-                       tuple(p["detection"]))
+                       tuple(p["detection"]), id(p["state"]))
                 by_key.setdefault(key, []).append(p)
-            for (_shape, gains, detection), ps in by_key.items():
+            for (_shape, gains, detection, _sid), ps in by_key.items():
                 try:
                     with_detection = any(d != 0.0 for d in detection)
                     batch = np.stack([p["image"] for p in ps])
                     with self.device_lock:
-                        labels, seeds = self.inferer.infer_arrays_batch(
+                        labels, seeds = ps[0]["state"].inferer.infer_arrays_batch(
                             batch, gains=list(gains),
                             detection_levels=(
                                 list(detection) if with_detection else None
@@ -331,11 +471,13 @@ class _ModelService:
                     for p in ps:
                         p["event"].set()
 
-    def infer(self, image, gains, detection_levels):
+    def infer(self, image, gains, detection_levels,
+              state: "_ModelState" = None):
         """Full single-image flow: downscale -> tiled forward (batched
         with concurrent same-shape requests when --max-batch > 1) ->
         blob veto -> labels upscaled to the original size
-        (annonet_infer.cpp flow)."""
+        (annonet_infer.cpp flow). ``state`` pins the request to one
+        loaded model across a concurrent reload."""
         import numpy as np
 
         from annonet_tpu.data.sample import (
@@ -344,16 +486,18 @@ class _ModelService:
         )
         from annonet_tpu.infer.core import detection_veto
 
+        st = state if state is not None else self.state
         t_start = time.monotonic()
         orig_h, orig_w = image.shape[:2]
-        if self.downscaling_factor != 1.0:
-            h = max(1, int(round(orig_h / self.downscaling_factor)))
-            w = max(1, int(round(orig_w / self.downscaling_factor)))
+        if st.downscaling_factor != 1.0:
+            h = max(1, int(round(orig_h / st.downscaling_factor)))
+            w = max(1, int(round(orig_w / st.downscaling_factor)))
             image = resize_image_bilinear(image, w, h)
         if self._batch_queue is not None:
             pending = {
                 "image": image, "gains": list(gains),
                 "detection": list(detection_levels),
+                "state": st,
                 "event": threading.Event(),
                 "labels": None, "seeds": None, "error": None,
             }
@@ -364,7 +508,7 @@ class _ModelService:
             labels, seeds = pending["labels"], pending["seeds"]
         else:
             labels, seeds = self._device_pass(
-                image, gains, detection_levels
+                image, gains, detection_levels, st.inferer
             )
         labels = np.asarray(labels)
         if seeds is not None:
@@ -376,7 +520,7 @@ class _ModelService:
             self._latencies.append(time.monotonic() - t_start)
         return labels
 
-    def encode_png(self, labels) -> bytes:
+    def encode_png(self, labels, state: "_ModelState" = None) -> bytes:
         from PIL import Image
 
         from annonet_tpu.data.codec import (
@@ -384,7 +528,7 @@ class _ModelService:
         )
 
         rgba = index_label_image_to_rgba_label_image(
-            labels, self.anno_classes
+            labels, (state or self.state).anno_classes
         )
         buf = io.BytesIO()
         Image.fromarray(rgba, mode="RGBA").save(buf, format="PNG")
@@ -422,12 +566,15 @@ class _ModelService:
         }
 
     def healthz(self) -> dict:
+        st = self.state
         return {
             "status": "ok",
-            "model": self.model_path,
-            "downscaling_factor": self.downscaling_factor,
-            "required_input_dimension": self.required_input_dimension,
-            "quantize": self.quantize,
+            "model": st.model_path,
+            "model_mtime": st.model_mtime,
+            "reload_count": st.reload_count,
+            "downscaling_factor": st.downscaling_factor,
+            "required_input_dimension": st.required_input_dimension,
+            "quantize": st.quantize,
             "requests_served": self.requests_served,
             "max_batch": self.max_batch,
             "batches_dispatched": self.batches_dispatched,
@@ -436,19 +583,35 @@ class _ModelService:
                     "label": c.classlabel,
                     "color_rgba": list(map(int, c.rgba_label)),
                 }
-                for c in self.anno_classes
+                for c in st.anno_classes
             ],
         }
 
+    def model_info(self) -> dict:
+        """GET /model: the currently served artifact's identity."""
+        st = self.state
+        return {
+            "model": st.model_path,
+            "model_mtime": st.model_mtime,
+            "loaded_at": st.loaded_at,
+            "reload_count": st.reload_count,
+            "quantize": st.quantize,
+            "downscaling_factor": st.downscaling_factor,
+            "required_input_dimension": st.required_input_dimension,
+            "class_count": len(st.anno_classes),
+            "classes": [c.classlabel for c in st.anno_classes],
+            "compiled_programs": len(st.inferer._compiled),
+        }
 
-def _parse_query_values(service, query, key, *, require_non_negative=False):
+
+def _parse_query_values(state, query, key, *, require_non_negative=False):
     from annonet_tpu.cli.common import parse_class_specific_values
 
     items = query.get(key)
     if not items:
         return None
     return parse_class_specific_values(
-        items, len(service.anno_classes),
+        items, len(state.anno_classes),
         require_non_negative=require_non_negative,
     )
 
@@ -491,14 +654,27 @@ def make_server(args, service: Optional[_ModelService] = None):
                 self._send_json(200, svc.healthz())
             elif path == "/stats":
                 self._send_json(200, svc.stats())
+            elif path == "/model":
+                self._send_json(200, svc.model_info())
             else:
                 self._send_json(404, {"error": "not found"})
 
         def do_POST(self):
             url = urlparse(self.path)
+            if url.path == "/reload":
+                # hot-swap to the artifact on disk; on failure the old
+                # model keeps serving and the error comes back as 409
+                query = parse_qs(url.query)
+                recal = query.get("recalibrate", ["0"])[0] in ("1", "true")
+                try:
+                    self._send_json(200, svc.reload(recalibrate=recal))
+                except Exception as e:
+                    self._send_json(409, {"error": str(e)})
+                return
             if url.path != "/infer":
                 self._send_json(404, {"error": "not found"})
                 return
+            st = svc.state  # one model per request, even across a reload
             try:
                 length = int(self.headers.get("Content-Length", "0"))
                 if length <= 0:
@@ -511,33 +687,33 @@ def make_server(args, service: Optional[_ModelService] = None):
                 if len(body) < length:
                     raise ValueError("truncated request body")
                 query = parse_qs(url.query)
-                gains = _parse_query_values(svc, query, "gain")
+                gains = _parse_query_values(st, query, "gain")
                 if gains is None:
-                    gains = svc.default_gains
+                    gains = st.default_gains
                 detection = _parse_query_values(
-                    svc, query, "detection", require_non_negative=True
+                    st, query, "detection", require_non_negative=True
                 )
                 if detection is None:
-                    detection = svc.default_detection
+                    detection = st.default_detection
                 fmt = query.get("format", ["png"])[0]
                 if fmt not in ("png", "labels", "counts"):
                     raise ValueError(f"unknown format: {fmt}")
                 raw_shape = self.headers.get("X-Image-Shape")
                 if raw_shape is not None:
-                    image = svc.decode_raw(body, raw_shape)
+                    image = svc.decode_raw(body, raw_shape, state=st)
                 else:
-                    image = svc.decode(body)
+                    image = svc.decode(body, state=st)
             except Exception as e:  # bad input -> 400 with the message
                 self._send_json(400, {"error": str(e)})
                 return
             try:
                 t0 = time.monotonic()
-                labels = svc.infer(image, gains, detection)
+                labels = svc.infer(image, gains, detection, state=st)
                 elapsed_ms = (time.monotonic() - t0) * 1000.0
                 timing = {"X-Inference-Ms": f"{elapsed_ms:.1f}"}
                 if fmt == "png":
-                    self._send(200, "image/png", svc.encode_png(labels),
-                               timing)
+                    self._send(200, "image/png",
+                               svc.encode_png(labels, state=st), timing)
                 elif fmt == "labels":
                     import numpy as np
 
@@ -553,12 +729,12 @@ def make_server(args, service: Optional[_ModelService] = None):
                     import numpy as np
 
                     counts = np.bincount(
-                        labels.ravel(), minlength=len(svc.anno_classes)
+                        labels.ravel(), minlength=len(st.anno_classes)
                     )
                     self._send_json(200, {
                         "counts": {
                             c.classlabel: int(n)
-                            for c, n in zip(svc.anno_classes, counts)
+                            for c, n in zip(st.anno_classes, counts)
                         },
                         "inference_ms": elapsed_ms,
                     })
@@ -570,64 +746,78 @@ def make_server(args, service: Optional[_ModelService] = None):
     return server, svc
 
 
-def _warmup(service: _ModelService, sizes) -> None:
+def _parse_warmup_spec(spec: str):
+    try:
+        h, w = (int(v) for v in spec.lower().split("x"))
+        if h < 1 or w < 1:
+            raise ValueError
+    except ValueError:
+        raise RuntimeError(
+            f"bad --warmup size {spec!r} (expected HxW, e.g. 2048x2048)"
+        ) from None
+    return h, w
+
+
+def _warmup_one(service: _ModelService, state: _ModelState,
+                h: int, w: int) -> None:
+    """Compile (and, with a calibration, quantize) STATE's program for one
+    canvas size. Used at startup and for each reload's pre-swap warm-up —
+    device sections take device_lock inside infer, so a reload's warm-up
+    interleaves with live traffic on the old model."""
     import numpy as np
 
-    for spec in sizes:
-        try:
-            h, w = (int(v) for v in spec.lower().split("x"))
-            if h < 1 or w < 1:
-                raise ValueError
-        except ValueError:
-            raise RuntimeError(
-                f"bad --warmup size {spec!r} (expected HxW, e.g. 2048x2048)"
-            ) from None
-        print(f"Warming up {h}x{w}...", flush=True)
-        t0 = time.monotonic()
-        image = np.full(
-            (h, w, 1 if service.config.grayscale else 3), 127, np.uint8
+    print(f"Warming up {h}x{w}...", flush=True)
+    t0 = time.monotonic()
+    image = np.full(
+        (h, w, 1 if state.config.grayscale else 3), 127, np.uint8
+    )
+    inferer = state.inferer
+    synthetic_calib = (
+        state.quantize == "int8" and not inferer._calib_frozen
+        and inferer._preloaded_calib is None
+    )
+    if synthetic_calib:
+        # the flat gray warm-up image must NOT freeze int8 activation
+        # scales (it would clip every real request); warm the float
+        # program and leave calibration to the first real images
+        print(
+            "  note: no --calibration given — warm-up compiles the "
+            "float program only; int8 calibrates (and compiles) on "
+            "the first real image(s). Persist scales with "
+            "annonet_infer --save-calibration for full warm-up.",
+            flush=True,
         )
-        inferer = service.inferer
-        synthetic_calib = (
-            service.quantize == "int8" and not inferer._calib_frozen
-            and inferer._preloaded_calib is None
-        )
-        if synthetic_calib:
-            # the flat gray warm-up image must NOT freeze int8 activation
-            # scales (it would clip every real request); warm the float
-            # program and leave calibration to the first real images
-            print(
-                "  note: no --calibration given — warm-up compiles the "
-                "float program only; int8 calibrates (and compiles) on "
-                "the first real image(s). Persist scales with "
-                "annonet_infer --save-calibration for full warm-up.",
-                flush=True,
-            )
-            with inferer.pause_calibration():
-                service.infer(image, service.default_gains,
-                              service.default_detection)
-        else:
-            service.infer(image, service.default_gains,
-                          service.default_detection)
-        print(f"  compiled + ran in {time.monotonic() - t0:.1f} s",
-              flush=True)
-        from annonet_tpu.infer.tiling import bucket_dim
+        with inferer.pause_calibration():
+            service.infer(image, state.default_gains,
+                          state.default_detection, state=state)
+    else:
+        service.infer(image, state.default_gains,
+                      state.default_detection, state=state)
+    print(f"  compiled + ran in {time.monotonic() - t0:.1f} s",
+          flush=True)
+    from annonet_tpu.infer.tiling import bucket_dim
 
-        key = (bucket_dim(h, 128), bucket_dim(w, 128))
-        report = service.inferer.autotune_reports.get(key)
-        if report:
-            chosen = report[0][0]
-            print(
-                f"  plan autotune {key[0]}x{key[1]}: chose "
-                f"{chosen.tile_height}x{chosen.tile_width}x"
-                f"{chosen.tile_count} of "
-                + ", ".join(
-                    f"{p.tile_height}x{p.tile_width}x{p.tile_count}"
-                    + (f"={r:.0f}Mpx/s" if r else "")
-                    for p, r in report
-                ),
-                flush=True,
-            )
+    key = (bucket_dim(h, 128), bucket_dim(w, 128))
+    report = inferer.autotune_reports.get(key)
+    if report:
+        chosen = report[0][0]
+        print(
+            f"  plan autotune {key[0]}x{key[1]}: chose "
+            f"{chosen.tile_height}x{chosen.tile_width}x"
+            f"{chosen.tile_count} of "
+            + ", ".join(
+                f"{p.tile_height}x{p.tile_width}x{p.tile_count}"
+                + (f"={r:.0f}Mpx/s" if r else "")
+                for p, r in report
+            ),
+            flush=True,
+        )
+
+
+def _warmup(service: _ModelService, sizes) -> None:
+    for spec in sizes:
+        h, w = _parse_warmup_spec(spec)
+        _warmup_one(service, service.state, h, w)
 
 
 def main(argv=None) -> int:
@@ -678,8 +868,23 @@ def main(argv=None) -> int:
         print("shutting down (SIGTERM)", flush=True)
         threading.Thread(target=server.shutdown, daemon=True).start()
 
+    def _hup(_signum, _frame):
+        # the conventional "pick up the new config/model" signal: same
+        # code path as POST /reload, off the signal thread
+        def _do():
+            try:
+                info = service.reload()
+                print(f"reloaded (SIGHUP): {json.dumps(info)}", flush=True)
+            except Exception as e:
+                print(f"reload failed (SIGHUP), old model kept: {e}",
+                      flush=True)
+
+        threading.Thread(target=_do, daemon=True).start()
+
     try:
         signal.signal(signal.SIGTERM, _term)
+        if hasattr(signal, "SIGHUP"):
+            signal.signal(signal.SIGHUP, _hup)
     except (ValueError, OSError):  # non-main thread / exotic platform
         pass
     print(f"annonet_serve: listening on http://{host}:{port} "

@@ -388,3 +388,159 @@ def test_warmup_does_not_calibrate_int8_on_synthetic_gray(tmp_path, capsys):
     real = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
     service.infer(real, service.default_gains, service.default_detection)
     assert service.inferer._calib_frozen
+
+
+def _save_model(path, seed, config=None):
+    config = config or SegNetConfig(class_count=3, level_count=0,
+                                    base_width=16)
+    params, bn = init_state(jax.random.PRNGKey(seed), config)
+    runtime = fold_batchnorm(params, bn, config)
+    serialization.save_model(
+        path, runtime, config,
+        anno_classes_to_json(default_anno_classes()), 1.0,
+    )
+    return runtime, config
+
+
+def test_reload_hot_swaps_to_retrained_model(tmp_path):
+    """POST /reload picks up the artifact on disk (the trainer's periodic
+    annonet.dnn snapshot) without dropping the server."""
+    model_path = str(tmp_path / "annonet.dnn")
+    _save_model(model_path, seed=0)
+    args = build_parser().parse_args(
+        ["--model", model_path, "--port", "0",
+         "--tile-max-width", "64", "--tile-max-height", "64"]
+    )
+    server, service = make_server(args)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        host, port = server.server_address[:2]
+        url = f"http://{host}:{port}"
+        png = _png_bytes(80, 80, seed=4)
+        with _post(url + "/infer?format=labels", png) as r:
+            before = np.frombuffer(r.read(), dtype="<u2").reshape(80, 80)
+
+        # "retrain": a different model lands at the same path
+        runtime_b, config_b = _save_model(model_path, seed=9)
+        with _post(url + "/reload", b"") as r:
+            info = json.loads(r.read())
+        assert info["status"] == "reloaded"
+        assert info["reload_count"] == 1
+
+        with urllib.request.urlopen(url + "/model", timeout=30) as r:
+            model_info = json.loads(r.read())
+        assert model_info["reload_count"] == 1
+
+        with _post(url + "/infer?format=labels", png) as r:
+            after = np.frombuffer(r.read(), dtype="<u2").reshape(80, 80)
+
+        # the new model's labels match a fresh local inferer on model B
+        from annonet_tpu.infer.core import TiledInferer, annonet_infer
+        from annonet_tpu.infer.tiling import TilingParameters
+        from annonet_tpu.models.segnet import required_input_dimension
+
+        ov = required_input_dimension(config_b)
+        local = TiledInferer(
+            runtime_b, config_b, TilingParameters(64, 64, ov, ov)
+        )
+        expected = annonet_infer(local, service.decode(png))
+        np.testing.assert_array_equal(after, expected)
+        assert before.shape == after.shape
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_reload_failure_keeps_old_model(tmp_path):
+    model_path = str(tmp_path / "annonet.dnn")
+    _save_model(model_path, seed=0)
+    args = build_parser().parse_args(
+        ["--model", model_path, "--port", "0",
+         "--tile-max-width", "64", "--tile-max-height", "64"]
+    )
+    server, service = make_server(args)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        host, port = server.server_address[:2]
+        url = f"http://{host}:{port}"
+        png = _png_bytes(64, 64, seed=1)
+        with _post(url + "/infer?format=labels", png) as r:
+            before = np.frombuffer(r.read(), dtype="<u2")
+
+        with open(model_path, "wb") as f:
+            f.write(b"not a model")
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            _post(url + "/reload", b"")
+        assert exc_info.value.code == 409
+
+        # old model still serves, identically
+        with _post(url + "/infer?format=labels", png) as r:
+            after = np.frombuffer(r.read(), dtype="<u2")
+        np.testing.assert_array_equal(before, after)
+        with urllib.request.urlopen(url + "/model", timeout=30) as r:
+            assert json.loads(r.read())["reload_count"] == 0
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_reload_stale_calibration_needs_recalibrate(tmp_path):
+    """A retrained artifact fails fingerprint-checked --calibration reload
+    (409, old model keeps serving); ?recalibrate=1 drops the file and
+    recalibrates at runtime."""
+    from annonet_tpu.infer.core import TiledInferer
+    from annonet_tpu.infer.tiling import TilingParameters
+    from annonet_tpu.models.segnet import required_input_dimension
+
+    model_path = str(tmp_path / "annonet.dnn")
+    calib_path = str(tmp_path / "calib.npz")
+    runtime_a, config = _save_model(model_path, seed=0)
+
+    ov = required_input_dimension(config)
+    calibrator = TiledInferer(
+        runtime_a, config, TilingParameters(64, 64, ov, ov),
+        quantize="int8",
+    )
+    rng = np.random.default_rng(0)
+    calibrator.infer_arrays(
+        rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
+    )
+    serialization.save_calibration(
+        calib_path, calibrator.export_calibration(), config,
+        runtime_params=runtime_a,
+    )
+
+    args = build_parser().parse_args(
+        ["--model", model_path, "--port", "0", "--quantize", "int8",
+         "--calibration", calib_path,
+         "--tile-max-width", "64", "--tile-max-height", "64"]
+    )
+    server, service = make_server(args)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        host, port = server.server_address[:2]
+        url = f"http://{host}:{port}"
+
+        _save_model(model_path, seed=5)  # retrained weights
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            _post(url + "/reload", b"")
+        assert exc_info.value.code == 409
+        assert "calibrated for different trained weights" in json.loads(
+            exc_info.value.read()
+        )["error"]
+
+        with _post(url + "/reload?recalibrate=1", b"") as r:
+            info = json.loads(r.read())
+        assert info["status"] == "reloaded"
+        assert info["recalibrate"] is True
+
+        png = _png_bytes(64, 64, seed=2)
+        with _post(url + "/infer?format=labels", png) as r:
+            labels = np.frombuffer(r.read(), dtype="<u2")
+        assert labels.max() < 3
+    finally:
+        server.shutdown()
+        server.server_close()
