@@ -659,11 +659,25 @@ def make_server(args, service: Optional[_ModelService] = None):
             else:
                 self._send_json(404, {"error": "not found"})
 
+        def _drain_body(self):
+            # consume any request body so a keep-alive connection stays
+            # in sync for routes that don't read one (/reload, 404s)
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+            except ValueError:
+                length = 0
+            while length > 0:
+                chunk = self.rfile.read(min(length, 1 << 20))
+                if not chunk:
+                    break
+                length -= len(chunk)
+
         def do_POST(self):
             url = urlparse(self.path)
             if url.path == "/reload":
                 # hot-swap to the artifact on disk; on failure the old
                 # model keeps serving and the error comes back as 409
+                self._drain_body()
                 query = parse_qs(url.query)
                 recal = query.get("recalibrate", ["0"])[0] in ("1", "true")
                 try:
@@ -672,6 +686,7 @@ def make_server(args, service: Optional[_ModelService] = None):
                     self._send_json(409, {"error": str(e)})
                 return
             if url.path != "/infer":
+                self._drain_body()
                 self._send_json(404, {"error": "not found"})
                 return
             st = svc.state  # one model per request, even across a reload

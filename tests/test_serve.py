@@ -544,3 +544,38 @@ def test_reload_stale_calibration_needs_recalibrate(tmp_path):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_keepalive_survives_reload_and_404_with_body(tmp_path):
+    """Routes that ignore the request body must still drain it, or a
+    keep-alive connection desyncs for the next request."""
+    import http.client
+
+    model_path = str(tmp_path / "annonet.dnn")
+    _save_model(model_path, seed=0)
+    args = build_parser().parse_args(
+        ["--model", model_path, "--port", "0",
+         "--tile-max-width", "64", "--tile-max-height", "64"]
+    )
+    server, _service = make_server(args)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        host, port = server.server_address[:2]
+        conn = http.client.HTTPConnection(host, port, timeout=60)
+        body = b"x" * 4096
+        conn.request("POST", "/reload", body=body)
+        assert conn.getresponse().read()  # 200, drained
+        conn.request("POST", "/nonexistent", body=body)
+        r = conn.getresponse()
+        assert r.status == 404
+        r.read()
+        # the SAME connection still works for a real request
+        conn.request("GET", "/healthz")
+        r = conn.getresponse()
+        assert r.status == 200
+        assert json.loads(r.read())["status"] == "ok"
+        conn.close()
+    finally:
+        server.shutdown()
+        server.server_close()
