@@ -309,8 +309,9 @@ class _ModelService:
         --save-interval minibatches): a long-lived server can pick up the
         retrained artifact without dropping traffic. The new model is
         loaded and its programs warmed (same --warmup sizes) WHILE the
-        old model keeps serving — device sections interleave through
-        device_lock — then the state pointer swaps atomically. On any
+        old model keeps serving — warm-up drives the new inferer
+        directly, outside device_lock, so live requests never wait on an
+        XLA compile — then the state pointer swaps atomically. On any
         failure (missing/corrupt artifact, class-count vs -g mismatch,
         stale --calibration fingerprint) the old model keeps serving and
         the error is reported.
@@ -649,6 +650,7 @@ def make_server(args, service: Optional[_ModelService] = None):
                        json.dumps(obj).encode("utf-8"))
 
         def do_GET(self):
+            self._drain_body()  # a GET carrying a body must not desync
             path = urlparse(self.path).path
             if path in ("/healthz", "/"):
                 self._send_json(200, svc.healthz())
@@ -661,11 +663,16 @@ def make_server(args, service: Optional[_ModelService] = None):
 
         def _drain_body(self):
             # consume any request body so a keep-alive connection stays
-            # in sync for routes that don't read one (/reload, 404s)
+            # in sync for routes that don't read one (/reload, GETs,
+            # 404s). Bodies over the /infer cap are not drained — the
+            # connection is marked close instead of streaming gigabytes
             try:
                 length = int(self.headers.get("Content-Length", "0"))
             except ValueError:
                 length = 0
+            if length > self.max_body_bytes:
+                self.close_connection = True
+                return
             while length > 0:
                 chunk = self.rfile.read(min(length, 1 << 20))
                 if not chunk:
@@ -776,9 +783,16 @@ def _parse_warmup_spec(spec: str):
 def _warmup_one(service: _ModelService, state: _ModelState,
                 h: int, w: int) -> None:
     """Compile (and, with a calibration, quantize) STATE's program for one
-    canvas size. Used at startup and for each reload's pre-swap warm-up —
-    device sections take device_lock inside infer, so a reload's warm-up
-    interleaves with live traffic on the old model."""
+    canvas size. Used at startup and for each reload's pre-swap warm-up.
+
+    Drives STATE's inferer DIRECTLY — deliberately NOT through
+    service.infer: (a) the 20-40 s XLA compile must not run under
+    device_lock, which would stall every live request during a reload
+    (the lazy compile happens inside infer_arrays; the warm-up device
+    pass merely interleaves with live dispatches, which JAX serializes
+    safely in-process); (b) warm-up passes must not count as served
+    requests or push their multi-second compile latencies into the
+    /stats percentiles."""
     import numpy as np
 
     print(f"Warming up {h}x{w}...", flush=True)
@@ -786,7 +800,20 @@ def _warmup_one(service: _ModelService, state: _ModelState,
     image = np.full(
         (h, w, 1 if state.config.grayscale else 3), 127, np.uint8
     )
+    if state.downscaling_factor != 1.0:
+        # the request path downscales before the device pass (infer);
+        # warm the canvas size real requests of h x w will actually hit
+        from annonet_tpu.data.sample import resize_image_bilinear
+
+        dh = max(1, int(round(h / state.downscaling_factor)))
+        dw = max(1, int(round(w / state.downscaling_factor)))
+        image = resize_image_bilinear(image, dw, dh)
     inferer = state.inferer
+    with_detection = any(d != 0.0 for d in state.default_detection)
+    kwargs = (
+        {"detection_levels": state.default_detection}
+        if with_detection else {}
+    )
     synthetic_calib = (
         state.quantize == "int8" and not inferer._calib_frozen
         and inferer._preloaded_calib is None
@@ -803,11 +830,11 @@ def _warmup_one(service: _ModelService, state: _ModelState,
             flush=True,
         )
         with inferer.pause_calibration():
-            service.infer(image, state.default_gains,
-                          state.default_detection, state=state)
+            inferer.infer_arrays(
+                image, gains=state.default_gains, **kwargs
+            )
     else:
-        service.infer(image, state.default_gains,
-                      state.default_detection, state=state)
+        inferer.infer_arrays(image, gains=state.default_gains, **kwargs)
     print(f"  compiled + ran in {time.monotonic() - t0:.1f} s",
           flush=True)
     from annonet_tpu.infer.tiling import bucket_dim

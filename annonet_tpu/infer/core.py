@@ -120,11 +120,10 @@ def _accumulate_canvas(
     canvas. weighted is [n, m, tile_h, piece_w]; tile i covers rows
     [y, y+tile_h) and columns [x_to_col(x), x_to_col(x)+piece_w).
 
-    Default layout: per-tile-row strips built with independent (hence
-    schedulable) update-slice chains, then ONE concat along H where the
-    only arithmetic is the small strip-overlap bands (y offsets are
-    8-multiples — sublane-aligned). Falls back to the flat chain for
-    non-grid layouts or under ANNONET_TPU_BLEND_STRIPS=0."""
+    SHIPPED layout: the flat serialized update-slice chain. The strip
+    alternative (per-tile-row strips + one sublane-aligned H-concat;
+    opt-in via ANNONET_TPU_BLEND_STRIPS=1) measured a WASH and regroups
+    the float adds in y-overlap bands — see _blend_strips."""
     ys = sorted({y for y, _ in tile_yx})
     usable = (
         _blend_strips()

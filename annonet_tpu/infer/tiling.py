@@ -286,20 +286,28 @@ def plan_for_counts(
     )
 
 
+def _ramp_1d(n: int, ov: int, dtype=np.float32) -> np.ndarray:
+    """The 1-D edge-distance blend ramp (reference get_t,
+    annonet_infer.cpp:102-114). THE single definition: ramp_weights
+    builds the 2-D map from it and weight_sum_factors builds the exact
+    wsum factorization the int8 argmax fold relies on — the two MUST
+    stay the same formula."""
+    j = np.arange(n, dtype=dtype)
+    return np.minimum(
+        1.0, np.minimum((j + 1.0) / (ov + 1.0), (n - j) / (ov + 1.0))
+    )
+
+
 def ramp_weights(tile_h: int, tile_w: int, overlap_y: int, overlap_x: int) -> np.ndarray:
     """The shared [tile_h, tile_w] float32 blend-weight map.
 
     Separable product of 1-D edge-distance ramps; the device analog of the
     reference's get_t bilinear ramp (annonet_infer.cpp:102-114).
     """
-
-    def ramp(n: int, ov: int) -> np.ndarray:
-        j = np.arange(n, dtype=np.float32)
-        return np.minimum(
-            1.0, np.minimum((j + 1.0) / (ov + 1.0), (n - j) / (ov + 1.0))
-        )
-
-    return ramp(tile_h, overlap_y)[:, None] * ramp(tile_w, overlap_x)[None, :]
+    return (
+        _ramp_1d(tile_h, overlap_y)[:, None]
+        * _ramp_1d(tile_w, overlap_x)[None, :]
+    )
 
 
 def inverse_weight_sum(plan: TilePlan) -> np.ndarray:
@@ -335,18 +343,12 @@ def weight_sum_factors(plan: TilePlan):
     if set(plan.tile_yx) != {(y, x) for y in ys for x in xs}:
         return None
 
-    def ramp1d(n: int, ov: int) -> np.ndarray:
-        j = np.arange(n, dtype=np.float64)
-        return np.minimum(
-            1.0, np.minimum((j + 1.0) / (ov + 1.0), (n - j) / (ov + 1.0))
-        )
-
     wy = np.zeros(plan.padded_height, np.float64)
-    rh = ramp1d(plan.tile_height, plan.overlap_y)
+    rh = _ramp_1d(plan.tile_height, plan.overlap_y, np.float64)
     for y in ys:
         wy[y : y + plan.tile_height] += rh
     wx = np.zeros(plan.padded_width, np.float64)
-    rw = ramp1d(plan.tile_width, plan.overlap_x)
+    rw = _ramp_1d(plan.tile_width, plan.overlap_x, np.float64)
     for x in xs:
         wx[x : x + plan.tile_width] += rw
     return (

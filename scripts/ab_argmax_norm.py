@@ -4,18 +4,21 @@ The no-detection label map only needs argmax_k(acc*inv_wsum + g), which
 equals argmax_k(acc + g*wsum); wsum factorizes over grid plans
 (tiling.weight_sum_factors), so the gain term becomes two 1-D broadcasts
 fused into the argmax and the full-canvas inv-wsum broadcast/convert/
-multiply passes (~0.8 ms/image at 4096² per scripts/analyze_int8_hlo.py:
-broadcast.244 + copy.146 + mul.157) disappear. Interleaved A/B in one
-process; counts label disagreements (expected ~0: only exact float ties
-can flip).
+multiply passes (~0.8 ms/image at 4096² per scripts/analyze_int8_hlo.py)
+disappear. Label disagreements expected ~0 (only near-tie bf16 rounding
+can flip; measured 161/16.8M px).
+
+Measured (round 3, seventh session): folded-gain wins, 732->769 and
+741->766 Mpx/s — SHIPPED as the default; ANNONET_TPU_NO_ARGMAX_FOLD=1
+re-measures the old normalize path.
 
 Run alone on the TPU.
 """
 
 import os
 import sys
-import time
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from annonet_tpu.cli.common import apply_platform_env
@@ -26,6 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ab_util import run_interleaved_ab
 from annonet_tpu.infer.core import TiledInferer
 from annonet_tpu.infer.tiling import TilingParameters
 from annonet_tpu.models.segnet import (
@@ -37,8 +41,6 @@ from annonet_tpu.models.segnet import (
 
 SIZE = int(os.environ.get("AB_SIZE", "4096"))
 TILE = int(os.environ.get("AB_TILE", "1088"))
-ITERS = 5
-ROUNDS = 4
 
 
 def main() -> None:
@@ -53,45 +55,15 @@ def main() -> None:
         rng.integers(0, 256, size=(SIZE, SIZE, 3), dtype=np.uint8)
     )
     float(jnp.max(image).astype(jnp.int32))
-    mpx = SIZE * SIZE * ITERS / 1e6
 
-    # knob read at trace time; programs cache per inferer instance
-    inferers = {}
-    outs = {}
-    for name, env in (("normalize", "1"), ("folded-gain", "")):
-        os.environ["ANNONET_TPU_NO_ARGMAX_FOLD"] = env
-        inf = TiledInferer(rp, config, tiling, quantize="int8")
-        for _ in range(2):  # calib program + int8 program
-            labels, _ = inf.infer_arrays(image, device_output=True)
-            float(jnp.max(labels).astype(jnp.int32))
-        inferers[name] = inf
-        outs[name] = labels
-    os.environ.pop("ANNONET_TPU_NO_ARGMAX_FOLD", None)
-    mism = int(jnp.sum(outs["normalize"] != outs["folded-gain"]))
-    print(f"label disagreement: {mism} px ({mism / SIZE / SIZE:.5%})",
-          flush=True)
-
-    trivial = jax.jit(lambda a: a[0, 0].astype(jnp.int32))
-    float(trivial(outs["normalize"]))
-    t0 = time.monotonic()
-    for _ in range(3):
-        float(trivial(outs["normalize"]))
-    rtt = (time.monotonic() - t0) / 3
-
-    rates = {k: [] for k in inferers}
-    for _r in range(ROUNDS):
-        for name, inf in inferers.items():
-            t0 = time.monotonic()
-            for _ in range(ITERS):
-                labels, _ = inf.infer_arrays(image, device_output=True)
-            float(jnp.max(labels).astype(jnp.int32))
-            rates[name].append(
-                mpx / max(1e-9, time.monotonic() - t0 - rtt)
-            )
-    for name, rs in rates.items():
-        med = sorted(rs)[len(rs) // 2]
-        print(f"{name}: median {med:.1f} Mpx/s  "
-              f"({['%.1f' % r for r in rs]})", flush=True)
+    run_interleaved_ab(
+        lambda: TiledInferer(rp, config, tiling, quantize="int8"),
+        [
+            ("normalize", {"ANNONET_TPU_NO_ARGMAX_FOLD": "1"}),
+            ("folded-gain", {"ANNONET_TPU_NO_ARGMAX_FOLD": None}),
+        ],
+        image,
+    )
 
 
 if __name__ == "__main__":

@@ -5,15 +5,21 @@ zero-initialized canvas (~1.3 ms/image at 4096² per
 scripts/analyze_int8_hlo.py). Strips build one accumulator per tile ROW
 (independent chains of depth count_x) and join them with ONE
 sublane-aligned concat whose only arithmetic is the strip-overlap bands.
-Per-pixel add order is identical -> bit-identical labels expected.
+
+NOT bit-identical: the strip pre-sums regroup the float adds in
+y-overlap bands ((a1+a2)+(b1+b2) vs (((a1+a2)+b1)+b2)) — measured
+26/16.8M px flipped at 4096² bf16. Measured rate (round 3, seventh
+session): a WASH, 774.9 strips vs 778.2 flat — XLA already overlaps the
+DUS chain with the conv stream. The flat chain ships;
+ANNONET_TPU_BLEND_STRIPS=1 re-measures (docs/DESIGN.md §26).
 
 Run alone on the TPU.
 """
 
 import os
 import sys
-import time
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from annonet_tpu.cli.common import apply_platform_env
@@ -24,6 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ab_util import run_interleaved_ab
 from annonet_tpu.infer.core import TiledInferer
 from annonet_tpu.infer.tiling import TilingParameters
 from annonet_tpu.models.segnet import (
@@ -35,8 +42,6 @@ from annonet_tpu.models.segnet import (
 
 SIZE = int(os.environ.get("AB_SIZE", "4096"))
 TILE = int(os.environ.get("AB_TILE", "1088"))
-ITERS = 5
-ROUNDS = 4
 
 
 def main() -> None:
@@ -51,45 +56,15 @@ def main() -> None:
         rng.integers(0, 256, size=(SIZE, SIZE, 3), dtype=np.uint8)
     )
     float(jnp.max(image).astype(jnp.int32))
-    mpx = SIZE * SIZE * ITERS / 1e6
 
-    # knob read at trace time; programs cache per inferer instance
-    inferers = {}
-    outs = {}
-    for name, env in (("flat-chain", "0"), ("strips", "1")):
-        os.environ["ANNONET_TPU_BLEND_STRIPS"] = env
-        inf = TiledInferer(rp, config, tiling, quantize="int8")
-        for _ in range(2):  # calib program + int8 program
-            labels, _ = inf.infer_arrays(image, device_output=True)
-            float(jnp.max(labels).astype(jnp.int32))
-        inferers[name] = inf
-        outs[name] = labels
-    os.environ.pop("ANNONET_TPU_BLEND_STRIPS", None)
-    mism = int(jnp.sum(outs["flat-chain"] != outs["strips"]))
-    print(f"label disagreement: {mism} px ({mism / SIZE / SIZE:.5%})",
-          flush=True)
-
-    trivial = jax.jit(lambda a: a[0, 0].astype(jnp.int32))
-    float(trivial(outs["flat-chain"]))
-    t0 = time.monotonic()
-    for _ in range(3):
-        float(trivial(outs["flat-chain"]))
-    rtt = (time.monotonic() - t0) / 3
-
-    rates = {k: [] for k in inferers}
-    for _r in range(ROUNDS):
-        for name, inf in inferers.items():
-            t0 = time.monotonic()
-            for _ in range(ITERS):
-                labels, _ = inf.infer_arrays(image, device_output=True)
-            float(jnp.max(labels).astype(jnp.int32))
-            rates[name].append(
-                mpx / max(1e-9, time.monotonic() - t0 - rtt)
-            )
-    for name, rs in rates.items():
-        med = sorted(rs)[len(rs) // 2]
-        print(f"{name}: median {med:.1f} Mpx/s  "
-              f"({['%.1f' % r for r in rs]})", flush=True)
+    run_interleaved_ab(
+        lambda: TiledInferer(rp, config, tiling, quantize="int8"),
+        [
+            ("flat-chain", {"ANNONET_TPU_BLEND_STRIPS": "0"}),
+            ("strips", {"ANNONET_TPU_BLEND_STRIPS": "1"}),
+        ],
+        image,
+    )
 
 
 if __name__ == "__main__":

@@ -299,7 +299,9 @@ def test_warmup_precompiles_and_rejects_bad_spec(tmp_path, capsys):
     )
     service = _ModelService(args)
     _warmup(service, ["72x80"])
-    assert service.requests_served == 1
+    # warm-up passes are NOT served requests: they must not pollute the
+    # /stats counters/percentiles with their compile latencies
+    assert service.requests_served == 0
     assert len(service.inferer._compiled) >= 1
 
     with pytest.raises(RuntimeError, match="bad --warmup size"):
