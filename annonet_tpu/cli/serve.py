@@ -352,7 +352,8 @@ class _ModelService:
         layout (exact grayscale conversion parity with data.sample)."""
         from PIL import Image
 
-        grayscale = (state or self.state).config.grayscale
+        grayscale = (state.config if state is not None
+                     else self.config).grayscale
         with Image.open(io.BytesIO(body)) as im:
             im = im.convert("L" if grayscale else "RGB")
             arr = __import__("numpy").asarray(im, dtype="uint8")
@@ -388,7 +389,8 @@ class _ModelService:
                 f"{h}*{w}*{c} = {h * w * c}"
             )
         arr = np.frombuffer(body, dtype=np.uint8).reshape(h, w, c)
-        grayscale = (state or self.state).config.grayscale
+        grayscale = (state.config if state is not None
+                     else self.config).grayscale
         want = 1 if grayscale else 3
         if c != want:
             mode = "L" if c == 1 else "RGB"
@@ -529,7 +531,8 @@ class _ModelService:
         )
 
         rgba = index_label_image_to_rgba_label_image(
-            labels, (state or self.state).anno_classes
+            labels,
+            state.anno_classes if state is not None else self.anno_classes,
         )
         buf = io.BytesIO()
         Image.fromarray(rgba, mode="RGBA").save(buf, format="PNG")

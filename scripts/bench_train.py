@@ -77,11 +77,19 @@ def main():
         float(trivial(loss))
     rtt = (time.monotonic() - t0) / 3
 
+    # PRE-SPLIT keys and hoist scalars: a jax.random.split or an eager
+    # jnp.float32(x) inside the timed loop is one extra host->device
+    # round trip PER ITERATION (~30-40 ms each on the tunneled dev box)
+    # and misread the 20 ms step as ~110 ms (docs/ROUND3.md measurement
+    # discipline; the shipped Trainer folds the key into the step)
+    subs = list(jax.random.split(key, args.iters))
+    momentum = jnp.float32(0.99)
+    # force key/scalar uploads to finish before the timed loop
+    float(jnp.max(jnp.stack(subs)).astype(jnp.float32) + momentum)
     t0 = time.monotonic()
     for i in range(args.iters):
-        key, sub = jax.random.split(key)
         params, bn_stats, velocity, loss = step(
-            params, bn_stats, velocity, lr, jnp.float32(0.99), sub, images,
+            params, bn_stats, velocity, lr, momentum, subs[i], images,
             labels
         )
     final_loss = float(loss)  # forces completion of the whole chain
