@@ -98,6 +98,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="Capture a jax.profiler trace of the training loop")
+    p.add_argument("--metrics-jsonl", default=None, metavar="PATH",
+                   help="Append structured training metrics as JSON lines "
+                        "(TPU extension; printed output is unchanged): "
+                        "per-step loss/LR events (downsampled to every "
+                        "--metrics-interval'th recorded step), LR shrinks, "
+                        "model saves, and start/done/error records")
+    p.add_argument("--metrics-interval", type=int, default=100, metavar="N",
+                   help="Keep every Nth recorded loss event in "
+                        "--metrics-jsonl (default 100, the verbose print "
+                        "cadence; 1 = every step)")
     p.add_argument("--remat", action="store_true",
                    help="Rematerialize activations in the backward pass "
                         "(fits larger minibatches; ~1/3 more compute)")
@@ -317,6 +327,30 @@ def _run_impl(args, input_directory, stack) -> int:
     else:
         trainer = Trainer(model_config, trainer_config, seed=args.seed)
 
+    metrics = None
+    if args.metrics_jsonl:
+        from annonet_tpu.utils.metrics import MetricsWriter
+
+        metrics = MetricsWriter(args.metrics_jsonl, args.metrics_interval)
+        stack.callback(metrics.close)
+        trainer.metrics_hook = metrics.hook
+        metrics.event(
+            "start",
+            input_directory=input_directory,
+            minibatch_size=minibatch_size,
+            class_count=len(anno_classes),
+            level_count=args.level_count,
+            grayscale=args.grayscale,
+            net_width_scaler=args.net_width_scaler,
+            initial_learning_rate=args.initial_learning_rate,
+            min_learning_rate=args.min_learning_rate,
+            initial_downscaling_factor=args.initial_downscaling_factor,
+            further_downscaling_factor=args.further_downscaling_factor,
+            mesh=args.mesh,
+            seed=args.seed,
+            resumed_at_step=trainer.step_count,
+        )
+
     print("\nSCANNING ANNO DATASET\n")
     image_files = find_image_files(input_directory, require_ground_truth=True)
     print(f"images in dataset: {len(image_files)}")
@@ -360,6 +394,8 @@ def _run_impl(args, input_directory, stack) -> int:
             anno_classes_json,
             downscaling_factor=downscaling_total,
         )
+        if metrics is not None:
+            metrics.event("save", step=minibatch, path=args.output)
 
     print("\nNow training...")
     from annonet_tpu.utils import profiler_trace, set_low_priority
@@ -367,6 +403,7 @@ def _run_impl(args, input_directory, stack) -> int:
     set_low_priority()  # annonet_train_main.cpp:514
     warnings_already_printed = set()
     minibatch = 0
+    train_started = time.monotonic()
 
     # Device-resident image cache (TPU extension, docs/DESIGN.md round 3):
     # crops are gathered on device from an HBM pool mirroring the host LRU;
@@ -465,11 +502,19 @@ def _run_impl(args, input_directory, stack) -> int:
                     minibatch += 1
         except Exception as e:  # noqa: BLE001
             print(e)
+            if metrics is not None:
+                metrics.event("error", message=str(e))
             return 2
 
     trainer.flush_pending_steps()  # dispatch any buffered superstep tail
     save_inference_net()
     trainer.save_sync_file()
+    if metrics is not None:
+        metrics.event(
+            "done",
+            steps=minibatch,
+            wall_seconds=round(time.monotonic() - train_started, 3),
+        )
     return 0
 
 

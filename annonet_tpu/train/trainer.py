@@ -401,6 +401,14 @@ class Trainer:
         self.previous_loss_values: list = []
         self._pending_losses: list = []
         self.steps_without_progress = 0
+        # optional structured-metrics callback: called with a dict for every
+        # RECORDED loss ({"event": "loss", step, loss, learning_rate,
+        # steps_without_progress}) and each LR shrink
+        # ({"event": "learning_rate_shrink", ...}). Under
+        # loss_sync_interval > 1 events fire at flush time, in step order —
+        # the same lag the plateau detector sees. The CLI wires
+        # --metrics-jsonl to this.
+        self.metrics_hook = None
         self._last_sync = time.monotonic()
         # opt_jit == jax.jit unless ANNONET_TPU_COMPILER_OPTIONS is set
         # (per-program TPU compiler flags, utils/compile_opts.py)
@@ -761,6 +769,20 @@ class Trainer:
                         f"step {self._recorded_steps}: learning rate "
                         f"shrunk to {self.learning_rate:g}"
                     )
+                if self.metrics_hook is not None:
+                    self.metrics_hook({
+                        "event": "learning_rate_shrink",
+                        "step": self._recorded_steps,
+                        "learning_rate": self.learning_rate,
+                    })
+        if self.metrics_hook is not None:
+            self.metrics_hook({
+                "event": "loss",
+                "step": self._recorded_steps,
+                "loss": loss_value,
+                "learning_rate": self.learning_rate,
+                "steps_without_progress": self.steps_without_progress,
+            })
         if self.config.verbose and self._recorded_steps % 100 == 0:
             dump = self.previous_loss_values[
                 -self.config.previous_loss_values_dump_amount :

@@ -730,3 +730,58 @@ def test_every_entry_point_pins_the_platform():
     )
     with open(bench) as f:
         assert "apply_platform_env" in f.read()
+
+
+@pytest.mark.slow
+def test_train_metrics_jsonl(tmp_path, capsys):
+    """--metrics-jsonl appends a structured event stream: start, every
+    recorded loss at --metrics-interval 1, model saves, and done (TPU
+    extension — the printed verbose output is unchanged)."""
+    import json
+
+    from annonet_tpu.cli.train import main as train_main
+
+    write_synthetic_dataset(tmp_path)
+    metrics_path = tmp_path / "metrics.jsonl"
+    rc = train_main(
+        [
+            str(tmp_path),
+            "--max-total-steps", "6",
+            "-b", "4",
+            "--level-count", "0",
+            "--net-width-scaler", "0.5",
+            "--input-dimension-multiplier", "1.0",
+            "--data-loader-thread-count", "1",
+            "--loss-sync-interval", "2",
+            "--steps-per-dispatch", "2",
+            "--output", str(tmp_path / "annonet.dnn"),
+            "--sync-file", str(tmp_path / "sync.dat"),
+            "--metrics-jsonl", str(metrics_path),
+            "--metrics-interval", "1",
+        ]
+    )
+    assert rc == 0
+    events = [
+        json.loads(line)
+        for line in metrics_path.read_text().splitlines()
+    ]
+    kinds = [e["event"] for e in events]
+    assert kinds[0] == "start"
+    assert kinds[-1] == "done"
+    assert "save" in kinds
+    start = events[0]
+    assert start["minibatch_size"] == 4
+    assert start["class_count"] == 2
+    losses = [e for e in events if e["event"] == "loss"]
+    # all 6 dispatched steps' losses are recorded by exit (flushed), in order
+    assert [e["step"] for e in losses] == list(range(1, 7))
+    for e in losses:
+        assert np.isfinite(e["loss"])
+        assert e["learning_rate"] > 0
+        assert "steps_without_progress" in e
+        assert "time" in e
+    done = events[-1]
+    assert done["steps"] == 6
+    assert done["wall_seconds"] > 0
+    saves = [e for e in events if e["event"] == "save"]
+    assert saves[-1]["step"] == 6 and saves[0]["step"] == 0
