@@ -97,21 +97,15 @@ def apply_platform_env() -> None:
 def default_tile_max() -> int:
     """The auto (-w/-h unset) max-tile dimension for the current backend.
 
-    The reference's default is hardware-conditional — 1024 on its CUDA
-    build, 4096 on CPU (annonet_infer_main.cpp:300-307) — so the TPU
-    build's auto default is measured, not inherited: a max tile of 1088
-    plans 4096^2 images as a 4x4 grid of 1072-px tiles (folded width
-    WB=134) instead of 1024's 5x5 grid of 872-px tiles (WB=109), which
-    is +12% int8 / +28% bf16 end-to-end on v5e (675 vs 600 Mpx/s int8 at
-    4096^2; 692 vs 627 at 8192^2 — sweep table in docs/DESIGN.md par.22;
-    larger tiles LOSE: XLA's folded-conv emitters cliff ~2x at WB=176).
-    Non-TPU backends keep the reference accelerator default of 1024.
-    Calling this initializes the JAX backend — resolve AFTER mesh setup
-    and --device selection.
+    Canonical definition lives with the tile planner
+    (annonet_tpu.infer.tiling.default_tile_max) so TiledInferer's own
+    no-tiling default uses it too; this alias keeps the CLI-layer import
+    path. Calling it initializes the JAX backend — resolve AFTER mesh
+    setup and --device selection.
     """
-    import jax
+    from annonet_tpu.infer.tiling import default_tile_max as _impl
 
-    return 1088 if jax.default_backend() == "tpu" else 1024
+    return _impl()
 
 
 def select_device(device_index):

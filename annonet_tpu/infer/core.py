@@ -578,8 +578,14 @@ class TiledInferer:
         self.use_pallas_conv = use_pallas_conv
         self._folded_cache: Dict[Tuple[int, bool], Tuple] = {}
         if tiling is None:
+            # the measured hardware-conditional tile default (1088 on TPU,
+            # +12% int8 / +28% bf16 over 1024 at 4096^2 — DESIGN.md par.22),
+            # so library embedders get the same plan as the CLIs
+            from annonet_tpu.infer.tiling import default_tile_max
+
+            tile_max = default_tile_max()
             overlap = required_input_dimension(config)
-            tiling = TilingParameters(overlap_x=overlap, overlap_y=overlap)
+            tiling = TilingParameters(tile_max, tile_max, overlap, overlap)
         if tiling.overlap_x < 0 or tiling.overlap_y < 0:
             raise ValueError("tile overlap must be non-negative")
         self.tiling = tiling

@@ -42,6 +42,28 @@ import numpy as np
 from annonet_tpu.models.segnet import SegNetConfig, recommended_input_dimension
 
 
+def default_tile_max() -> int:
+    """The auto max-tile dimension for the current backend.
+
+    The reference's default is hardware-conditional — 1024 on its CUDA
+    build, 4096 on CPU (annonet_infer_main.cpp:300-307) — so the TPU
+    build's auto default is measured, not inherited: a max tile of 1088
+    plans 4096^2 images as a 4x4 grid of 1072-px tiles (folded width
+    WB=134) instead of 1024's 5x5 grid of 872-px tiles (WB=109), which
+    is +12% int8 / +28% bf16 end-to-end on v5e (sweep table in
+    docs/DESIGN.md par.22; larger tiles LOSE: XLA's folded-conv emitters
+    cliff ~2x at WB=176). Non-TPU backends keep the reference
+    accelerator default of 1024. Used by the CLIs when -w/-h are unset
+    AND by TiledInferer when no TilingParameters are passed, so library
+    embedders get the measured plan too. Calling this initializes the
+    JAX backend — in CLIs, resolve AFTER mesh setup and --device
+    selection.
+    """
+    import jax
+
+    return 1088 if jax.default_backend() == "tpu" else 1024
+
+
 @dataclasses.dataclass(frozen=True)
 class TilingParameters:
     """Mirrors tiling::parameters (annonet_infer_main.cpp:423-427)."""
