@@ -615,6 +615,13 @@ class TiledInferer:
         self._mosaic_flatten = (
             _os.environ.get("ANNONET_TPU_MOSAIC_FLATTEN") == "1"
         )
+        # stem y-tap-concat rewrite (quantized_runtime.ycat_stem_qspec):
+        # bit-exact, opt-in pending the composed device A/B
+        # (scripts/ab_stem_ycat.py). Read once — program identity.
+        self.stem_ycat = (
+            _os.environ.get("ANNONET_TPU_STEM_YCAT") == "1"
+            and self.quantize == "int8"
+        )
         # tests/harnesses may force the Mosaic rewrite past the fast-WB
         # gate (CPU interpret-mode suites run tiny tiles whose WB is
         # never in the measured-fast set)
@@ -898,7 +905,18 @@ class TiledInferer:
         plain = self._quantized_cache[fold0]
         mode = self.mosaic_int8_mode
         if mode == "off":
-            return plain
+            if not self.stem_ycat:
+                return plain
+            ykey = (fold0, "ycat")
+            cached = self._mosaic_q_cache.get(ykey)
+            if cached is None:
+                from annonet_tpu.models.quantized_runtime import (
+                    ycat_stem_qspec,
+                )
+
+                cached = ycat_stem_qspec(*plain)
+                self._mosaic_q_cache[ykey] = cached
+            return cached
         from annonet_tpu.ops.int8_conv_mosaic import (
             MOSAIC_FAST_WB,
             mosaicize_qspec,

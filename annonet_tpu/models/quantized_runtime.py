@@ -288,6 +288,44 @@ def quantize_folded(
     return tuple(qspec), tuple(qarrays)
 
 
+def ycat_stem_qspec(qspec, qarrays):
+    """Rewrite the stem conv into y-tap-concat form ("qy1").
+
+    The stem is the one MXU-inefficient op left in the int8 program
+    (docs/DESIGN.md §26): its folded input has only fold0*C' <= 32 lanes,
+    so the 3x3 conv runs at ~91 TOP/s (v5e int8 peak ~394). Concatenating
+    the y-1/y/y+1 neighbor rows on the channel axis turns it into a
+    (1, 3) conv with 3x the input lanes (96 of 128) at identical FLOPs —
+    the same emitter-bypass move as the 1x1 head-as-dot (§24). Bit-exact
+    by construction: int32 accumulations of the same integer products
+    (integer addition is associative), verified in tests/test_quantized.py.
+    Opt-in via ANNONET_TPU_STEM_YCAT=1 pending the composed device A/B
+    (scripts/ab_stem_ycat.py); the trade is an extra HBM materialization
+    of the 3x-wide stem input vs the MXU-starved conv.
+    """
+    qspec = list(qspec)
+    qarrays = list(qarrays)
+    for i, kind in enumerate(qspec):
+        base = str(kind).split(":")[0]
+        if base in ("save_skip", "concat_skip") or base == "pad_input":
+            continue
+        if base != "qs1":
+            break  # the stem is the first conv; nothing to rewrite
+        w_q, scale, offset = qarrays[i]
+        w = np.asarray(w_q)
+        kh, kw, cin, cout = w.shape
+        assert (kh, kw) == (3, 3)
+        # rows ky-major then channel, matching the apply-side concat order
+        w_ycat = np.ascontiguousarray(
+            w.transpose(1, 0, 2, 3).reshape(kw, kh * cin, cout)
+        )[None]
+        suffix = kind[len(base):]  # keeps :pad4 (quantize_input scans it)
+        qspec[i] = "qy1" + suffix
+        qarrays[i] = (jnp.asarray(w_ycat), scale, offset)
+        break
+    return tuple(qspec), tuple(qarrays)
+
+
 def quantize_input(x_uint8: jnp.ndarray, fold0: int, qspec) -> jnp.ndarray:
     """uint8 [..., H, W, C] -> int8 width-folded [..., H, W/f0, f0*C'].
 
@@ -413,6 +451,24 @@ def apply_folded_int8(
             else:
                 strides, padding = FOLDED_CONV_GEOMETRY["s2"]
                 x = requant(qconv(x, w_q, strides, padding), scale, offset)
+        elif kind.split(":")[0] == "qy1":
+            # stem as a y-tap-concat (1,3) conv: 96 input lanes instead of
+            # 32 (ycat_stem_qspec; bit-exact — int32 sums of the same
+            # integer products). Row blocks are ky-major: x[y-1], x[y],
+            # x[y+1], zeros outside (== the conv's y zero-padding).
+            w_q, scale, offset = entry
+            z = jnp.zeros_like(x[:, :1])
+            xc = jnp.concatenate(
+                [
+                    jnp.concatenate([z, x[:, :-1]], axis=1),
+                    x,
+                    jnp.concatenate([x[:, 1:], z], axis=1),
+                ],
+                axis=-1,
+            )
+            x = requant(
+                qconv(xc, w_q, (1, 1), [(0, 0), (1, 1)]), scale, offset
+            )
         elif kind.split(":")[0] in geometry:
             strides, padding = geometry[kind.split(":")[0]]
             w_q, scale, offset = entry

@@ -462,3 +462,40 @@ def test_head_dot_and_conv_agree_exactly(monkeypatch):
         inferer = TiledInferer(runtime, config, tiling, quantize="int8")
         out[flag] = annonet_infer(inferer, image)
     np.testing.assert_array_equal(out["0"], out["1"])
+
+
+def test_stem_ycat_agrees_exactly(monkeypatch):
+    """The stem as a y-tap-concat (1,3) conv vs the plain 3x3 emitter
+    (ANNONET_TPU_STEM_YCAT=1, quantized_runtime.ycat_stem_qspec): int32
+    accumulations of the same integer products, so logits and labels must
+    agree bit-for-bit — including the grayscale :pad4 stem and image
+    heights where the tile grid clamps tiles flush to the edge."""
+    for config, seed in (
+        (SegNetConfig(class_count=3, level_count=1, base_width=16), 3),
+        (SegNetConfig(class_count=2, level_count=0, base_width=16,
+                      grayscale=True), 5),
+    ):
+        params, bn = init_state(jax.random.PRNGKey(seed), config)
+        runtime = fold_batchnorm(params, bn, config)
+        tiling = TilingParameters(64, 64, 20, 20)
+        rng = np.random.default_rng(seed)
+        image = rng.integers(
+            0, 256, size=(100, 90, config.in_channels), dtype=np.uint8
+        )
+
+        out = {}
+        for flag in ("0", "1"):
+            monkeypatch.setenv("ANNONET_TPU_STEM_YCAT", flag)
+            inferer = TiledInferer(runtime, config, tiling, quantize="int8")
+            out[flag] = annonet_infer(inferer, image)
+            if flag == "1":
+                # the rewrite must actually be in the executed spec
+                rewritten = [
+                    qspec
+                    for key, (qspec, _) in inferer._mosaic_q_cache.items()
+                    if key[1] == "ycat"
+                ]
+                assert rewritten and any(
+                    k.split(":")[0] == "qy1" for k in rewritten[0]
+                ), rewritten
+        np.testing.assert_array_equal(out["0"], out["1"])
