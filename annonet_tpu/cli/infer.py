@@ -58,6 +58,12 @@ def build_parser() -> argparse.ArgumentParser:
                    type=int, default=None, help="Device (TPU core) index")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="Capture a jax.profiler trace of the inference loop")
+    p.add_argument("--report-json", default=None, metavar="PATH",
+                   help="Write a machine-readable run report (TPU "
+                        "extension; printed output is unchanged): per-image "
+                        "timings, the timing summary, and — when ground "
+                        "truth exists — both confusion matrices with "
+                        "per-class recall/precision and total accuracy")
     p.add_argument("--pipeline-depth", type=int, default=2,
                    help="Images in flight on the device: the next image is "
                         "dispatched before the current result is read back "
@@ -374,6 +380,7 @@ def _run_impl(args, input_directory, stack) -> int:
 
     set_low_priority()  # annonet_infer_main.cpp:375
 
+    per_image_records: list = []
     confusion_matrix_per_pixel = new_confusion_matrix(len(anno_classes))
     confusion_matrix_per_region = new_confusion_matrix(len(anno_classes))
     ground_truth_count = 0
@@ -488,6 +495,15 @@ def _run_impl(args, input_directory, stack) -> int:
                 else seeds_np[sel + (slice(0, h), slice(0, w))]
             )
             result = detection_veto(labels, seeds)
+            per_image_records.append(
+                {
+                    "image": sample.image_filenames.image_filename,
+                    "width": sample.original_width,
+                    "height": sample.original_height,
+                    "milliseconds": round(share * 1000.0, 3),
+                    "first_group": first_group,
+                }
+            )
             total_inference += share
             # The whole first group is excluded from the excl-first stats:
             # the reference excludes the first (compile/warm-up) image
@@ -611,6 +627,52 @@ def _run_impl(args, input_directory, stack) -> int:
         print(format_confusion_matrix(confusion_matrix_per_pixel, anno_classes))
         print("\nConfusion matrix per region (two-way):")
         print(format_confusion_matrix(confusion_matrix_per_region, anno_classes))
+
+    if args.report_json:
+        import json
+
+        from annonet_tpu.infer.evaluation import confusion_matrix_summary
+
+        report = {
+            "model": args.model,
+            "input_directory": input_directory,
+            "images": len(files),
+            "quantize": args.quantize,
+            "image_batch": image_batch,
+            "pipeline_depth": pipeline_depth,
+            "gains": [float(g) for g in gains],
+            "detection_levels": [float(d) for d in detection_levels],
+            "wall_seconds": round(t1 - t0, 6),
+            "inference_seconds": round(total_inference, 6),
+            "excluding_first": (
+                {
+                    "average_ms": round(
+                        total_inference_excl_first * 1000.0
+                        / excl_first_count, 3
+                    ),
+                    "max_ms": round(max_inference_excl_first * 1000.0, 3),
+                    "count": excl_first_count,
+                }
+                if excl_first_count > 0 else None
+            ),
+            "per_image": per_image_records,
+            "confusion_per_pixel": (
+                confusion_matrix_summary(
+                    confusion_matrix_per_pixel, anno_classes
+                )
+                if ground_truth_count else None
+            ),
+            "confusion_per_region": (
+                confusion_matrix_summary(
+                    confusion_matrix_per_region, anno_classes
+                )
+                if ground_truth_count else None
+            ),
+        }
+        with open(args.report_json, "w", encoding="utf-8") as fh:
+            json.dump(report, fh, indent=1)
+            fh.write("\n")
+        print(f"Report written to {args.report_json}")
     return 0
 
 

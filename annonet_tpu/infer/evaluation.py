@@ -171,3 +171,40 @@ def format_confusion_matrix(
         accuracy_line += "-".rjust(recall_width)
     lines.append(accuracy_line)
     return "\n".join(lines)
+
+
+def confusion_matrix_summary(
+    confusion_matrix: ConfusionMatrix, anno_classes: Sequence[AnnoClass]
+) -> Dict:
+    """Machine-readable form of format_confusion_matrix: the raw matrix
+    plus the derived per-class recall/precision and total accuracy the
+    pretty-printer renders (annonet_infer_main.cpp:101-194). Used by
+    `annonet_infer --report-json`."""
+    cm = np.asarray(confusion_matrix)
+    total = int(cm.sum())
+    correct = int(np.trace(cm))
+    row_totals = cm.sum(axis=1)
+    col_totals = cm.sum(axis=0)
+    classes = []
+    for c in anno_classes:
+        i = c.index
+        classes.append(
+            {
+                "index": i,
+                "name": c.classlabel,
+                "ground_truth_count": int(row_totals[i]),
+                "predicted_count": int(col_totals[i]),
+                "recall": (
+                    float(cm[i, i] / row_totals[i]) if row_totals[i] else None
+                ),
+                "precision": (
+                    float(cm[i, i] / col_totals[i]) if col_totals[i] else None
+                ),
+            }
+        )
+    return {
+        "matrix": cm.astype(int).tolist(),
+        "total": total,
+        "accuracy": (correct / total) if total else None,
+        "classes": classes,
+    }

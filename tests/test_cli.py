@@ -785,3 +785,58 @@ def test_train_metrics_jsonl(tmp_path, capsys):
     assert done["wall_seconds"] > 0
     saves = [e for e in events if e["event"] == "save"]
     assert saves[-1]["step"] == 6 and saves[0]["step"] == 0
+
+
+@pytest.mark.slow
+def test_infer_report_json(tmp_path, capsys):
+    """--report-json writes the machine-readable run report: per-image
+    timings, timing summary, and both confusion-matrix summaries with
+    per-class recall/precision (TPU extension)."""
+    import json
+
+    from annonet_tpu.cli.infer import main as infer_main
+    from annonet_tpu.cli.train import main as train_main
+
+    write_synthetic_dataset(tmp_path)
+    model_path = str(tmp_path / "annonet.dnn")
+    rc = train_main(
+        [
+            str(tmp_path),
+            "--max-total-steps", "2",
+            "-b", "4",
+            "--level-count", "0",
+            "--net-width-scaler", "0.5",
+            "--input-dimension-multiplier", "1.0",
+            "--data-loader-thread-count", "1",
+            "--output", model_path,
+            "--sync-file", str(tmp_path / "sync.dat"),
+        ]
+    )
+    assert rc == 0
+    report_path = tmp_path / "report.json"
+    rc = infer_main(
+        [
+            str(tmp_path),
+            "--model", model_path,
+            "-g", "1:0.25",
+            "--report-json", str(report_path),
+        ]
+    )
+    assert rc == 0
+    assert "Report written to" in capsys.readouterr().out
+    report = json.loads(report_path.read_text())
+    assert report["images"] == 4
+    assert len(report["per_image"]) == 4
+    for rec in report["per_image"]:
+        assert rec["width"] == 48 and rec["height"] == 48
+        assert rec["milliseconds"] > 0
+    assert report["gains"][1] == 0.25
+    assert report["wall_seconds"] >= report["inference_seconds"] > 0
+    assert report["excluding_first"]["count"] > 0
+    for key in ("confusion_per_pixel", "confusion_per_region"):
+        cm = report[key]
+        assert len(cm["matrix"]) == 2
+        assert cm["total"] > 0
+        assert 0.0 <= cm["accuracy"] <= 1.0
+        names = [c["name"] for c in cm["classes"]]
+        assert names == ["clean", "defect"]
