@@ -26,6 +26,7 @@ data parallelism without touching this class.
 from __future__ import annotations
 
 import dataclasses
+import math
 import time
 from typing import Any, Callable, Dict, Optional
 
@@ -749,6 +750,17 @@ class Trainer:
 
     def _record_loss(self, loss_value: float) -> None:
         self._recorded_steps += 1
+        if not math.isfinite(loss_value):
+            # A non-finite loss means the parameters are already poisoned
+            # (the SGD update ran before the loss was read back), so every
+            # later step is garbage: fail loudly instead of letting the
+            # plateau detector cycle on NaN forever. The CLI's training-loop
+            # catch turns this into exit 2 (annonet_train_main.cpp:616-620).
+            raise RuntimeError(
+                f"training diverged: loss is {loss_value} at step "
+                f"{self._recorded_steps} (learning rate "
+                f"{self.learning_rate:g}) — lower --initial-learning-rate"
+            )
         self.previous_loss_values.append(loss_value)
         if len(self.previous_loss_values) > self._loss_window_cap:
             del self.previous_loss_values[

@@ -331,3 +331,19 @@ def test_verbose_progress_lines_with_batched_flush(capsys):
         if ln.startswith("step ") and "average loss" in ln
     ]
     assert [ln.split(":")[0] for ln in lines] == ["step 100", "step 200"], lines
+
+
+def test_non_finite_loss_raises():
+    """A NaN/inf loss poisons the parameters (the update already ran), so
+    recording it must raise instead of cycling the plateau detector on NaN
+    forever; the CLI's training-loop catch maps this to exit 2."""
+    import math
+
+    import pytest
+
+    config = SegNetConfig(class_count=2, level_count=0, base_width=4)
+    trainer = Trainer(config, TrainerConfig())
+    with pytest.raises(RuntimeError, match="diverged"):
+        trainer._record_loss(float("nan"))
+    with pytest.raises(RuntimeError, match="diverged"):
+        trainer._record_loss(math.inf)
