@@ -9,6 +9,8 @@ plain HTTP (stdlib only — no framework dependency):
   GET  /healthz          -> JSON: model metadata, classes, ready state
   GET  /stats            -> JSON: request/batch counters + request-latency
                             percentiles over a bounded recent window
+  GET  /metrics          -> the same in Prometheus exposition format
+                            (text/plain; version=0.0.4) for scraping
   GET  /model            -> JSON: the served artifact's identity (path,
                             mtime, reload count, classes)
   POST /infer            -> body: an encoded image (PNG/JPEG/...), or raw
@@ -569,6 +571,62 @@ class _ModelService:
             "compiled_programs": len(self.inferer._compiled),
         }
 
+    def metrics_text(self) -> str:
+        """GET /metrics: the /stats content in Prometheus exposition
+        format (text/plain; version=0.0.4) for scrape-based monitoring.
+        The windowed latency percentiles are exported as gauges — they
+        are recomputed over the bounded recent window, not cumulative
+        summary quantiles."""
+        s = self.stats()
+        st = self.state
+        lines = [
+            "# HELP annonet_requests_served_total Inference requests "
+            "served since process start.",
+            "# TYPE annonet_requests_served_total counter",
+            f"annonet_requests_served_total {s['requests_served']}",
+            "# HELP annonet_batches_dispatched_total Device batches "
+            "dispatched (dynamic batching groups requests).",
+            "# TYPE annonet_batches_dispatched_total counter",
+            f"annonet_batches_dispatched_total {s['batches_dispatched']}",
+            "# HELP annonet_model_reloads_total Successful hot model "
+            "reloads (POST /reload or SIGHUP).",
+            "# TYPE annonet_model_reloads_total counter",
+            f"annonet_model_reloads_total {st.reload_count}",
+            "# HELP annonet_compiled_programs Compiled XLA programs held "
+            "warm by the current model.",
+            "# TYPE annonet_compiled_programs gauge",
+            f"annonet_compiled_programs {s['compiled_programs']}",
+            "# HELP annonet_latency_window Request-latency samples in the "
+            "bounded recent window.",
+            "# TYPE annonet_latency_window gauge",
+            f"annonet_latency_window {s['latency_window']}",
+        ]
+        lat = s["latency_ms"]
+        if lat["p50"] is not None:
+            lines += [
+                "# HELP annonet_request_latency_seconds Request latency "
+                "over the recent window (downscale + device pass incl. "
+                "batching wait + veto + upscale).",
+                "# TYPE annonet_request_latency_seconds gauge",
+            ]
+            for q, key in (("0.5", "p50"), ("0.9", "p90"), ("0.99", "p99")):
+                lines.append(
+                    f'annonet_request_latency_seconds{{quantile="{q}"}} '
+                    f"{lat[key] / 1e3:.6f}"
+                )
+            lines += [
+                "# HELP annonet_request_latency_seconds_max Max request "
+                "latency over the recent window.",
+                "# TYPE annonet_request_latency_seconds_max gauge",
+                f"annonet_request_latency_seconds_max {lat['max'] / 1e3:.6f}",
+                "# HELP annonet_request_latency_seconds_mean Mean request "
+                "latency over the recent window.",
+                "# TYPE annonet_request_latency_seconds_mean gauge",
+                f"annonet_request_latency_seconds_mean "
+                f"{lat['mean'] / 1e3:.6f}",
+            ]
+        return "\n".join(lines) + "\n"
+
     def healthz(self) -> dict:
         st = self.state
         return {
@@ -659,6 +717,11 @@ def make_server(args, service: Optional[_ModelService] = None):
                 self._send_json(200, svc.healthz())
             elif path == "/stats":
                 self._send_json(200, svc.stats())
+            elif path == "/metrics":
+                self._send(
+                    200, "text/plain; version=0.0.4; charset=utf-8",
+                    svc.metrics_text().encode("utf-8"),
+                )
             elif path == "/model":
                 self._send_json(200, svc.model_info())
             else:

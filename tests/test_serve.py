@@ -581,3 +581,32 @@ def test_keepalive_survives_reload_and_404_with_body(tmp_path):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_metrics_endpoint_prometheus_format(server_url):
+    """GET /metrics exposes the /stats content in Prometheus exposition
+    format: counters, gauges, and windowed latency quantiles."""
+    url, service = server_url
+    with _post(url + "/infer?format=labels", _png_bytes(64, 64)) as r:
+        r.read()
+    with urllib.request.urlopen(url + "/metrics", timeout=60) as r:
+        assert r.headers["Content-Type"].startswith("text/plain")
+        body = r.read().decode("utf-8")
+    assert "# TYPE annonet_requests_served_total counter" in body
+    assert "# TYPE annonet_request_latency_seconds gauge" in body
+    served = [
+        line for line in body.splitlines()
+        if line.startswith("annonet_requests_served_total ")
+    ]
+    assert served and int(served[0].split()[1]) >= 1
+    q50 = [
+        line for line in body.splitlines()
+        if line.startswith('annonet_request_latency_seconds{quantile="0.5"}')
+    ]
+    assert q50 and float(q50[0].split()[1]) > 0
+    # exposition format: every non-comment line is "name[{labels}] value"
+    for line in body.splitlines():
+        if line.startswith("#") or not line:
+            continue
+        parts = line.rsplit(" ", 1)
+        assert len(parts) == 2 and float(parts[1]) >= 0, line
