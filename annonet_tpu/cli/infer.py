@@ -495,15 +495,16 @@ def _run_impl(args, input_directory, stack) -> int:
                 else seeds_np[sel + (slice(0, h), slice(0, w))]
             )
             result = detection_veto(labels, seeds)
-            per_image_records.append(
-                {
-                    "image": sample.image_filenames.image_filename,
-                    "width": sample.original_width,
-                    "height": sample.original_height,
-                    "milliseconds": round(share * 1000.0, 3),
-                    "first_group": first_group,
-                }
-            )
+            if args.report_json:
+                per_image_records.append(
+                    {
+                        "image": sample.image_filenames.image_filename,
+                        "width": sample.original_width,
+                        "height": sample.original_height,
+                        "milliseconds": round(share * 1000.0, 3),
+                        "first_group": first_group,
+                    }
+                )
             total_inference += share
             # The whole first group is excluded from the excl-first stats:
             # the reference excludes the first (compile/warm-up) image

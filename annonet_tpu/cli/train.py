@@ -506,9 +506,20 @@ def _run_impl(args, input_directory, stack) -> int:
                 metrics.event("error", message=str(e))
             return 2
 
-    trainer.flush_pending_steps()  # dispatch any buffered superstep tail
-    save_inference_net()
-    trainer.save_sync_file()
+    # The tail flush is still training-loop work: buffered losses land here,
+    # so a divergence surfacing in them must keep the loop's exit-2 contract
+    # — and must be detected BEFORE save_inference_net overwrites --output
+    # with the poisoned weights.
+    try:
+        trainer.flush_pending_steps()  # dispatch any buffered superstep tail
+        trainer.flush_losses()  # a buffered divergence must veto the save
+        save_inference_net()
+        trainer.save_sync_file()
+    except Exception as e:  # noqa: BLE001
+        print(e)
+        if metrics is not None:
+            metrics.event("error", message=str(e))
+        return 2
     if metrics is not None:
         metrics.event(
             "done",

@@ -904,17 +904,25 @@ class TiledInferer:
         rewrite itself is width-independent, eligibility is not)."""
         plain = self._quantized_cache[fold0]
         mode = self.mosaic_int8_mode
+
+        def with_ycat(spec_arrays):
+            # the stem y-cat knob applies to EVERY executed variant — the
+            # plain net, Mosaic-ineligible plans, and the Mosaic rewrite
+            # (whose :pad4 stem is never Mosaic-eligible, so it is still a
+            # plain "qs1" entry the y-cat rewrite can take)
+            if not self.stem_ycat:
+                return spec_arrays
+            from annonet_tpu.models.quantized_runtime import ycat_stem_qspec
+
+            return ycat_stem_qspec(*spec_arrays)
+
         if mode == "off":
             if not self.stem_ycat:
                 return plain
             ykey = (fold0, "ycat")
             cached = self._mosaic_q_cache.get(ykey)
             if cached is None:
-                from annonet_tpu.models.quantized_runtime import (
-                    ycat_stem_qspec,
-                )
-
-                cached = ycat_stem_qspec(*plain)
+                cached = with_ycat(plain)
                 self._mosaic_q_cache[ykey] = cached
             return cached
         from annonet_tpu.ops.int8_conv_mosaic import (
@@ -926,8 +934,15 @@ class TiledInferer:
             tile_width // fold0 not in MOSAIC_FAST_WB
             and not self._mosaic_force
         ):
-            return plain
-        key = (fold0, mode, self._mosaic_flatten)
+            if not self.stem_ycat:
+                return plain
+            ykey = (fold0, "ycat")
+            cached = self._mosaic_q_cache.get(ykey)
+            if cached is None:
+                cached = with_ycat(plain)
+                self._mosaic_q_cache[ykey] = cached
+            return cached
+        key = (fold0, mode, self._mosaic_flatten, self.stem_ycat)
         cached = self._mosaic_q_cache.get(key)
         if cached is None:
             cached = mosaicize_qspec(
@@ -936,6 +951,7 @@ class TiledInferer:
                 flatten=self._mosaic_flatten,
                 kinds=("qs1",) if mode == "s1" else ("qs1", "qs2"),
             )
+            cached = with_ycat(cached)
             self._mosaic_q_cache[key] = cached
         return cached
 

@@ -840,3 +840,47 @@ def test_infer_report_json(tmp_path, capsys):
         assert 0.0 <= cm["accuracy"] <= 1.0
         names = [c["name"] for c in cm["classes"]]
         assert names == ["clean", "defect"]
+
+
+@pytest.mark.slow
+def test_train_divergence_in_tail_flush_exits_2(tmp_path, capsys):
+    """A non-finite loss surfacing only in the post-loop tail flush (all
+    losses still buffered under --loss-sync-interval) must keep the
+    training-loop error contract: exit 2, error event in --metrics-jsonl,
+    and NO final model save of the poisoned weights."""
+    import json
+
+    from annonet_tpu.cli.train import main as train_main
+
+    write_synthetic_dataset(tmp_path)
+    model_path = tmp_path / "annonet.dnn"
+    metrics_path = tmp_path / "metrics.jsonl"
+    rc = train_main(
+        [
+            str(tmp_path),
+            "--max-total-steps", "4",
+            "-b", "4",
+            "--level-count", "0",
+            "--net-width-scaler", "0.5",
+            "--input-dimension-multiplier", "1.0",
+            "--data-loader-thread-count", "1",
+            "--initial-learning-rate", "1e20",
+            "--loss-sync-interval", "8",
+            "--steps-per-dispatch", "1",
+            "--save-interval", "1000",
+            "--output", str(model_path),
+            "--sync-file", str(tmp_path / "sync.dat"),
+            "--metrics-jsonl", str(metrics_path),
+        ]
+    )
+    assert rc == 2
+    assert "diverged" in capsys.readouterr().out
+    events = [
+        json.loads(line) for line in metrics_path.read_text().splitlines()
+    ]
+    assert events[-1]["event"] == "error"
+    assert "diverged" in events[-1]["message"]
+    # the step-0 periodic save ran (reference parity); the FINAL save of
+    # the now-poisoned weights must not have
+    saves = [e for e in events if e["event"] == "save"]
+    assert [e["step"] for e in saves] == [0]

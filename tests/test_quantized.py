@@ -499,3 +499,21 @@ def test_stem_ycat_agrees_exactly(monkeypatch):
                     k.split(":")[0] == "qy1" for k in rewritten[0]
                 ), rewritten
         np.testing.assert_array_equal(out["0"], out["1"])
+
+
+def test_stem_ycat_composes_with_mosaicized_spec():
+    """ycat_stem_qspec applies after mosaicize_qspec: the :pad4 stem is
+    never Mosaic-eligible, so the composed spec has the qy1 stem AND the
+    Mosaic entries untouched."""
+    from annonet_tpu.models.quantized_runtime import ycat_stem_qspec
+    from annonet_tpu.ops.int8_conv_mosaic import mosaicize_qspec
+
+    config = SegNetConfig(class_count=3, level_count=1, base_width=16)
+    _, _, (qspec, qarrays), _ = _quantized_setup(config, (1, 64, 64, 3))
+    mspec, marrays = mosaicize_qspec(qspec, qarrays)
+    yspec, yarrays = ycat_stem_qspec(mspec, marrays)
+    assert yspec[0].split(":")[0] in ("qy1",), yspec
+    # everything after the stem is unchanged by the ycat rewrite
+    assert yspec[1:] == tuple(mspec[1:])
+    kh, kw, cin, cout = np.asarray(yarrays[0][0]).shape
+    assert (kh, kw) == (1, 3) and cin % 3 == 0
