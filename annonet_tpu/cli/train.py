@@ -108,6 +108,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Keep every Nth recorded loss event in "
                         "--metrics-jsonl (default 100, the verbose print "
                         "cadence; 1 = every step)")
+    p.add_argument("--validation-directory", default=None, metavar="DIR",
+                   help="Evaluate the exported net on a held-out anno "
+                        "directory after every model save (TPU "
+                        "extension): per-pixel accuracy and per-class "
+                        "recall are printed and, with --metrics-jsonl, "
+                        "recorded as validation events. Automates the "
+                        "reference's manual train-then-annonet_infer "
+                        "check; validation shares the chip, so training "
+                        "pauses while it runs (tune --save-interval)")
     p.add_argument("--remat", action="store_true",
                    help="Rematerialize activations in the backward pass "
                         "(fits larger minibatches; ~1/3 more compute)")
@@ -385,6 +394,78 @@ def _run_impl(args, input_directory, stack) -> int:
         args.initial_downscaling_factor * args.further_downscaling_factor
     )
 
+    # --validation-directory: held-out evaluation after every save. The
+    # dataset is scanned up front (setup errors keep the exit-1 contract);
+    # samples are read lazily on the first validation and cached.
+    validation_files = []
+    validation_samples: list = []
+    if args.validation_directory:
+        validation_files = find_image_files(
+            args.validation_directory, require_ground_truth=True
+        )
+        if not validation_files:
+            raise RuntimeError(
+                "Didn't find an anno dataset in --validation-directory "
+                f"{args.validation_directory}"
+            )
+
+    def run_validation():
+        from annonet_tpu.data.sample import read_sample
+        from annonet_tpu.infer.core import TiledInferer, annonet_infer
+        from annonet_tpu.infer.evaluation import (
+            confusion_matrix_summary,
+            new_confusion_matrix,
+            update_confusion_matrix_per_pixel,
+        )
+
+        if not validation_samples:
+            for f in validation_files:
+                s = read_sample(
+                    f, anno_classes, True, downscaling_total, args.grayscale
+                )
+                if s.error:
+                    print(
+                        f"validation: skipping {f.image_filename}: {s.error}"
+                    )
+                    continue
+                validation_samples.append(s)
+            if not validation_samples:
+                raise RuntimeError(
+                    "No readable validation samples in "
+                    f"{args.validation_directory}"
+                )
+        # a fresh inferer per validation: the params changed; compiled
+        # programs re-resolve through the persistent XLA cache
+        inferer = TiledInferer(trainer.runtime_net(), model_config)
+        cm = new_confusion_matrix(len(anno_classes))
+        px = 0
+        for s in validation_samples:
+            labels = annonet_infer(inferer, s.input_image)
+            px += update_confusion_matrix_per_pixel(
+                cm, s.labeled_points_by_class, labels
+            )
+        summary = confusion_matrix_summary(cm, anno_classes)
+        recalls = " ".join(
+            f"{c['index']}:{c['recall'] * 100.0:.2f}%"
+            for c in summary["classes"]
+            if c["recall"] is not None
+        )
+        accuracy = summary["accuracy"]
+        print(
+            f"validation (step {minibatch}): accuracy = "
+            f"{accuracy * 100.0:.2f} % over {px} labeled px, "
+            f"{len(validation_samples)} images; recall {recalls}"
+        )
+        if metrics is not None:
+            metrics.event(
+                "validation",
+                step=minibatch,
+                accuracy=accuracy,
+                labeled_pixels=px,
+                images=len(validation_samples),
+                classes=summary["classes"],
+            )
+
     def save_inference_net():
         print("saving network")
         serialization.save_model(
@@ -396,6 +477,8 @@ def _run_impl(args, input_directory, stack) -> int:
         )
         if metrics is not None:
             metrics.event("save", step=minibatch, path=args.output)
+        if validation_files:
+            run_validation()
 
     print("\nNow training...")
     from annonet_tpu.utils import profiler_trace, set_low_priority

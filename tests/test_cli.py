@@ -884,3 +884,64 @@ def test_train_divergence_in_tail_flush_exits_2(tmp_path, capsys):
     # the now-poisoned weights must not have
     saves = [e for e in events if e["event"] == "save"]
     assert [e["step"] for e in saves] == [0]
+
+
+@pytest.mark.slow
+def test_train_validation_directory(tmp_path, capsys):
+    """--validation-directory evaluates the exported net on a held-out
+    anno dir after every save: per-pixel accuracy + per-class recall
+    printed and recorded as metrics events (TPU extension)."""
+    import json
+
+    from annonet_tpu.cli.train import main as train_main
+
+    write_synthetic_dataset(tmp_path)
+    val_dir = tmp_path / "val"
+    val_dir.mkdir()
+    write_synthetic_dataset(val_dir, n_images=2, seed=7)
+    metrics_path = tmp_path / "metrics.jsonl"
+    rc = train_main(
+        [
+            str(tmp_path),
+            "--max-total-steps", "2",
+            "-b", "4",
+            "--level-count", "0",
+            "--net-width-scaler", "0.5",
+            "--input-dimension-multiplier", "1.0",
+            "--data-loader-thread-count", "1",
+            "--output", str(tmp_path / "annonet.dnn"),
+            "--sync-file", str(tmp_path / "sync.dat"),
+            "--validation-directory", str(val_dir),
+            "--metrics-jsonl", str(metrics_path),
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "validation (step" in out
+    assert "accuracy = " in out
+    events = [
+        json.loads(line) for line in metrics_path.read_text().splitlines()
+    ]
+    vals = [e for e in events if e["event"] == "validation"]
+    # one validation per save: step 0 and the final save
+    assert [v["step"] for v in vals] == [0, 2]
+    for v in vals:
+        assert 0.0 <= v["accuracy"] <= 1.0
+        assert v["images"] == 2
+        assert v["labeled_pixels"] > 0
+        assert len(v["classes"]) == 2
+
+    # a missing/empty validation dir is a setup error: exit 1
+    rc = train_main(
+        [
+            str(tmp_path),
+            "--max-total-steps", "1",
+            "-b", "4",
+            "--level-count", "0",
+            "--input-dimension-multiplier", "1.0",
+            "--output", str(tmp_path / "annonet.dnn"),
+            "--sync-file", str(tmp_path / "sync2.dat"),
+            "--validation-directory", str(tmp_path / "nope"),
+        ]
+    )
+    assert rc == 1
