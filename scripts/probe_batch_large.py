@@ -34,6 +34,10 @@ def main():
                         help="bf16 exact path instead of int8")
     args = parser.parse_args()
 
+    from annonet_tpu.cli.common import apply_platform_env
+
+    apply_platform_env()  # ANNONET_TPU_PLATFORM pins the backend
+
     import jax
     import jax.numpy as jnp
     import numpy as np
