@@ -399,6 +399,7 @@ def _run_impl(args, input_directory, stack) -> int:
     # samples are read lazily on the first validation and cached.
     validation_files = []
     validation_samples: list = []
+    validation_state: list = []
     if args.validation_directory:
         validation_files = find_image_files(
             args.validation_directory, require_ground_truth=True
@@ -434,9 +435,15 @@ def _run_impl(args, input_directory, stack) -> int:
                     "No readable validation samples in "
                     f"{args.validation_directory}"
                 )
-        # a fresh inferer per validation: the params changed; compiled
-        # programs re-resolve through the persistent XLA cache
-        inferer = TiledInferer(trainer.runtime_net(), model_config)
+        # one inferer across validations: update_params swaps the weights
+        # while keeping every compiled program (params are traced
+        # arguments), so validations after the first are compile-free
+        if validation_state:
+            inferer = validation_state[0]
+            inferer.update_params(trainer.runtime_net())
+        else:
+            inferer = TiledInferer(trainer.runtime_net(), model_config)
+            validation_state.append(inferer)
         cm = new_confusion_matrix(len(anno_classes))
         px = 0
         for s in validation_samples:

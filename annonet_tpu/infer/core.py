@@ -641,6 +641,29 @@ class TiledInferer:
         self._autotuning = False
         self._calibration_paused = False
 
+    def update_params(self, runtime_params) -> None:
+        """Swap in a new parameter set of the SAME architecture, keeping
+        every compiled program.
+
+        Parameters are traced call arguments and the program cache is
+        keyed on geometry only, so checkpoint-over-checkpoint evaluation
+        (annonet_train --validation-directory) and embedder hot weight
+        swaps run with ZERO recompiles. Param-derived caches are dropped:
+        the folded/int8 kernels rebuild on the host (cheap), int8
+        activation calibration restarts exactly like a fresh inferer, and
+        any preloaded calibration is discarded — it is fingerprinted to
+        the old weights (serialization.save_calibration); construct a new
+        inferer to pin one for new weights.
+        """
+        self.params = jax.tree_util.tree_map(jnp.asarray, runtime_params)
+        self._folded_cache.clear()
+        self._quantized_cache.clear()
+        self._mosaic_q_cache.clear()
+        self._calib_accum.clear()
+        self._calib_seen.clear()
+        self._calib_frozen.clear()
+        self._preloaded_calib = None
+
     # ------------------------------------------------------------- planning
 
     def plan(self, image_height: int, image_width: int) -> TilePlan:

@@ -525,3 +525,46 @@ def test_plan_count_cliff_bump():
     for y, x in plan.tile_yx:
         covered[y:y + plan.tile_height, x:x + plan.tile_width] = True
     assert covered.all()
+
+
+def test_update_params_swaps_weights_without_recompiling():
+    """TiledInferer.update_params: same-architecture weight swap keeps
+    every compiled program (params are traced arguments) and produces
+    EXACTLY what a fresh inferer over the new params produces — float
+    path bit-exact; int8 recalibrates like a fresh inferer."""
+    import jax
+
+    from annonet_tpu.models.segnet import fold_batchnorm, init_state
+
+    config = SegNetConfig(class_count=3, level_count=1, base_width=16)
+    nets = []
+    for seed in (0, 1):
+        params, bn = init_state(jax.random.PRNGKey(seed), config)
+        nets.append(fold_batchnorm(params, bn, config))
+    tiling = TilingParameters(64, 64, 20, 20)
+    rng = np.random.default_rng(2)
+    image = rng.integers(0, 256, size=(100, 90, 3), dtype=np.uint8)
+
+    inferer = TiledInferer(nets[0], config, tiling)
+    first = annonet_infer(inferer, image)
+    programs = len(inferer._compiled)
+    assert programs >= 1
+
+    inferer.update_params(nets[1])
+    swapped = annonet_infer(inferer, image)
+    assert len(inferer._compiled) == programs  # zero new compiles
+    fresh = annonet_infer(TiledInferer(nets[1], config, tiling), image)
+    np.testing.assert_array_equal(swapped, fresh)
+    assert (first != swapped).any()  # the weights really changed
+
+    # int8: the swap drops calibration; the next image recalibrates and
+    # the result matches a fresh int8 inferer over the new params
+    q = TiledInferer(nets[0], config, tiling, quantize="int8")
+    annonet_infer(q, image)
+    q.update_params(nets[1])
+    assert not q._quantized_cache and not q._calib_frozen
+    got = annonet_infer(q, image)
+    ref = annonet_infer(
+        TiledInferer(nets[1], config, tiling, quantize="int8"), image
+    )
+    np.testing.assert_array_equal(got, ref)
