@@ -117,6 +117,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "reference's manual train-then-annonet_infer "
                         "check; validation shares the chip, so training "
                         "pauses while it runs (tune --save-interval)")
+    p.add_argument("--validation-quantize", choices=["none", "int8"],
+                   default="none",
+                   help="Run validation through the int8 quantized path "
+                        "instead of the exact float path — validate what "
+                        "an `annonet_infer --quantize int8` deployment "
+                        "will serve (activation scales recalibrate on "
+                        "the first validation image after each save)")
     p.add_argument("--remat", action="store_true",
                    help="Rematerialize activations in the backward pass "
                         "(fits larger minibatches; ~1/3 more compute)")
@@ -442,7 +449,13 @@ def _run_impl(args, input_directory, stack) -> int:
             inferer = validation_state[0]
             inferer.update_params(trainer.runtime_net())
         else:
-            inferer = TiledInferer(trainer.runtime_net(), model_config)
+            inferer = TiledInferer(
+                trainer.runtime_net(), model_config,
+                quantize=(
+                    None if args.validation_quantize == "none" else
+                    args.validation_quantize
+                ),
+            )
             validation_state.append(inferer)
         cm = new_confusion_matrix(len(anno_classes))
         px = 0

@@ -945,3 +945,31 @@ def test_train_validation_directory(tmp_path, capsys):
         ]
     )
     assert rc == 1
+
+
+@pytest.mark.slow
+def test_train_validation_quantize_int8(tmp_path, capsys):
+    """--validation-quantize int8 validates the deployed (quantized) path;
+    calibration restarts per save via update_params."""
+    from annonet_tpu.cli.train import main as train_main
+
+    write_synthetic_dataset(tmp_path)
+    rc = train_main(
+        [
+            str(tmp_path),
+            "--max-total-steps", "2",
+            "-b", "4",
+            "--level-count", "0",
+            "--net-width-scaler", "0.5",
+            "--input-dimension-multiplier", "1.0",
+            "--data-loader-thread-count", "1",
+            "--output", str(tmp_path / "annonet.dnn"),
+            "--sync-file", str(tmp_path / "sync.dat"),
+            "--validation-directory", str(tmp_path),
+            "--validation-quantize", "int8",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.count("validation (step") == 2
+    assert "accuracy = " in out
