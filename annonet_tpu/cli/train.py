@@ -404,10 +404,18 @@ def _run_impl(args, input_directory, stack) -> int:
     # --validation-directory: held-out evaluation after every save. The
     # dataset is scanned up front (setup errors keep the exit-1 contract);
     # samples are read lazily on the first validation and cached.
-    validation_files = []
     validation_samples: list = []
     validation_state: list = []
+    if args.validation_quantize != "none" and not args.validation_directory:
+        raise RuntimeError(
+            "--validation-quantize requires --validation-directory"
+        )
     if args.validation_directory:
+        # read + validate the whole validation set up front: data problems
+        # must surface as setup errors (exit 1), not abort a long training
+        # run at its first save (exit 2) hours in
+        from annonet_tpu.data.sample import read_sample
+
         validation_files = find_image_files(
             args.validation_directory, require_ground_truth=True
         )
@@ -416,9 +424,24 @@ def _run_impl(args, input_directory, stack) -> int:
                 "Didn't find an anno dataset in --validation-directory "
                 f"{args.validation_directory}"
             )
+        for f in validation_files:
+            s = read_sample(
+                f, anno_classes, True, downscaling_total, args.grayscale
+            )
+            if s.error:
+                print(f"validation: skipping {f.image_filename}: {s.error}")
+                continue
+            validation_samples.append(s)
+        if not validation_samples:
+            raise RuntimeError(
+                "No readable validation samples in "
+                f"{args.validation_directory}"
+            )
 
-    def run_validation():
-        from annonet_tpu.data.sample import read_sample
+    def run_validation(runtime_net):
+        import jax
+        import numpy as np
+
         from annonet_tpu.infer.core import TiledInferer, annonet_infer
         from annonet_tpu.infer.evaluation import (
             confusion_matrix_summary,
@@ -426,31 +449,19 @@ def _run_impl(args, input_directory, stack) -> int:
             update_confusion_matrix_per_pixel,
         )
 
-        if not validation_samples:
-            for f in validation_files:
-                s = read_sample(
-                    f, anno_classes, True, downscaling_total, args.grayscale
-                )
-                if s.error:
-                    print(
-                        f"validation: skipping {f.image_filename}: {s.error}"
-                    )
-                    continue
-                validation_samples.append(s)
-            if not validation_samples:
-                raise RuntimeError(
-                    "No readable validation samples in "
-                    f"{args.validation_directory}"
-                )
+        # validation always runs single-device: under --mesh the trainer's
+        # params are replicated (mesh-committed) arrays, so pull them to
+        # host first — the tiled-inference programs are not mesh programs
+        runtime_net = jax.tree_util.tree_map(np.asarray, runtime_net)
         # one inferer across validations: update_params swaps the weights
         # while keeping every compiled program (params are traced
         # arguments), so validations after the first are compile-free
         if validation_state:
             inferer = validation_state[0]
-            inferer.update_params(trainer.runtime_net())
+            inferer.update_params(runtime_net)
         else:
             inferer = TiledInferer(
-                trainer.runtime_net(), model_config,
+                runtime_net, model_config,
                 quantize=(
                     None if args.validation_quantize == "none" else
                     args.validation_quantize
@@ -471,9 +482,13 @@ def _run_impl(args, input_directory, stack) -> int:
             if c["recall"] is not None
         )
         accuracy = summary["accuracy"]
+        accuracy_text = (
+            f"{accuracy * 100.0:.2f} %" if accuracy is not None
+            else "n/a (no labeled pixels)"
+        )
         print(
             f"validation (step {minibatch}): accuracy = "
-            f"{accuracy * 100.0:.2f} % over {px} labeled px, "
+            f"{accuracy_text} over {px} labeled px, "
             f"{len(validation_samples)} images; recall {recalls}"
         )
         if metrics is not None:
@@ -488,17 +503,18 @@ def _run_impl(args, input_directory, stack) -> int:
 
     def save_inference_net():
         print("saving network")
+        runtime_net = trainer.runtime_net()
         serialization.save_model(
             args.output,
-            trainer.runtime_net(),
+            runtime_net,
             model_config,
             anno_classes_json,
             downscaling_factor=downscaling_total,
         )
         if metrics is not None:
             metrics.event("save", step=minibatch, path=args.output)
-        if validation_files:
-            run_validation()
+        if validation_samples:
+            run_validation(runtime_net)
 
     print("\nNow training...")
     from annonet_tpu.utils import profiler_trace, set_low_priority

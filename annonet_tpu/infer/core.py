@@ -646,14 +646,20 @@ class TiledInferer:
         every compiled program.
 
         Parameters are traced call arguments and the program cache is
-        keyed on geometry only, so checkpoint-over-checkpoint evaluation
+        keyed on geometry only, so every ALREADY-COMPILED program is
+        reused as-is — checkpoint-over-checkpoint evaluation
         (annonet_train --validation-directory) and embedder hot weight
-        swaps run with ZERO recompiles. Param-derived caches are dropped:
-        the folded/int8 kernels rebuild on the host (cheap), int8
-        activation calibration restarts exactly like a fresh inferer, and
-        any preloaded calibration is discarded — it is fingerprinted to
-        the old weights (serialization.save_calibration); construct a new
-        inferer to pin one for new weights.
+        swaps recompile nothing they have run before. Param-derived
+        caches are dropped: the folded/int8 kernels rebuild on the host
+        (cheap), int8 activation calibration restarts exactly like a
+        fresh inferer, and any preloaded calibration is discarded — it is
+        fingerprinted to the old weights (serialization.save_calibration);
+        construct a new inferer to pin one for new weights. Caveat for
+        int8-with-preloaded-calibration inferers: the post-swap
+        recalibration may compile programs the preloaded path never
+        needed (the calibration collector, and the bf16 fallback when
+        calibration_images > 1) — those are first-time compiles, not
+        recompiles.
         """
         self.params = jax.tree_util.tree_map(jnp.asarray, runtime_params)
         self._folded_cache.clear()

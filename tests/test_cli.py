@@ -160,11 +160,16 @@ def test_cli_train_with_mesh(tmp_path, capsys):
             "--data-loader-thread-count", "1",
             "--output", model_path,
             "--sync-file", str(tmp_path / "sync.dat"),
+            # validation under --mesh: the replicated (mesh-committed)
+            # params must be pulled to host for the single-device
+            # tiled-inference programs
+            "--validation-directory", str(tmp_path),
         ]
     )
     assert rc == 0
     out = capsys.readouterr().out
     assert "rounded up to 16" in out
+    assert "validation (step" in out
     assert os.path.exists(model_path)
 
 
@@ -973,3 +978,64 @@ def test_train_validation_quantize_int8(tmp_path, capsys):
     out = capsys.readouterr().out
     assert out.count("validation (step") == 2
     assert "accuracy = " in out
+
+
+@pytest.mark.slow
+def test_validation_edge_cases(tmp_path, capsys):
+    """(a) --validation-quantize without --validation-directory is a setup
+    error (exit 1); (b) a validation set whose masks are entirely the
+    ignore color reports accuracy n/a instead of crashing; (c) unreadable
+    validation data surfaces at SETUP (exit 1), not at the first save."""
+    import numpy as np
+    from PIL import Image
+
+    from annonet_tpu.cli.train import main as train_main
+
+    write_synthetic_dataset(tmp_path)
+    base = [
+        str(tmp_path),
+        "--max-total-steps", "1",
+        "-b", "4",
+        "--level-count", "0",
+        "--net-width-scaler", "0.5",
+        "--input-dimension-multiplier", "1.0",
+        "--data-loader-thread-count", "1",
+        "--output", str(tmp_path / "annonet.dnn"),
+    ]
+    rc = train_main(
+        base + ["--sync-file", str(tmp_path / "s1.dat"),
+                "--validation-quantize", "int8"]
+    )
+    assert rc == 1
+    assert "requires --validation-directory" in capsys.readouterr().out
+
+    # all-ignore masks: zero labeled pixels -> accuracy n/a, no crash
+    ignore_dir = tmp_path / "ignore_val"
+    ignore_dir.mkdir()
+    img = np.zeros((32, 32, 3), np.uint8)
+    Image.fromarray(img).save(ignore_dir / "a.png")
+    Image.fromarray(
+        np.zeros((32, 32, 4), np.uint8), mode="RGBA"
+    ).save(ignore_dir / "a.png_mask.png")
+    rc = train_main(
+        base + ["--sync-file", str(tmp_path / "s2.dat"),
+                "--validation-directory", str(ignore_dir)]
+    )
+    assert rc == 0
+    assert "accuracy = n/a (no labeled pixels)" in capsys.readouterr().out
+
+    # size-mismatched masks: every sample errors -> setup error, exit 1
+    bad_dir = tmp_path / "bad_val"
+    bad_dir.mkdir()
+    Image.fromarray(img).save(bad_dir / "b.png")
+    Image.fromarray(
+        np.zeros((16, 16, 4), np.uint8), mode="RGBA"
+    ).save(bad_dir / "b.png_mask.png")
+    rc = train_main(
+        base + ["--sync-file", str(tmp_path / "s3.dat"),
+                "--validation-directory", str(bad_dir)]
+    )
+    assert rc == 1
+    out = capsys.readouterr().out
+    assert "Label image size mismatch" in out
+    assert "No readable validation samples" in out
