@@ -138,7 +138,8 @@ class _ModelState:
 
 
 def _load_state(args, mesh, reload_count: int = 0,
-                ignore_calibration: bool = False) -> _ModelState:
+                ignore_calibration: bool = False,
+                reuse_from: "_ModelState" = None) -> _ModelState:
     import os
 
     from annonet_tpu import serialization
@@ -190,19 +191,34 @@ def _load_state(args, mesh, reload_count: int = 0,
             args.tile_max_height = auto_tile
         if args.tile_max_width < min_dim or args.tile_max_height < min_dim:
             raise RuntimeError(f"Tile size must be at least {min_dim}")
-    st.inferer = TiledInferer(
-        st.params, st.config,
-        TilingParameters(
-            max_tile_width=args.tile_max_width,
-            max_tile_height=args.tile_max_height,
-            overlap_x=min_dim, overlap_y=min_dim,
-        ),
-        quantize=None if args.quantize == "none" else args.quantize,
-        calibration_images=args.calibration_images,
-        calibration=calibration,
-        mesh=mesh,
-        plan_autotune=getattr(args, "plan_autotune", False),
+    # Reload fast path: a retrained SAME-architecture artifact (and no
+    # pinned calibration for this load) can reuse the serving inferer —
+    # TiledInferer.update_params keeps every compiled program, so the
+    # swap needs no re-warm at all. The caller applies update_params
+    # under device_lock; until then the shared inferer keeps serving the
+    # OLD weights.
+    st.fast_swap = (
+        reuse_from is not None
+        and getattr(reuse_from, "inferer", None) is not None
+        and reuse_from.config == st.config
+        and calibration is None
     )
+    if st.fast_swap:
+        st.inferer = reuse_from.inferer
+    else:
+        st.inferer = TiledInferer(
+            st.params, st.config,
+            TilingParameters(
+                max_tile_width=args.tile_max_width,
+                max_tile_height=args.tile_max_height,
+                overlap_x=min_dim, overlap_y=min_dim,
+            ),
+            quantize=None if args.quantize == "none" else args.quantize,
+            calibration_images=args.calibration_images,
+            calibration=calibration,
+            mesh=mesh,
+            plan_autotune=getattr(args, "plan_autotune", False),
+        )
     st.quantize = args.quantize
     st.model_path = args.model
     try:
@@ -328,14 +344,26 @@ class _ModelService:
                 self._args, self._mesh,
                 reload_count=self.state.reload_count + 1,
                 ignore_calibration=recalibrate,
+                reuse_from=self.state,
             )
             warmed = []
-            for spec in getattr(self._args, "warmup", []) or []:
-                h, w = _parse_warmup_spec(spec)
-                _warmup_one(self, new, h, w)
-                warmed.append(f"{h}x{w}")
-            with self.device_lock:
-                self.state = new
+            if new.fast_swap:
+                # same architecture, no pinned calibration: swap weights
+                # into the serving inferer — every compiled program is
+                # kept (update_params), so no re-warm is needed. The swap
+                # runs under device_lock (no device section in flight);
+                # requests already dispatched against the old state serve
+                # the new weights from here on (weight-level swap).
+                with self.device_lock:
+                    new.inferer.update_params(new.params)
+                    self.state = new
+            else:
+                for spec in getattr(self._args, "warmup", []) or []:
+                    h, w = _parse_warmup_spec(spec)
+                    _warmup_one(self, new, h, w)
+                    warmed.append(f"{h}x{w}")
+                with self.device_lock:
+                    self.state = new
         return {
             "status": "reloaded",
             "model": new.model_path,
@@ -344,6 +372,7 @@ class _ModelService:
             "class_count": len(new.anno_classes),
             "quantize": new.quantize,
             "recalibrate": bool(recalibrate),
+            "fast_swap": bool(new.fast_swap),
             "warmed": warmed,
         }
 

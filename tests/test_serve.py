@@ -425,10 +425,15 @@ def test_reload_hot_swaps_to_retrained_model(tmp_path):
 
         # "retrain": a different model lands at the same path
         runtime_b, config_b = _save_model(model_path, seed=9)
+        programs_before = len(service.state.inferer._compiled)
         with _post(url + "/reload", b"") as r:
             info = json.loads(r.read())
         assert info["status"] == "reloaded"
         assert info["reload_count"] == 1
+        # same architecture -> the weight-swap fast path: the serving
+        # inferer is reused and every compiled program is kept
+        assert info["fast_swap"] is True
+        assert len(service.state.inferer._compiled) == programs_before
 
         with urllib.request.urlopen(url + "/model", timeout=30) as r:
             model_info = json.loads(r.read())
@@ -610,3 +615,46 @@ def test_metrics_endpoint_prometheus_format(server_url):
             continue
         parts = line.rsplit(" ", 1)
         assert len(parts) == 2 and float(parts[1]) >= 0, line
+
+
+def test_reload_config_change_takes_full_rebuild_path(tmp_path):
+    """A reload to a DIFFERENT architecture cannot reuse the serving
+    inferer: fast_swap is false, a new inferer is built, and requests
+    serve the new class count."""
+    model_path = str(tmp_path / "annonet.dnn")
+    _save_model(model_path, seed=0)
+    args = build_parser().parse_args(
+        ["--model", model_path, "--port", "0",
+         "--tile-max-width", "64", "--tile-max-height", "64"]
+    )
+    server, service = make_server(args)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        host, port = server.server_address[:2]
+        url = f"http://{host}:{port}"
+        old_inferer = service.state.inferer
+
+        config = SegNetConfig(class_count=4, level_count=0, base_width=16)
+        params, bn = init_state(jax.random.PRNGKey(3), config)
+        serialization.save_model(
+            model_path, fold_batchnorm(params, bn, config), config,
+            anno_classes_to_json(
+                default_anno_classes()
+                + [type(default_anno_classes()[0])(3, (9, 9, 9, 30), "x")]
+            ),
+            1.0,
+        )
+        with _post(url + "/reload", b"") as r:
+            info = json.loads(r.read())
+        assert info["status"] == "reloaded"
+        assert info["fast_swap"] is False
+        assert info["class_count"] == 4
+        assert service.state.inferer is not old_inferer
+
+        with _post(url + "/infer?format=counts", _png_bytes(64, 64)) as r:
+            counts = json.loads(r.read())
+        assert len(counts["counts"]) == 4
+    finally:
+        server.shutdown()
+        thread.join(timeout=10)
