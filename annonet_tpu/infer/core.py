@@ -661,6 +661,7 @@ class TiledInferer:
         calibration_images > 1) — those are first-time compiles, not
         recompiles.
         """
+        prior_folds = list(self._folded_cache.keys())
         self.params = jax.tree_util.tree_map(jnp.asarray, runtime_params)
         self._folded_cache.clear()
         self._quantized_cache.clear()
@@ -669,6 +670,13 @@ class TiledInferer:
         self._calib_seen.clear()
         self._calib_frozen.clear()
         self._preloaded_calib = None
+        # eagerly rebuild the folded variants that were in use, so the
+        # first call after a hot swap doesn't pay the host fold + param
+        # upload on the request path (measured ~0.9 s at 1024² on a
+        # tunneled dev link; the int8 quantization is calibration-
+        # dependent and rebuilds on the next image as documented)
+        for fold0, _pallas, mosaic in prior_folds:
+            self._get_folded(fold0, mosaic=mosaic)
 
     # ------------------------------------------------------------- planning
 

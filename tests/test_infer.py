@@ -551,6 +551,9 @@ def test_update_params_swaps_weights_without_recompiling():
     assert programs >= 1
 
     inferer.update_params(nets[1])
+    # the folded variants that were in use are eagerly rebuilt (off the
+    # request path), and no compiled programs were dropped
+    assert inferer._folded_cache
     swapped = annonet_infer(inferer, image)
     assert len(inferer._compiled) == programs  # zero new compiles
     fresh = annonet_infer(TiledInferer(nets[1], config, tiling), image)
