@@ -718,12 +718,14 @@ def test_every_entry_point_pins_the_platform():
 
     import annonet_tpu.cli.autotune
     import annonet_tpu.cli.infer
+    import annonet_tpu.cli.inspect
     import annonet_tpu.cli.serve
     import annonet_tpu.cli.train
 
     for mod in (
         annonet_tpu.cli.autotune,
         annonet_tpu.cli.infer,
+        annonet_tpu.cli.inspect,
         annonet_tpu.cli.serve,
         annonet_tpu.cli.train,
     ):
@@ -1039,3 +1041,60 @@ def test_validation_edge_cases(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "Label image size mismatch" in out
     assert "No readable validation samples" in out
+
+
+def test_inspect_describes_artifact(tmp_path, capsys):
+    """annonet_inspect prints the self-describing artifact as JSON:
+    config, classes, dimension queries, parameter totals, fingerprint,
+    and a calibration file's match status."""
+    import json
+
+    import jax
+
+    from annonet_tpu import serialization
+    from annonet_tpu.classes import anno_classes_to_json, default_anno_classes
+    from annonet_tpu.cli.inspect import main as inspect_main
+    from annonet_tpu.models.segnet import (
+        SegNetConfig,
+        fold_batchnorm,
+        init_state,
+    )
+
+    config = SegNetConfig(class_count=3, level_count=1, base_width=16)
+    params, bn = init_state(jax.random.PRNGKey(0), config)
+    runtime = fold_batchnorm(params, bn, config)
+    model_path = str(tmp_path / "annonet.dnn")
+    serialization.save_model(
+        model_path, runtime, config,
+        anno_classes_to_json(default_anno_classes()), 2.0,
+    )
+    calib_path = str(tmp_path / "calib.npz")
+    serialization.save_calibration(
+        calib_path, [np.ones(16, np.float32)], config, runtime
+    )
+
+    rc = inspect_main([model_path, "--calibration", calib_path])
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out)
+    assert info["model_config"]["class_count"] == 3
+    assert info["downscaling_factor"] == 2.0
+    assert [c["name"] for c in info["classes"]][:1] == ["clean"]
+    assert info["required_input_dimension"] > 0
+    assert info["parameters"] > 0 and info["bytes"] > 0
+    assert len(info["weights_fingerprint"]) == 64
+    assert info["calibration"]["matches_model"] is True
+
+    # a calibration from different weights reports the mismatch
+    params2, bn2 = init_state(jax.random.PRNGKey(5), config)
+    serialization.save_calibration(
+        calib_path, [np.ones(16, np.float32)], config,
+        fold_batchnorm(params2, bn2, config),
+    )
+    rc = inspect_main([model_path, "--calibration", calib_path])
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out)
+    assert info["calibration"]["matches_model"] is False
+
+    # a non-artifact errors with exit 1
+    rc = inspect_main([str(tmp_path / "missing.npz")])
+    assert rc == 1
