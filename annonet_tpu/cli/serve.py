@@ -103,6 +103,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "--warmup 2048x2048 (repeatable). Warm-up uses a "
                         "mid-gray image; first real requests then skip the "
                         "20-40s XLA compile.")
+    p.add_argument("--watch-model", type=float, default=0.0, metavar="SEC",
+                   help="Poll the --model path every SEC seconds and "
+                        "auto-reload when its mtime changes — pairs with "
+                        "the trainer's periodic annonet.dnn snapshots for "
+                        "a zero-operator deploy loop (same code path as "
+                        "POST /reload: same-architecture snapshots take "
+                        "the weight-swap fast path; failures keep the old "
+                        "model and are retried on the next change). "
+                        "0 = off (default)")
     p.add_argument("--mesh", type=int, default=None, metavar="N",
                    help="Tile-parallel inference over an N-device "
                         "jax.sharding.Mesh: each request's tile batch is "
@@ -375,6 +384,40 @@ class _ModelService:
             "fast_swap": bool(new.fast_swap),
             "warmed": warmed,
         }
+
+    def start_model_watch(self, interval: float) -> threading.Event:
+        """--watch-model: poll the artifact's mtime every ``interval``
+        seconds and reload on change (the zero-operator pairing for the
+        trainer's periodic snapshots). Returns the stop Event. A failed
+        reload keeps the old model and is NOT retried until the file
+        changes again (no tight failure loop); a snapshot mid-write is
+        retried naturally because the trainer's atomic rename changes the
+        mtime exactly once."""
+        import os
+
+        stop = threading.Event()
+
+        def loop():
+            last = self.state.model_mtime
+            while not stop.wait(interval):
+                try:
+                    mtime = os.path.getmtime(self.state.model_path)
+                except OSError:
+                    continue
+                if last is not None and mtime == last:
+                    continue
+                last = mtime
+                try:
+                    info = self.reload()
+                    print(f"reloaded (watch): {json.dumps(info)}",
+                          flush=True)
+                except Exception as e:  # noqa: BLE001
+                    print(f"reload failed (watch), old model kept: {e}",
+                          flush=True)
+
+        threading.Thread(target=loop, daemon=True,
+                         name="annonet-model-watch").start()
+        return stop
 
     # -- image pipeline (mirrors the batch CLI per-image flow) -----------
 
@@ -1024,6 +1067,9 @@ def main(argv=None) -> int:
             signal.signal(signal.SIGHUP, _hup)
     except (ValueError, OSError):  # non-main thread / exotic platform
         pass
+    watch_stop = None
+    if args.watch_model and args.watch_model > 0:
+        watch_stop = service.start_model_watch(args.watch_model)
     print(f"annonet_serve: listening on http://{host}:{port} "
           f"(model={args.model}, quantize={args.quantize})", flush=True)
     try:
@@ -1031,6 +1077,8 @@ def main(argv=None) -> int:
     except KeyboardInterrupt:
         print("shutting down")
     finally:
+        if watch_stop is not None:
+            watch_stop.set()
         server.server_close()
     return 0
 

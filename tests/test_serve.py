@@ -658,3 +658,37 @@ def test_reload_config_change_takes_full_rebuild_path(tmp_path):
     finally:
         server.shutdown()
         thread.join(timeout=10)
+
+
+def test_watch_model_auto_reloads_on_mtime_change(tmp_path):
+    """--watch-model polls the artifact's mtime and auto-reloads —
+    same-architecture snapshots take the weight-swap fast path."""
+    import os
+    import time as _time
+
+    model_path = str(tmp_path / "annonet.dnn")
+    _save_model(model_path, seed=0)
+    args = build_parser().parse_args(
+        ["--model", model_path, "--port", "0",
+         "--tile-max-width", "64", "--tile-max-height", "64",
+         "--watch-model", "0.05"]
+    )
+    server, service = make_server(args)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    stop = service.start_model_watch(0.05)
+    try:
+        old_inferer = service.state.inferer
+        _save_model(model_path, seed=9)
+        # force an mtime change even on coarse-granularity filesystems
+        os.utime(model_path, (os.path.getmtime(model_path) + 2,) * 2)
+        deadline = _time.monotonic() + 15.0
+        while (service.state.reload_count == 0
+               and _time.monotonic() < deadline):
+            _time.sleep(0.05)
+        assert service.state.reload_count == 1
+        assert service.state.inferer is old_inferer  # fast swap
+    finally:
+        stop.set()
+        server.shutdown()
+        thread.join(timeout=10)
