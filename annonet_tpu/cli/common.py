@@ -156,7 +156,7 @@ def enable_compilation_cache(cache_dir=None):
         pass
 
 
-def make_cli_mesh(n_devices: int):
+def make_cli_mesh(n_devices: int, multiprocess: bool = False):
     """--mesh N -> a jax.sharding.Mesh, shared by both CLIs.
 
     Behind ANNONET_TPU_VIRTUAL_MESH=1, fakes an N-device CPU mesh on
@@ -164,11 +164,27 @@ def make_cli_mesh(n_devices: int):
     --mesh run is never silently moved to CPU). MUST be called before
     anything initializes the JAX backend (e.g. select_device), or the
     virtual-device flags come too late.
+
+    ``multiprocess``: the caller already ran initialize_distributed
+    (--coordinator); N must then equal the GLOBAL device count — every
+    device of every process joins the data-parallel mesh (a partial
+    global mesh would leave some processes with no devices to drive).
     """
     import os
 
     from annonet_tpu.parallel.mesh import ensure_virtual_devices, make_mesh
 
+    if multiprocess:
+        import jax
+
+        total = len(jax.devices())
+        if n_devices != total:
+            raise ValueError(
+                f"--mesh {n_devices} must equal the global device count "
+                f"({total}) when training multi-process (--coordinator): "
+                f"every device of every process joins the mesh"
+            )
+        return make_mesh(n_devices)
     if os.environ.get("ANNONET_TPU_VIRTUAL_MESH") == "1":
         ensure_virtual_devices(n_devices)
     return make_mesh(n_devices)

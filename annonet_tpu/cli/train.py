@@ -87,6 +87,21 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Train data-parallel over an N-device "
                         "jax.sharding.Mesh (sync-BN DP; minibatch is "
                         "rounded up to a multiple of N)")
+    p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                   help="Multi-host training: initialize "
+                        "jax.distributed across processes before building "
+                        "the --mesh (which must then equal the GLOBAL "
+                        "device count). Every process runs this same "
+                        "command against the same dataset with the same "
+                        "seed, differing only in --process-id; gradients "
+                        "and sync-BN statistics all-reduce over ICI+DCN. "
+                        "'auto' uses JAX's TPU-pod cluster detection "
+                        "(no --num-processes/--process-id needed)")
+    p.add_argument("--num-processes", type=int, default=None, metavar="P",
+                   help="Total process (host) count for --coordinator")
+    p.add_argument("--process-id", type=int, default=None, metavar="I",
+                   help="This process's index (0..P-1) for --coordinator; "
+                        "process 0 writes the model/sync/metrics files")
     # runtime versions of the reference's compile-time knobs
     p.add_argument("--level-count", type=int, default=2,
                    help="Downsampling level count (was DLIB_DNN_PIMPL_WRAPPER_LEVEL_COUNT)")
@@ -299,13 +314,52 @@ def _run_impl(args, input_directory, stack) -> int:
         grayscale=args.grayscale,
     )
 
-    # mesh setup must precede select_device: the virtual-device flags only
-    # take effect before the JAX backend initializes
+    # Multi-host bootstrap (--coordinator) must precede mesh setup, which
+    # must precede select_device: distributed init and the virtual-device
+    # flags only take effect before the JAX backend initializes.
+    multihost = bool(args.coordinator)
+    io_process = True
+    if multihost:
+        if not args.mesh:
+            raise RuntimeError(
+                "--coordinator requires --mesh N (the global device count "
+                "across all processes)"
+            )
+        from annonet_tpu.parallel.mesh import initialize_distributed
+
+        local_virtual = None
+        if (
+            os.environ.get("ANNONET_TPU_VIRTUAL_MESH") == "1"
+            and args.num_processes
+        ):
+            local_virtual = max(1, args.mesh // args.num_processes)
+        proc_id, nproc = initialize_distributed(
+            args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+            local_virtual_devices=local_virtual,
+        )
+        io_process = proc_id == 0
+        print(f"Multi-host training: process {proc_id} of {nproc}")
+        # Every process must draw the IDENTICAL crop-decision stream (the
+        # model is SPMD with host replication: replicated pool contents
+        # and decision uploads are only consistent if every host computes
+        # the same ones). A single loader thread makes the stream
+        # deterministic; the pin-budget fallback is disabled because it is
+        # timing-dependent and flips which (collective) program a batch
+        # dispatches through.
+        if args.data_loader_thread_count != 1:
+            print(
+                "Multi-host: forcing --data-loader-thread-count 1 (every "
+                "process must draw the identical crop-decision stream)"
+            )
+            args.data_loader_thread_count = 1
+
     mesh = None
     if args.mesh:
         from annonet_tpu.cli.common import make_cli_mesh
 
-        mesh = make_cli_mesh(args.mesh)
+        mesh = make_cli_mesh(args.mesh, multiprocess=multihost)
 
     if args.device is not None:
         stack.enter_context(select_device(args.device))
@@ -344,7 +398,7 @@ def _run_impl(args, input_directory, stack) -> int:
         trainer = Trainer(model_config, trainer_config, seed=args.seed)
 
     metrics = None
-    if args.metrics_jsonl:
+    if args.metrics_jsonl and io_process:
         from annonet_tpu.utils.metrics import MetricsWriter
 
         metrics = MetricsWriter(args.metrics_jsonl, args.metrics_interval)
@@ -502,6 +556,11 @@ def _run_impl(args, input_directory, stack) -> int:
             )
 
     def save_inference_net():
+        if not io_process:
+            # params are replicated: process 0's artifact is everyone's.
+            # (All processes still reach this deterministic point — only
+            # the local-device export/validation work is skipped.)
+            return
         print("saving network")
         runtime_net = trainer.runtime_net()
         serialization.save_model(
@@ -563,6 +622,10 @@ def _run_impl(args, input_directory, stack) -> int:
         thread_count=max(1, args.data_loader_thread_count),
         queue_depth=2 * args.minibatch_size,
         seed=args.seed,
+        # multi-host: the pin-budget fallback is timing-dependent (it
+        # flips decision batches into pixel batches, i.e. into a DIFFERENT
+        # collective program), so it must never trigger
+        pinned_bytes_budget=(1 << 62) if multihost else 512 << 20,
     ) as pipe:
         # Errors thrown from inside the training loop (bad crops, device
         # failures) print the message and exit 2, parity with the loop's
@@ -645,6 +708,13 @@ def _run_impl(args, input_directory, stack) -> int:
             steps=minibatch,
             wall_seconds=round(time.monotonic() - train_started, 3),
         )
+    if multihost:
+        # hold every process until the final save/flush completed
+        # everywhere (process 0 hosts the coordination service, so it must
+        # not exit while peers still have work in flight)
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("annonet_train exit")
     return 0
 
 

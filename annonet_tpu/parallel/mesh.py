@@ -36,6 +36,63 @@ def ensure_virtual_devices(n_devices: int) -> bool:
     return len(jax.devices()) >= n_devices
 
 
+def initialize_distributed(
+    coordinator: str,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    local_virtual_devices: Optional[int] = None,
+):
+    """Multi-host (DCN) bootstrap: ``jax.distributed.initialize`` for
+    ``annonet_train --coordinator``.
+
+    Must run before the JAX backend initializes. ``coordinator`` is
+    ``"host:port"`` of process 0 (every process passes the same address,
+    plus --num-processes/--process-id), or ``"auto"`` on TPU pods where
+    JAX's cluster auto-detection fills everything in.
+
+    ``local_virtual_devices``: fake that many CPU devices in THIS process
+    (testing aid — the multi-host analog of ensure_virtual_devices; the
+    flag must be set before backend init, hence here).
+
+    Returns (process_index, process_count).
+    """
+    if local_virtual_devices:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags
+                + f" --xla_force_host_platform_device_count="
+                f"{local_virtual_devices}"
+            ).strip()
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass
+    try:
+        # cross-process CPU collectives ride gloo/TCP; the option only
+        # affects the CPU client, so it is harmless on TPU pods (whose
+        # collectives ride ICI/DCN natively)
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:  # noqa: BLE001 — unavailable on some jaxlib builds
+        pass
+    if coordinator == "auto":
+        jax.distributed.initialize()
+    else:
+        if num_processes is None or process_id is None:
+            raise ValueError(
+                "--coordinator host:port requires --num-processes and "
+                "--process-id (or use --coordinator auto on TPU pods, "
+                "where JAX detects the cluster)"
+            )
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return jax.process_index(), jax.process_count()
+
+
 def make_mesh(
     n_devices: Optional[int] = None,
     axis_names: Sequence[str] = ("batch",),

@@ -354,6 +354,27 @@ class DataParallelTrainer(Trainer):
         self.mesh = mesh
         self.axis = axis
         self._dp_step_fn = None
+        # Multi-host: the mesh spans processes (--coordinator). The model
+        # is SPMD with host replication — every process runs the identical
+        # host program on the identical data, so replicated inputs are
+        # consistent by construction. Trainer state must start as global
+        # replicated arrays (a single-device-committed array would be
+        # rejected by the mesh programs), non-zero ranks skip file writes,
+        # and time-triggered sync saves must not flush (trainer.py).
+        self._multiprocess = (
+            len({d.process_index for d in np.asarray(mesh.devices).ravel()})
+            > 1
+        )
+        if self._multiprocess:
+            replicated = NamedSharding(mesh, P())
+            as_global = lambda tree: jax.device_put(  # noqa: E731
+                jax.tree_util.tree_map(np.asarray, tree), replicated
+            )
+            self.params = as_global(self.params)
+            self.bn_stats = as_global(self.bn_stats)
+            self.velocity = as_global(self.velocity)
+            self.io_process = jax.process_index() == 0
+            self.sync_flush = False
 
     @property
     def device_count(self) -> int:
@@ -411,17 +432,24 @@ class DataParallelTrainer(Trainer):
         self._ensure_fused_key(seed)
 
         batch_sharding = NamedSharding(self.mesh, P(self.axis))
-        # device arrays (the pool gather's output, already batch-sharded)
-        # pass straight through — np.asarray would round-trip the crop
-        # pixels through the host
-        images_dev = (
-            images if isinstance(images, jax.Array)
-            else jax.device_put(np.asarray(images), batch_sharding)
-        )
-        labels_dev = (
-            labels if isinstance(labels, jax.Array)
-            else jax.device_put(np.asarray(labels), batch_sharding)
-        )
+
+        def to_device(x):
+            # device arrays (the pool gather's output, already
+            # batch-sharded) pass straight through — np.asarray would
+            # round-trip the crop pixels through the host
+            if isinstance(x, jax.Array):
+                return x
+            arr = np.asarray(x)
+            if self._multiprocess:
+                # every process holds the identical full batch (SPMD host
+                # replication); each contributes its addressable shards
+                return jax.make_array_from_callback(
+                    arr.shape, batch_sharding, lambda idx: arr[idx]
+                )
+            return jax.device_put(arr, batch_sharding)
+
+        images_dev = to_device(images)
+        labels_dev = to_device(labels)
         (
             self.params,
             self.bn_stats,

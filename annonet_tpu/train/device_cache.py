@@ -134,8 +134,11 @@ class DeviceImagePool:
                     out_shardings=(self._sharding, self._sharding),
                 )
             self._update_fns[key] = fn
+        # np.int32, not jnp: the slot rides the update dispatch instead of
+        # being its own eager transfer, and a committed single-device
+        # scalar would be rejected by a multi-process (replicated) pool
         self.images, self.labels = fn(
-            self.images, self.labels, img, lab, jnp.int32(slot)
+            self.images, self.labels, img, lab, np.int32(slot)
         )
         self._resident[slot] = (
             id(sample), sample, img.shape[0], img.shape[1]

@@ -410,6 +410,14 @@ class Trainer:
         # the same lag the plateau detector sees. The CLI wires
         # --metrics-jsonl to this.
         self.metrics_hook = None
+        # multi-process (multi-host) coordination: non-zero ranks skip
+        # file writes, and time-based sync saves must not flush (a flush
+        # DISPATCHES collective programs, and its wall-clock trigger would
+        # desynchronize the dispatch sequence across processes — a
+        # collective mismatch). DataParallelTrainer sets these when its
+        # mesh spans processes; single-process behavior is unchanged.
+        self.io_process = True
+        self.sync_flush = True
         self._last_sync = time.monotonic()
         # opt_jit == jax.jit unless ANNONET_TPU_COMPILER_OPTIONS is set
         # (per-program TPU compiler flags, utils/compile_opts.py)
@@ -504,7 +512,11 @@ class Trainer:
         the same augmentations as either path alone. The carry advances
         on device inside each step (with_key_carry)."""
         if self._fused_key is None:
-            self._fused_key = jax.random.PRNGKey(seed ^ 0x5EED)
+            # numpy, not a committed device array: a single-device-committed
+            # input would be rejected by a multi-process mesh program. Only
+            # the first dispatch uploads it — afterwards the carry is the
+            # step program's own (correctly sharded) output.
+            self._fused_key = np.asarray(jax.random.PRNGKey(seed ^ 0x5EED))
 
     def train_step_decisions(
         self,
@@ -829,9 +841,21 @@ class Trainer:
             "velocity": self.velocity,
         }
 
-    def save_sync_file(self, path: Optional[str] = None) -> None:
-        self.flush_pending_steps()
-        self.flush_losses()
+    def save_sync_file(
+        self, path: Optional[str] = None, flush: bool = True
+    ) -> None:
+        """Write the full training state. ``flush=False`` saves the state
+        as-dispatched without draining buffered steps/losses (the loss
+        window in the file then lags the step count by up to the pending
+        readbacks) — required for time-triggered saves in multi-process
+        runs, where a flush would dispatch collective programs at a
+        wall-clock point the other processes don't share."""
+        if flush:
+            self.flush_pending_steps()
+            self.flush_losses()
+        self._last_sync = time.monotonic()
+        if not self.io_process:
+            return
         path = path or self.config.sync_file
         if not path:
             return
@@ -842,7 +866,6 @@ class Trainer:
             "model_config": self.model_config.to_dict(),
         }
         serialization.save_trainer_state(path, self._state_trees(), meta)
-        self._last_sync = time.monotonic()
 
     def _maybe_sync(self) -> None:
         if (
@@ -850,7 +873,7 @@ class Trainer:
             and time.monotonic() - self._last_sync
             >= self.config.sync_interval_seconds
         ):
-            self.save_sync_file()
+            self.save_sync_file(flush=self.sync_flush)
 
     def _try_resume(self, path: str) -> None:
         import os

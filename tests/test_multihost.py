@@ -1,0 +1,164 @@
+"""Multi-host (multi-process) data-parallel training.
+
+``annonet_train --coordinator`` spans the DP mesh over several processes
+(jax.distributed; CPU cross-process collectives ride gloo/TCP in these
+tests, ICI/DCN on real pods). The execution model is SPMD with host
+replication: every process runs the identical host program — same
+dataset, same seed, single loader thread — so replicated inputs (pool
+contents, crop decisions, keys) are consistent by construction, and the
+2-process x 4-device run computes the same global batches as the
+1-process x 8-device run. The reference has no distributed story at all
+(SURVEY.md §2.3: single process, one GPU) — this is the TPU-native
+scale-out axis its trainer points at.
+
+These tests spawn real subprocesses (each needs its own JAX runtime) and
+compare the final model artifacts numerically.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from tests.test_end_to_end import write_synthetic_dataset
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _env(local_devices: int) -> dict:
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={local_devices}"
+    )
+    env["ANNONET_TPU_PLATFORM"] = "cpu"
+    env["ANNONET_TPU_NO_COMPILATION_CACHE"] = "1"
+    env["PYTHONPATH"] = REPO_ROOT + os.pathsep + env.get("PYTHONPATH", "")
+    return env
+
+
+def _train_cmd(data_dir, out_path, sync_path, extra=()):
+    return [
+        sys.executable, "-m", "annonet_tpu.cli.train",
+        str(data_dir),
+        "--max-total-steps", "6",
+        "-b", "8",
+        "--mesh", "8",
+        "--level-count", "0",
+        "--net-width-scaler", "0.5",
+        "--input-dimension-multiplier", "1.0",
+        "--initial-learning-rate", "0.02",
+        "--data-loader-thread-count", "1",
+        "--steps-per-dispatch", "2",
+        "--loss-sync-interval", "2",
+        "--seed", "0",
+        "--save-interval", "1000",
+        "--output", str(out_path),
+        "--sync-file", str(sync_path),
+        *extra,
+    ]
+
+
+@pytest.mark.slow
+def test_two_process_training_matches_single_process(tmp_path):
+    """2 processes x 4 devices == 1 process x 8 devices (same seed, same
+    decision stream, sync-BN DP over the same global batch); process 0
+    writes the artifact, process 1 does not."""
+    from annonet_tpu import serialization
+
+    data = tmp_path / "data"
+    data.mkdir()
+    write_synthetic_dataset(data, n_images=3, size=40)
+
+    # --- reference arm: one process, 8 virtual devices
+    single_out = tmp_path / "single.dnn"
+    r = subprocess.run(
+        _train_cmd(data, single_out, tmp_path / "single_sync.dat"),
+        env=_env(8), capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert single_out.exists()
+
+    # --- multi-host arm: two processes, 4 virtual devices each
+    port = _free_port()
+    outs = [tmp_path / "mh0.dnn", tmp_path / "mh1.dnn"]
+    procs = []
+    for pid in range(2):
+        cmd = _train_cmd(
+            data, outs[pid], tmp_path / f"mh{pid}_sync.dat",
+            extra=[
+                "--coordinator", f"127.0.0.1:{port}",
+                "--num-processes", "2",
+                "--process-id", str(pid),
+            ],
+        )
+        procs.append(subprocess.Popen(
+            cmd, env=_env(4), stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True,
+        ))
+    logs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            logs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    assert procs[0].returncode == 0, logs[0]
+    assert procs[1].returncode == 0, logs[1]
+    assert "Multi-host training: process 0 of 2" in logs[0]
+    # only process 0 writes the artifact and the sync file
+    assert outs[0].exists()
+    assert not outs[1].exists()
+    assert (tmp_path / "mh0_sync.dat").exists()
+    assert not (tmp_path / "mh1_sync.dat").exists()
+
+    # --- numerical equivalence (up to collective reduction order)
+    p_single, cfg_s, json_s, factor_s = serialization.load_model(
+        str(single_out)
+    )
+    p_multi, cfg_m, json_m, factor_m = serialization.load_model(
+        str(outs[0])
+    )
+    assert cfg_s.to_dict() == cfg_m.to_dict()
+    assert json_s == json_m and factor_s == factor_m
+    flat_s = serialization.flatten_tree(p_single)
+    flat_m = serialization.flatten_tree(p_multi)
+    assert flat_s.keys() == flat_m.keys()
+    for k in flat_s:
+        np.testing.assert_allclose(
+            flat_s[k], flat_m[k], rtol=2e-5, atol=1e-6,
+            err_msg=f"multi-host diverged from single-process at {k}",
+        )
+
+
+def test_coordinator_requires_mesh(tmp_path):
+    """--coordinator without --mesh is a setup error (exit 1), before any
+    distributed initialization is attempted."""
+    from annonet_tpu.cli.train import main
+
+    (tmp_path / "anno_classes.json").write_text("")
+    rc = main([
+        str(tmp_path),
+        "--coordinator", "127.0.0.1:1",
+    ])
+    assert rc == 1
+
+
+def test_mesh_must_cover_global_devices():
+    """make_cli_mesh(multiprocess=True) rejects a partial global mesh."""
+    from annonet_tpu.cli.common import make_cli_mesh
+
+    with pytest.raises(ValueError, match="global device count"):
+        make_cli_mesh(3, multiprocess=True)  # 8 virtual devices visible
