@@ -383,6 +383,43 @@ def _run_impl(args, input_directory, stack) -> int:
         sync_interval_seconds=600.0,
         verbose=True,
     )
+    if multihost:
+        # Resume consistency, checked BEFORE trainer construction: every
+        # process must resume from the SAME state — the same --sync-file
+        # on a shared filesystem. A rank that missed the file (e.g.
+        # per-host sync paths: only process 0 writes one) would silently
+        # train from scratch against resumed peers, with every
+        # "replicated" array inconsistent. (Left unchecked, jax's own
+        # device_put cross-process validation eventually trips on the
+        # replicated params — but with a message that doesn't say why.)
+        import numpy as np
+        from jax.experimental import multihost_utils
+
+        step, lr = -1.0, -1.0  # no checkpoint
+        if args.sync_file and os.path.exists(args.sync_file):
+            try:
+                _trees, meta = serialization.load_trainer_state(
+                    args.sync_file
+                )
+                step = float(meta["step_count"])
+                lr = float(meta["learning_rate"])
+            except Exception:  # noqa: BLE001 — unreadable: consistent
+                # rank-local verdict here; the trainer raises the real
+                # corruption error (identically on every rank) below
+                step, lr = -2.0, -2.0
+        gathered = np.asarray(multihost_utils.process_allgather(
+            np.asarray([step, lr], np.float64)
+        ))
+        if not bool(np.all(gathered == gathered[0])):
+            raise RuntimeError(
+                "multi-host resume mismatch: processes see different "
+                "trainer checkpoints "
+                f"(per-process step/learning-rate rows: {gathered.tolist()}"
+                ", -1 = none) — point every process at the SAME "
+                "--sync-file on a shared filesystem, or delete it "
+                "everywhere to start fresh"
+            )
+
     minibatch_size = args.minibatch_size
     if args.mesh:
         from annonet_tpu.parallel.train import DataParallelTrainer

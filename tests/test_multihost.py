@@ -47,11 +47,11 @@ def _env(local_devices: int) -> dict:
     return env
 
 
-def _train_cmd(data_dir, out_path, sync_path, extra=()):
+def _train_cmd(data_dir, out_path, sync_path, extra=(), steps=6):
     return [
         sys.executable, "-m", "annonet_tpu.cli.train",
         str(data_dir),
-        "--max-total-steps", "6",
+        "--max-total-steps", str(steps),
         "-b", "8",
         "--mesh", "8",
         "--level-count", "0",
@@ -69,13 +69,58 @@ def _train_cmd(data_dir, out_path, sync_path, extra=()):
     ]
 
 
+def _run_pair(data, outs, syncs, steps=6, timeout=600):
+    """Launch a 2-process --coordinator training; returns (returncodes,
+    logs)."""
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        cmd = _train_cmd(
+            data, outs[pid], syncs[pid], steps=steps,
+            extra=[
+                "--coordinator", f"127.0.0.1:{port}",
+                "--num-processes", "2",
+                "--process-id", str(pid),
+            ],
+        )
+        procs.append(subprocess.Popen(
+            cmd, env=_env(4), stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True,
+        ))
+    logs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=timeout)
+            logs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    return [p.returncode for p in procs], logs
+
+
+def _assert_artifacts_close(path_a, path_b):
+    from annonet_tpu import serialization
+
+    p_a, cfg_a, json_a, factor_a = serialization.load_model(str(path_a))
+    p_b, cfg_b, json_b, factor_b = serialization.load_model(str(path_b))
+    assert cfg_a.to_dict() == cfg_b.to_dict()
+    assert json_a == json_b and factor_a == factor_b
+    flat_a = serialization.flatten_tree(p_a)
+    flat_b = serialization.flatten_tree(p_b)
+    assert flat_a.keys() == flat_b.keys()
+    for k in flat_a:
+        np.testing.assert_allclose(
+            flat_a[k], flat_b[k], rtol=2e-5, atol=1e-6,
+            err_msg=f"artifacts diverged at {k}",
+        )
+
+
 @pytest.mark.slow
 def test_two_process_training_matches_single_process(tmp_path):
     """2 processes x 4 devices == 1 process x 8 devices (same seed, same
     decision stream, sync-BN DP over the same global batch); process 0
     writes the artifact, process 1 does not."""
-    from annonet_tpu import serialization
-
     data = tmp_path / "data"
     data.mkdir()
     write_synthetic_dataset(data, n_images=3, size=40)
@@ -90,33 +135,13 @@ def test_two_process_training_matches_single_process(tmp_path):
     assert single_out.exists()
 
     # --- multi-host arm: two processes, 4 virtual devices each
-    port = _free_port()
     outs = [tmp_path / "mh0.dnn", tmp_path / "mh1.dnn"]
-    procs = []
-    for pid in range(2):
-        cmd = _train_cmd(
-            data, outs[pid], tmp_path / f"mh{pid}_sync.dat",
-            extra=[
-                "--coordinator", f"127.0.0.1:{port}",
-                "--num-processes", "2",
-                "--process-id", str(pid),
-            ],
-        )
-        procs.append(subprocess.Popen(
-            cmd, env=_env(4), stdout=subprocess.PIPE,
-            stderr=subprocess.STDOUT, text=True,
-        ))
-    logs = []
-    try:
-        for p in procs:
-            out, _ = p.communicate(timeout=600)
-            logs.append(out)
-    finally:
-        for p in procs:
-            if p.poll() is None:
-                p.kill()
-    assert procs[0].returncode == 0, logs[0]
-    assert procs[1].returncode == 0, logs[1]
+    rcs, logs = _run_pair(
+        data, outs,
+        [tmp_path / "mh0_sync.dat", tmp_path / "mh1_sync.dat"],
+    )
+    assert rcs[0] == 0, logs[0]
+    assert rcs[1] == 0, logs[1]
     assert "Multi-host training: process 0 of 2" in logs[0]
     # only process 0 writes the artifact and the sync file
     assert outs[0].exists()
@@ -125,22 +150,63 @@ def test_two_process_training_matches_single_process(tmp_path):
     assert not (tmp_path / "mh1_sync.dat").exists()
 
     # --- numerical equivalence (up to collective reduction order)
-    p_single, cfg_s, json_s, factor_s = serialization.load_model(
-        str(single_out)
-    )
-    p_multi, cfg_m, json_m, factor_m = serialization.load_model(
-        str(outs[0])
-    )
-    assert cfg_s.to_dict() == cfg_m.to_dict()
-    assert json_s == json_m and factor_s == factor_m
-    flat_s = serialization.flatten_tree(p_single)
-    flat_m = serialization.flatten_tree(p_multi)
-    assert flat_s.keys() == flat_m.keys()
-    for k in flat_s:
-        np.testing.assert_allclose(
-            flat_s[k], flat_m[k], rtol=2e-5, atol=1e-6,
-            err_msg=f"multi-host diverged from single-process at {k}",
+    _assert_artifacts_close(single_out, outs[0])
+
+
+@pytest.mark.slow
+def test_multihost_resume_through_shared_sync_file(tmp_path):
+    """Stop + resume through a SHARED --sync-file: every process resumes
+    from the same state (production contract: same path on a shared
+    filesystem), and the continued run matches a single-process run with
+    the same stop/resume pattern."""
+    data = tmp_path / "data"
+    data.mkdir()
+    write_synthetic_dataset(data, n_images=3, size=40)
+
+    # single-process arm with the same stop/resume pattern
+    single_out = tmp_path / "single.dnn"
+    single_sync = tmp_path / "single_sync.dat"
+    for steps in (3, 6):
+        r = subprocess.run(
+            _train_cmd(data, single_out, single_sync, steps=steps),
+            env=_env(8), capture_output=True, text=True, timeout=600,
         )
+        assert r.returncode == 0, r.stdout + r.stderr
+
+    # multi-host arm: BOTH ranks point at the same sync file
+    outs = [tmp_path / "mh0.dnn", tmp_path / "mh1.dnn"]
+    shared = tmp_path / "shared_sync.dat"
+    rcs, logs = _run_pair(data, outs, [shared, shared], steps=3)
+    assert rcs == [0, 0], logs
+    assert shared.exists()
+    rcs, logs = _run_pair(data, outs, [shared, shared], steps=6)
+    assert rcs == [0, 0], logs
+    for log in logs:
+        assert "resumed from" in log and "at step 3" in log, log
+
+    _assert_artifacts_close(single_out, outs[0])
+
+
+@pytest.mark.slow
+def test_multihost_resume_mismatch_fails(tmp_path):
+    """Per-rank --sync-file paths leave rank 1 with no checkpoint (only
+    process 0 writes one): a restart must fail the resume-consistency
+    check on every rank instead of silently training from divergent
+    states."""
+    data = tmp_path / "data"
+    data.mkdir()
+    write_synthetic_dataset(data, n_images=3, size=40)
+
+    outs = [tmp_path / "mh0.dnn", tmp_path / "mh1.dnn"]
+    syncs = [tmp_path / "mh0_sync.dat", tmp_path / "mh1_sync.dat"]
+    rcs, logs = _run_pair(data, outs, syncs, steps=3)
+    assert rcs == [0, 0], logs
+    assert syncs[0].exists() and not syncs[1].exists()
+
+    rcs, logs = _run_pair(data, outs, syncs, steps=6)
+    assert rcs == [1, 1], logs
+    for log in logs:
+        assert "multi-host resume mismatch" in log, log
 
 
 def test_coordinator_requires_mesh(tmp_path):
