@@ -96,6 +96,17 @@ def main(argv=None) -> int:
 
         build_parser().print_help()
         return 0 if wants_help else 1
+    if "--coordinator" in argv:
+        # a probe subprocess would wait forever for peer processes that
+        # never run probes (each host's autotuner only launches its own)
+        print(
+            "annonet_autotune cannot drive multi-host training "
+            "(--coordinator): probes are single-host by nature. Autotune "
+            "WITHOUT --coordinator on one host, then pass the found -b "
+            "to your multi-host annonet_train launch.",
+            file=sys.stderr,
+        )
+        return 2
     start = 100
     if "--start" in argv:
         i = argv.index("--start")

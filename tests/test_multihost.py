@@ -69,7 +69,7 @@ def _train_cmd(data_dir, out_path, sync_path, extra=(), steps=6):
     ]
 
 
-def _run_pair(data, outs, syncs, steps=6, timeout=600):
+def _run_pair(data, outs, syncs, steps=6, timeout=600, extra=()):
     """Launch a 2-process --coordinator training; returns (returncodes,
     logs)."""
     port = _free_port()
@@ -81,6 +81,7 @@ def _run_pair(data, outs, syncs, steps=6, timeout=600):
                 "--coordinator", f"127.0.0.1:{port}",
                 "--num-processes", "2",
                 "--process-id", str(pid),
+                *extra,
             ],
         )
         procs.append(subprocess.Popen(
@@ -207,6 +208,48 @@ def test_multihost_resume_mismatch_fails(tmp_path):
     assert rcs == [1, 1], logs
     for log in logs:
         assert "multi-host resume mismatch" in log, log
+
+
+@pytest.mark.slow
+def test_multihost_int8_training_and_validation(tmp_path):
+    """Composition: --int8-training's dynamic activation scales are
+    pmax'd over the mesh axis — across PROCESSES here — and
+    --validation-directory runs on process 0 only. The int8-training run
+    must still match the single-process mesh run."""
+    data = tmp_path / "data"
+    data.mkdir()
+    write_synthetic_dataset(data, n_images=3, size=40)
+
+    single_out = tmp_path / "single.dnn"
+    r = subprocess.run(
+        _train_cmd(
+            data, single_out, tmp_path / "single_sync.dat",
+            extra=["--int8-training"],
+        ),
+        env=_env(8), capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+
+    outs = [tmp_path / "mh0.dnn", tmp_path / "mh1.dnn"]
+    rcs, logs = _run_pair(
+        data, outs,
+        [tmp_path / "mh0_sync.dat", tmp_path / "mh1_sync.dat"],
+        extra=["--int8-training", "--validation-directory", str(data)],
+    )
+    assert rcs == [0, 0], logs
+    assert "validation (step" in logs[0]       # process 0 validates...
+    assert "validation (step" not in logs[1]   # ...process 1 does not
+    _assert_artifacts_close(single_out, outs[0])
+
+
+def test_autotune_refuses_coordinator(capsys):
+    """Probe subprocesses would wait forever for peers that never probe;
+    the autotuner rejects --coordinator with guidance instead."""
+    from annonet_tpu.cli.autotune import main
+
+    rc = main(["/nonexistent", "--coordinator", "127.0.0.1:1"])
+    assert rc == 2
+    assert "single-host" in capsys.readouterr().err
 
 
 def test_coordinator_requires_mesh(tmp_path):
