@@ -96,7 +96,9 @@ def main(argv=None) -> int:
 
         build_parser().print_help()
         return 0 if wants_help else 1
-    if "--coordinator" in argv:
+    if any(
+        a == "--coordinator" or a.startswith("--coordinator=") for a in argv
+    ):
         # a probe subprocess would wait forever for peer processes that
         # never run probes (each host's autotuner only launches its own)
         print(

@@ -240,6 +240,38 @@ def main(argv=None) -> int:
         return 1
 
 
+def _resume_state_vector(sync_file):
+    """The multi-host resume pre-check's per-rank state, as one comparable
+    uint8 vector: int64 step | float64 learning rate | 32-byte weights
+    fingerprint. Sentinels: step -1 = no checkpoint, -2 = unreadable
+    (consistent-if-everywhere; the trainer then raises the real
+    corruption error identically on every rank). Reads only the npz meta
+    member — never the parameter payload (every rank runs this)."""
+    import os as _os
+
+    import numpy as np
+
+    from annonet_tpu import serialization
+
+    step, lr = -1, -1.0  # no checkpoint
+    fingerprint = b"\x00" * 32
+    if sync_file and _os.path.exists(sync_file):
+        try:
+            meta = serialization.load_trainer_meta(sync_file)
+            step = int(meta["step_count"])
+            lr = float(meta["learning_rate"])
+            fp_hex = meta.get("weights_fingerprint", "")
+            if fp_hex:
+                fingerprint = bytes.fromhex(fp_hex)
+        except Exception:  # noqa: BLE001 — rank-local verdict only
+            step, lr = -2, -2.0
+    return np.concatenate([
+        np.asarray([step], np.int64).view(np.uint8),
+        np.asarray([lr], np.float64).view(np.uint8),
+        np.frombuffer(fingerprint, np.uint8),
+    ])
+
+
 def _run(args, input_directory) -> int:
     # ExitStack scopes the optional select_device context to this call, so
     # library embedders calling main() repeatedly don't leak device
@@ -387,37 +419,24 @@ def _run_impl(args, input_directory, stack) -> int:
         # Resume consistency, checked BEFORE trainer construction: every
         # process must resume from the SAME state — the same --sync-file
         # on a shared filesystem. A rank that missed the file (e.g.
-        # per-host sync paths: only process 0 writes one) would silently
-        # train from scratch against resumed peers, with every
-        # "replicated" array inconsistent. (Left unchecked, jax's own
-        # device_put cross-process validation eventually trips on the
-        # replicated params — but with a message that doesn't say why.)
+        # per-host sync paths: only process 0 writes one), or one holding
+        # a checkpoint from a DIFFERENT run that merely coincides on
+        # step/LR, would silently train from divergent "replicated"
+        # arrays. The vector includes the weights fingerprint recorded at
+        # save time, so the check is sound, not just plausible.
         import numpy as np
         from jax.experimental import multihost_utils
 
-        step, lr = -1.0, -1.0  # no checkpoint
-        if args.sync_file and os.path.exists(args.sync_file):
-            try:
-                _trees, meta = serialization.load_trainer_state(
-                    args.sync_file
-                )
-                step = float(meta["step_count"])
-                lr = float(meta["learning_rate"])
-            except Exception:  # noqa: BLE001 — unreadable: consistent
-                # rank-local verdict here; the trainer raises the real
-                # corruption error (identically on every rank) below
-                step, lr = -2.0, -2.0
         gathered = np.asarray(multihost_utils.process_allgather(
-            np.asarray([step, lr], np.float64)
+            _resume_state_vector(args.sync_file)
         ))
         if not bool(np.all(gathered == gathered[0])):
             raise RuntimeError(
                 "multi-host resume mismatch: processes see different "
-                "trainer checkpoints "
-                f"(per-process step/learning-rate rows: {gathered.tolist()}"
-                ", -1 = none) — point every process at the SAME "
-                "--sync-file on a shared filesystem, or delete it "
-                "everywhere to start fresh"
+                "trainer checkpoints (step/learning-rate/weights "
+                "fingerprint differ across ranks) — point every process "
+                "at the SAME --sync-file on a shared filesystem, or "
+                "delete it everywhere to start fresh"
             )
 
     minibatch_size = args.minibatch_size
@@ -721,6 +740,16 @@ def _run_impl(args, input_directory, stack) -> int:
                     minibatch += 1
         except Exception as e:  # noqa: BLE001
             print(e)
+            if multihost:
+                # data errors raise identically on every rank (identical
+                # decision streams), but a rank-LOCAL failure (device loss,
+                # local OOM) leaves peers blocked in their next collective
+                # until its death severs their transport — name the hazard
+                print(
+                    "multi-host: this rank is exiting; peer processes may "
+                    "block or fail in their next collective. Restart the "
+                    "job on every host (resume from the shared --sync-file)."
+                )
             if metrics is not None:
                 metrics.event("error", message=str(e))
             return 2
@@ -736,6 +765,12 @@ def _run_impl(args, input_directory, stack) -> int:
         trainer.save_sync_file()
     except Exception as e:  # noqa: BLE001
         print(e)
+        if multihost:
+            print(
+                "multi-host: this rank is exiting; peer processes may "
+                "block or fail in their next collective. Restart the "
+                "job on every host (resume from the shared --sync-file)."
+            )
         if metrics is not None:
             metrics.event("error", message=str(e))
         return 2

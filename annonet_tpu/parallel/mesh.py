@@ -10,17 +10,12 @@ import numpy as np
 from jax.sharding import Mesh
 
 
-def ensure_virtual_devices(n_devices: int) -> bool:
-    """Make at least ``n_devices`` JAX devices visible, virtualizing on CPU.
-
-    Must run before the JAX backend initializes: sets
-    --xla_force_host_platform_device_count and forces the cpu platform (the
-    axon TPU plugin pre-sets jax_platforms to "axon,cpu", overriding the
-    JAX_PLATFORMS env var, so the config must be updated explicitly).
-    Returns True if n_devices are now visible, False if the backend was
-    already initialized with fewer. Used by the driver's dryrun_multichip
-    and, behind ANNONET_TPU_VIRTUAL_MESH=1, by the train CLI's --mesh for
-    multi-device testing on single-device hosts.
+def _set_virtual_device_flags(n_devices: int) -> None:
+    """Point this process at ``n_devices`` virtual CPU devices. Must run
+    before the JAX backend initializes: sets
+    --xla_force_host_platform_device_count and forces the cpu platform
+    (the axon TPU plugin pre-sets jax_platforms to "axon,cpu", overriding
+    the JAX_PLATFORMS env var, so the config must be updated explicitly).
     """
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
@@ -33,6 +28,17 @@ def ensure_virtual_devices(n_devices: int) -> bool:
         jax.config.update("jax_platforms", "cpu")
     except RuntimeError:
         pass
+
+
+def ensure_virtual_devices(n_devices: int) -> bool:
+    """Make at least ``n_devices`` JAX devices visible, virtualizing on CPU.
+
+    Returns True if n_devices are now visible, False if the backend was
+    already initialized with fewer. Used by the driver's dryrun_multichip
+    and, behind ANNONET_TPU_VIRTUAL_MESH=1, by the train CLI's --mesh for
+    multi-device testing on single-device hosts.
+    """
+    _set_virtual_device_flags(n_devices)
     return len(jax.devices()) >= n_devices
 
 
@@ -57,18 +63,7 @@ def initialize_distributed(
     Returns (process_index, process_count).
     """
     if local_virtual_devices:
-        flags = os.environ.get("XLA_FLAGS", "")
-        if "xla_force_host_platform_device_count" not in flags:
-            os.environ["XLA_FLAGS"] = (
-                flags
-                + f" --xla_force_host_platform_device_count="
-                f"{local_virtual_devices}"
-            ).strip()
-        os.environ.setdefault("JAX_PLATFORMS", "cpu")
-        try:
-            jax.config.update("jax_platforms", "cpu")
-        except RuntimeError:
-            pass
+        _set_virtual_device_flags(local_virtual_devices)
     try:
         # cross-process CPU collectives ride gloo/TCP; the option only
         # affects the CPU client, so it is harmless on TPU pods (whose

@@ -410,6 +410,11 @@ class DataParallelTrainer(Trainer):
         crop_options,
         seed: int = 0,
     ) -> float:
+        # a pixel batch (e.g. the pipeline's pin-budget fallback) must not
+        # overtake buffered superstep decisions — same contract as the
+        # base Trainer.train_step_crops: flush them first so step order
+        # and the BN-momentum schedule stay sequential
+        self.flush_pending_steps()
         n = self.device_count
         if images.shape[0] % n:
             raise ValueError(

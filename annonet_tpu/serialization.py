@@ -132,6 +132,17 @@ def save_trainer_state(path: str, trees: Dict[str, Any], meta: Dict[str, Any]) -
     _atomic_savez(path, **arrays)
 
 
+def load_trainer_meta(path: str) -> Dict[str, Any]:
+    """Read ONLY the meta dict of a trainer-state file (lazy single-member
+    npz read — the multi-host resume pre-check runs on every rank and must
+    not decompress the full parameter payload twice per rank)."""
+    with np.load(path) as z:
+        payload = json.loads(bytes(z["__meta__"]).decode("utf-8"))
+    if payload.get("format") != _FORMAT or payload.get("kind") != "trainer_state":
+        raise RuntimeError(f"{path} is not an annonet-tpu trainer state file")
+    return payload["meta"]
+
+
 def load_trainer_state(path: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     """Read back (trees, meta) written by save_trainer_state."""
     with np.load(path) as z:

@@ -864,6 +864,12 @@ class Trainer:
             "step_count": self.step_count,
             "previous_loss_values": self.previous_loss_values[-self._loss_window_cap:],
             "model_config": self.model_config.to_dict(),
+            # identifies the exact weights: the multi-host resume
+            # pre-check allgathers this so ranks holding checkpoints that
+            # merely coincide on (step, lr) still fail fast
+            "weights_fingerprint": serialization.weights_fingerprint(
+                self.params
+            ),
         }
         serialization.save_trainer_state(path, self._state_trees(), meta)
 

@@ -667,3 +667,83 @@ def test_pixel_batch_flushes_superstep_buffer():
         np.asarray(t1.previous_loss_values),
         np.asarray(t4.previous_loss_values), rtol=1e-5,
     )
+
+
+def test_dp_pixel_batch_flushes_superstep_buffer():
+    """DataParallelTrainer.train_step_crops must flush buffered superstep
+    decisions before a pixel batch, like the base Trainer (the pin-budget
+    fallback's batches must not overtake the buffered steps' BN-momentum
+    indices): trajectory equals the steps_per_dispatch=1 run."""
+    from annonet_tpu.parallel.mesh import make_mesh
+    from annonet_tpu.parallel.train import DataParallelTrainer
+
+    rng = np.random.default_rng(21)
+    mc = SegNetConfig(
+        class_count=3, level_count=1, base_width=4, compute_dtype="float32"
+    )
+    co = CropOptions(dim=16, allow_flip_left_right=True)
+    samples = [FakeSample(rng, 48, 64), FakeSample(rng, 30, 30)]
+    mesh = make_mesh(8)
+
+    def decisions(step_rng):
+        batch_samples, rects = [], []
+        for _ in range(8):
+            s = samples[int(step_rng.integers(0, 2))]
+            h, w = s.label_image.shape
+            y = int(step_rng.integers(-8, h))
+            x = int(step_rng.integers(-8, w))
+            batch_samples.append(s)
+            rects.append((x, y, x + co.dim - 1, y + co.dim - 1))
+        return batch_samples, rects
+
+    def pixel_batch(step_rng):
+        bs, rects = decisions(step_rng)
+        images = np.stack(
+            [extract_crop(s.input_image, s.label_image, r)[0]
+             for s, r in zip(bs, rects)]
+        )
+        labels = np.stack(
+            [extract_crop(s.input_image, s.label_image, r)[1]
+             for s, r in zip(bs, rects)]
+        )
+        return images, labels
+
+    def run(k):
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        t = DataParallelTrainer(
+            mc,
+            TrainerConfig(
+                initial_learning_rate=0.05, steps_per_dispatch=k,
+                loss_sync_interval=4,
+            ),
+            seed=0,
+            mesh=mesh,
+        )
+        pool = DeviceImagePool(
+            slots=4, sharding=NamedSharding(mesh, PartitionSpec())
+        )
+        step_rng = np.random.default_rng(13)
+        for _ in range(2):
+            t.train_step_decisions(pool, *decisions(step_rng), co, seed=5)
+        if k > 1:
+            assert len(t._superstep_buffer) == 2
+        t.train_step_crops(*pixel_batch(step_rng), co, seed=5)
+        if k > 1:  # the pixel step flushed the buffer before running
+            assert t._superstep_buffer == []
+        assert t.step_count == 3
+        for _ in range(2):
+            t.train_step_decisions(pool, *decisions(step_rng), co, seed=5)
+        t.flush_pending_steps()
+        t.flush_losses()
+        return t
+
+    t1, t4 = run(1), run(4)
+    assert t1.step_count == t4.step_count == 5
+    for p1, p2 in zip(
+        jax.tree_util.tree_leaves(t1.params),
+        jax.tree_util.tree_leaves(t4.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(p1), np.asarray(p2), rtol=1e-4, atol=1e-6
+        )

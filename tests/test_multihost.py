@@ -244,12 +244,49 @@ def test_multihost_int8_training_and_validation(tmp_path):
 
 def test_autotune_refuses_coordinator(capsys):
     """Probe subprocesses would wait forever for peers that never probe;
-    the autotuner rejects --coordinator with guidance instead."""
+    the autotuner rejects --coordinator (both spellings) with guidance."""
     from annonet_tpu.cli.autotune import main
 
     rc = main(["/nonexistent", "--coordinator", "127.0.0.1:1"])
     assert rc == 2
     assert "single-host" in capsys.readouterr().err
+    rc = main(["/nonexistent", "--coordinator=127.0.0.1:1"])
+    assert rc == 2
+    assert "single-host" in capsys.readouterr().err
+
+
+def test_resume_state_vector_distinguishes_same_step_checkpoints(tmp_path):
+    """(step, LR) can coincide across unrelated runs — the pre-check
+    vector includes the weights fingerprint recorded at save time, and
+    distinct sentinels for missing vs unreadable checkpoints."""
+    from annonet_tpu import serialization
+    from annonet_tpu.cli.train import _resume_state_vector
+    from annonet_tpu.models.segnet import SegNetConfig
+    from annonet_tpu.train.trainer import Trainer, TrainerConfig
+
+    mc = SegNetConfig(
+        class_count=2, level_count=0, base_width=4, compute_dtype="float32"
+    )
+    a, b = tmp_path / "a.dat", tmp_path / "b.dat"
+    for seed, path in ((0, a), (1, b)):
+        Trainer(
+            mc, TrainerConfig(sync_file=str(path)), seed=seed
+        ).save_sync_file()
+
+    meta = serialization.load_trainer_meta(str(a))
+    assert meta["step_count"] == 0
+    assert len(meta["weights_fingerprint"]) == 64  # sha256 hex
+
+    va, vb = _resume_state_vector(str(a)), _resume_state_vector(str(b))
+    assert va.shape == vb.shape == (48,)
+    assert np.array_equal(va[:16], vb[:16])  # same step + LR...
+    assert not np.array_equal(va, vb)        # ...different weights
+
+    missing = _resume_state_vector(str(tmp_path / "nope.dat"))
+    (tmp_path / "junk.dat").write_bytes(b"not-an-npz")
+    junk = _resume_state_vector(str(tmp_path / "junk.dat"))
+    assert not np.array_equal(missing, va)
+    assert not np.array_equal(junk, missing)
 
 
 def test_coordinator_requires_mesh(tmp_path):
