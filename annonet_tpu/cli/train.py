@@ -80,6 +80,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-c", "--cached-image-count", type=int, default=8)
     p.add_argument("--data-loader-thread-count", type=int,
                    default=os.cpu_count() or 1)
+    p.add_argument("--deterministic-data", action="store_true",
+                   help="Draw the crop-decision stream from a single "
+                        "deterministic generator, independent of "
+                        "--data-loader-thread-count (the other loader "
+                        "threads become decode prefetchers, so decode "
+                        "still runs in parallel). Forced on by "
+                        "--coordinator: every process must compute the "
+                        "identical stream")
     p.add_argument("--no-empty-label-image-warning", action="store_true")
     p.add_argument("--device", "--primary-cuda-device", dest="device",
                    type=int, default=None, help="Device (TPU core) index")
@@ -302,6 +310,8 @@ def _run_impl(args, input_directory, stack) -> int:
     print(f"Relative training length = {args.relative_training_length:g}")
     print(f"Cached image count = {args.cached_image_count}")
     print(f"Data loader thread count = {args.data_loader_thread_count}")
+    if args.deterministic_data:
+        print("Deterministic data stream = true")
     if args.ignore_class:
         print("Classes to ignore =", " ".join(str(c) for c in args.ignore_class))
 
@@ -376,16 +386,17 @@ def _run_impl(args, input_directory, stack) -> int:
         # Every process must draw the IDENTICAL crop-decision stream (the
         # model is SPMD with host replication: replicated pool contents
         # and decision uploads are only consistent if every host computes
-        # the same ones). A single loader thread makes the stream
-        # deterministic; the pin-budget fallback is disabled because it is
-        # timing-dependent and flips which (collective) program a batch
-        # dispatches through.
-        if args.data_loader_thread_count != 1:
+        # the same ones). The deterministic pipeline mode pins the stream
+        # to (seed, dataset) while keeping the loader threads as parallel
+        # decode prefetchers; the pin-budget fallback is disabled because
+        # it is timing-dependent and flips which (collective) program a
+        # batch dispatches through.
+        if not args.deterministic_data:
             print(
-                "Multi-host: forcing --data-loader-thread-count 1 (every "
-                "process must draw the identical crop-decision stream)"
+                "Multi-host: forcing --deterministic-data (every process "
+                "must draw the identical crop-decision stream)"
             )
-            args.data_loader_thread_count = 1
+            args.deterministic_data = True
 
     mesh = None
     if args.mesh:
@@ -682,6 +693,7 @@ def _run_impl(args, input_directory, stack) -> int:
         # flips decision batches into pixel batches, i.e. into a DIFFERENT
         # collective program), so it must never trigger
         pinned_bytes_budget=(1 << 62) if multihost else 512 << 20,
+        deterministic=args.deterministic_data,
     ) as pipe:
         # Errors thrown from inside the training loop (bad crops, device
         # failures) print the message and exit 2, parity with the loop's

@@ -16,6 +16,14 @@ Differences by design (TPU-first):
   * the region-size filter (--ignore-large-nonzero-regions-*) is applied in
     the cache factory; the reference defines it but never calls it
     (annonet_train_main.cpp:434 has no call site) — here the flags work
+  * ``deterministic=True`` makes the crop-decision stream a pure function
+    of (seed, dataset) while KEEPING parallel decode: one decision thread
+    draws image indices and rects from two spawned generator streams, and
+    the other thread_count - 1 loaders prefetch decodes for the pre-drawn
+    indices. Required by multi-host --coordinator training (every process
+    must compute the identical stream); available single-host as
+    --deterministic-data. The reference has no deterministic mode at all
+    (its N loader threads race on the shared pipe).
 """
 
 from __future__ import annotations
@@ -95,6 +103,7 @@ class CropPipeline:
         seed: int = 0,
         force_per_crop_extraction: bool = False,
         pinned_bytes_budget: int = 512 << 20,
+        deterministic: bool = False,
     ):
         if not image_files:
             raise ValueError("no image files to train on")
@@ -158,12 +167,45 @@ class CropPipeline:
             load_full_sample, cached_image_count
         )
         self._threads: List[threading.Thread] = []
-        for i in range(max(1, thread_count)):
+        if deterministic:
+            # Deterministic mode: the crop-decision stream is a pure
+            # function of (seed, dataset) — independent of thread count and
+            # scheduling — because ONE decision thread draws everything,
+            # from two spawned generator streams (image indices / rects).
+            # The remaining thread_count - 1 loaders become decode
+            # PREFETCHERS: they warm the LRU for upcoming pre-drawn image
+            # indices, so decode still runs in parallel but can never
+            # reorder decisions. This is what --coordinator multi-host
+            # training runs on (every process must compute the identical
+            # replicated pool + decision uploads, docs/DESIGN.md par.29);
+            # single-host users get it via --deterministic-data.
+            n_prefetch = max(0, thread_count - 1)
+            # lookahead deeper than the LRU would evict entries before the
+            # decision thread consumes them (prefetch thrash)
+            self._lookahead = (
+                min(2 * n_prefetch, max(1, cached_image_count - 1))
+                if n_prefetch
+                else 0
+            )
+            self._prefetch_q: "queue.Queue[ImageFilenames]" = queue.Queue(
+                maxsize=max(1, self._lookahead)
+            )
+            for _ in range(n_prefetch):
+                t = threading.Thread(target=self._prefetch_worker, daemon=True)
+                t.start()
+                self._threads.append(t)
             t = threading.Thread(
-                target=self._worker, args=(seed + i,), daemon=True
+                target=self._decision_worker, args=(seed,), daemon=True
             )
             t.start()
             self._threads.append(t)
+        else:
+            for i in range(max(1, thread_count)):
+                t = threading.Thread(
+                    target=self._worker, args=(seed + i,), daemon=True
+                )
+                t.start()
+                self._threads.append(t)
 
     # ------------------------------------------------------------ producer
 
@@ -171,18 +213,61 @@ class CropPipeline:
         rng = np.random.default_rng(seed)
         while not self._stop.is_set():
             crop = self._make_crop(rng)
-            # bounded put with timeout so shutdown never deadlocks on a full
-            # queue (the dlib::pipe analog of disable(), :623)
-            while not self._stop.is_set():
-                try:
-                    self._queue.put(crop, timeout=0.1)
-                    break
-                except queue.Full:
-                    continue
+            self._put_crop(crop)
 
-    def _make_crop(self, rng: np.random.Generator) -> Crop:
+    def _decision_worker(self, seed: int) -> None:
+        """Deterministic mode's single decision thread.
+
+        Image indices come from one spawned stream, rect draws from the
+        other — so indices can be pre-drawn ``self._lookahead`` deep and
+        handed to the prefetchers without perturbing the rect stream, and
+        the decision sequence depends only on (seed, dataset content).
+        """
+        from collections import deque
+
+        idx_ss, rect_ss = np.random.SeedSequence(seed).spawn(2)
+        idx_rng = np.random.default_rng(idx_ss)
+        rect_rng = np.random.default_rng(rect_ss)
+        pending: "deque[int]" = deque()
+        while not self._stop.is_set():
+            while len(pending) <= self._lookahead:
+                index = int(idx_rng.integers(0, len(self._image_files)))
+                pending.append(index)
+                if self._lookahead:
+                    try:  # best-effort: a full queue only costs cache warmth
+                        self._prefetch_q.put_nowait(self._image_files[index])
+                    except queue.Full:
+                        pass
+            crop = self._make_crop(rect_rng, index=pending.popleft())
+            self._put_crop(crop)
+
+    def _prefetch_worker(self) -> None:
+        while not self._stop.is_set():
+            try:
+                filenames = self._prefetch_q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            try:
+                self._cache(filenames)
+            except Exception:  # noqa: BLE001 — the decision thread will hit
+                pass  # the same (deterministic) error and report it as data
+
+    def _put_crop(self, crop: Crop) -> None:
+        # bounded put with timeout so shutdown never deadlocks on a full
+        # queue (the dlib::pipe analog of disable(), :623)
+        while not self._stop.is_set():
+            try:
+                self._queue.put(crop, timeout=0.1)
+                break
+            except queue.Full:
+                continue
+
+    def _make_crop(
+        self, rng: np.random.Generator, index: Optional[int] = None
+    ) -> Crop:
         crop = Crop()
-        index = int(rng.integers(0, len(self._image_files)))
+        if index is None:
+            index = int(rng.integers(0, len(self._image_files)))
         filenames = self._image_files[index]
         try:
             sample = self._cache(filenames)

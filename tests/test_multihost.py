@@ -4,8 +4,10 @@
 (jax.distributed; CPU cross-process collectives ride gloo/TCP in these
 tests, ICI/DCN on real pods). The execution model is SPMD with host
 replication: every process runs the identical host program — same
-dataset, same seed, single loader thread — so replicated inputs (pool
-contents, crop decisions, keys) are consistent by construction, and the
+dataset, same seed, deterministic decision stream (--deterministic-data:
+one decision thread, the other loaders prefetch decodes) — so replicated
+inputs (pool contents, crop decisions, keys) are consistent by
+construction, and the
 2-process x 4-device run computes the same global batches as the
 1-process x 8-device run. The reference has no distributed story at all
 (SURVEY.md §2.3: single process, one GPU) — this is the TPU-native
@@ -58,7 +60,12 @@ def _train_cmd(data_dir, out_path, sync_path, extra=(), steps=6):
         "--net-width-scaler", "0.5",
         "--input-dimension-multiplier", "1.0",
         "--initial-learning-rate", "0.02",
-        "--data-loader-thread-count", "1",
+        # 2 loader threads + --deterministic-data: the decision stream is
+        # pinned to (seed, dataset) while decode prefetch runs in parallel
+        # (the multi-host arms force deterministic mode; the single-process
+        # reference arm must opt in to draw the SAME stream)
+        "--data-loader-thread-count", "2",
+        "--deterministic-data",
         "--steps-per-dispatch", "2",
         "--loss-sync-interval", "2",
         "--seed", "0",

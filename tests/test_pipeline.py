@@ -580,3 +580,48 @@ def test_pin_budget_fallback_throughput_under_stress(tmp_path):
     # sanity floor + no-serialization bound (both loose for CI boxes)
     assert fallback_rate > 50, fallback_rate
     assert fallback_rate > 0.1 * pinned_rate, (fallback_rate, pinned_rate)
+
+
+def test_deterministic_stream_is_thread_count_invariant(tiny_dataset):
+    """deterministic=True pins the crop-decision stream to (seed, dataset):
+    the sequence of (source image, rect) decisions is identical for 1 and 4
+    loader threads (with 4, threads 2-4 are decode prefetchers that cannot
+    reorder decisions), and differs for a different seed."""
+    files, classes = tiny_dataset
+    options = CropOptions(dim=16)
+
+    def stream(threads, seed, batches=4, batch=8):
+        out = []
+        with CropPipeline(
+            files, classes, options, thread_count=threads, seed=seed,
+            cached_image_count=2, queue_depth=8, deterministic=True,
+        ) as pipe:
+            for _ in range(batches):
+                kind, samples, rects = pipe.next_decisions(batch, warn=None)
+                assert kind == "decisions"
+                out.extend(
+                    (s.image_filenames.image_filename, r)
+                    for s, r in zip(samples, rects)
+                )
+        return out
+
+    base = stream(1, seed=5)
+    assert stream(4, seed=5) == base
+    assert stream(4, seed=5) == base  # and stable across runs
+    assert stream(4, seed=6) != base
+
+
+def test_deterministic_mode_minibatch_and_single_thread(tiny_dataset):
+    """deterministic=True with thread_count=1 (no prefetchers) still
+    produces valid minibatches through the pixel-assembly path."""
+    files, classes = tiny_dataset
+    options = CropOptions(dim=16)
+    with CropPipeline(
+        files, classes, options, thread_count=1, seed=3,
+        cached_image_count=2, queue_depth=8, deterministic=True,
+    ) as pipe:
+        images, labels = pipe.next_minibatch(4, warn=None)
+    assert images.shape == (4, 16, 16, 3)
+    assert labels.shape == (4, 16, 16)
+    valid = labels[labels != IGNORE_LABEL]
+    assert valid.size > 0 and set(np.unique(valid)) <= {0, 1}
