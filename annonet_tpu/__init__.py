@@ -50,6 +50,11 @@ def __getattr__(name):
         from annonet_tpu import serialization
 
         return getattr(serialization, name)
+    if name in ("ServeClient", "ServeError"):
+        # jax-free: talks to an annonet_serve sidecar over HTTP
+        from annonet_tpu import client
+
+        return getattr(client, name)
     raise AttributeError(f"module 'annonet_tpu' has no attribute {name!r}")
 
 
@@ -58,6 +63,8 @@ __all__ = [
     "IGNORE_LABEL",
     "RGBA_IGNORE",
     "SegNetConfig",
+    "ServeClient",
+    "ServeError",
     "TiledInferer",
     "Trainer",
     "TrainerConfig",
