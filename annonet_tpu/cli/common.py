@@ -123,6 +123,98 @@ def select_device(device_index):
     return jax.default_device(devices[device_index])
 
 
+def device_probe(timeout_s=None, _op=None, on_timeout="exit"):
+    """Bounded first-device-op probe: fail fast, with an actionable
+    message, when the accelerator runtime is unreachable or wedged.
+
+    Without it, every entry point's FIRST real device op blocks forever
+    when the device runtime is broken — observed failure modes on TPU:
+    backend init stalls in PJRT client setup (dead runtime endpoint), or
+    init succeeds but the first host<->device transfer never completes (a
+    backend left wedged by a killed client). Both look exactly like a
+    hang in this framework's own code, minutes into startup. The
+    reference never needed this — its device sits on the local PCIe bus
+    (dlib::cuda::set_device, annonet_train_main.cpp:392-394) — but a TPU
+    runtime is a network-attached service that fails independently of
+    this process, so the CLIs and the server probe it up front: one tiny
+    upload -> compute -> readback on a daemon thread, bounded by
+    ``timeout_s``.
+
+    Cost: one scalar round trip (milliseconds; the tiny program is
+    compile-cached). ANNONET_TPU_DEVICE_PROBE_TIMEOUT overrides the
+    default 120 s; 0 disables the probe. ``_op`` is a test seam.
+
+    ``on_timeout="exit"`` (the CLI default) prints the triage message and
+    ``os._exit(1)``s: the timed-out probe thread is abandoned inside
+    backend-init/transfer code that includes PYTHON frames (e.g. the
+    PJRT client-init retry loop), and normal interpreter finalization
+    under such a thread segfaults — exiting without teardown is the only
+    clean report. ``on_timeout="raise"`` raises RuntimeError instead
+    (tests; library callers that prefer the exception and accept the
+    teardown hazard).
+    """
+    import os
+    import threading
+
+    if timeout_s is None:
+        timeout_s = float(
+            os.environ.get("ANNONET_TPU_DEVICE_PROBE_TIMEOUT", "120")
+        )
+    if timeout_s <= 0:
+        return
+    if _op is None:
+        # Import on THIS thread: imports never hang (no network/device
+        # I/O) — only backend init and transfers do. The probe thread
+        # must not be abandoned mid-import: interpreter finalization
+        # under an importing daemon thread segfaults at exit, whereas a
+        # thread parked in a GIL-released C call (the hang being
+        # detected) tears down cleanly.
+        import jax.numpy as jnp
+
+        def _op():
+            value = float(jnp.full((8, 8), 3.0, jnp.float32).sum())
+            if value != 192.0:
+                raise RuntimeError(f"device computed {value}, expected 192.0")
+
+    result = {}
+
+    def run():
+        try:
+            _op()
+            result["ok"] = True
+        except Exception as e:  # noqa: BLE001 — reported on the main thread
+            result["error"] = e
+
+    thread = threading.Thread(
+        target=run, daemon=True, name="annonet-device-probe"
+    )
+    thread.start()
+    thread.join(timeout_s)
+    if thread.is_alive():
+        # Do NOT touch jax from this thread here: if init itself is what
+        # stalled, any backend query would hang the error path too.
+        message = (
+            f"device probe did not complete within {timeout_s:g} s: the "
+            "accelerator runtime is unreachable or wedged (backend init "
+            "or the first host<->device transfer stalled). Triage: check "
+            "that the device runtime/tunnel is alive, look for leftover "
+            "processes holding the accelerator, or retry once it "
+            "recovers. ANNONET_TPU_DEVICE_PROBE_TIMEOUT adjusts this "
+            "timeout (0 disables the probe)."
+        )
+        if on_timeout == "raise":
+            raise RuntimeError(message)
+        import sys
+
+        print(message, flush=True)
+        sys.stderr.flush()
+        os._exit(1)
+    if "error" in result:
+        raise RuntimeError(
+            f"device probe failed: {result['error']}"
+        ) from result["error"]
+
+
 def enable_compilation_cache(cache_dir=None):
     """Persistent XLA compilation cache for the CLI entry points.
 

@@ -246,6 +246,12 @@ def _run_impl(args, input_directory, stack) -> int:
     if args.device is not None:
         stack.enter_context(select_device(args.device))
 
+    # fail fast (exit 1) instead of hanging forever at the first device op
+    # when the device runtime is wedged
+    from annonet_tpu.cli.common import device_probe
+
+    device_probe()
+
     # resolve the auto tile default only now: default_tile_max initializes
     # the backend, which must come after mesh setup / --device
     if args.tile_max_width is None or args.tile_max_height is None:

@@ -1023,6 +1023,11 @@ def main(argv=None) -> int:
 
             ctx = select_device(args.device)
             ctx.__enter__()  # held for the server's lifetime
+        # fail fast at startup instead of hanging the first request
+        # forever when the device runtime is wedged
+        from annonet_tpu.cli.common import device_probe
+
+        device_probe()
         service = _ModelService(args, mesh=mesh)
     except Exception as e:
         print(str(e))

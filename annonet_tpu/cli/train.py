@@ -407,6 +407,12 @@ def _run_impl(args, input_directory, stack) -> int:
     if args.device is not None:
         stack.enter_context(select_device(args.device))
 
+    # fail fast (exit 1, setup-error contract) instead of hanging forever
+    # at the first minibatch when the device runtime is wedged
+    from annonet_tpu.cli.common import device_probe
+
+    device_probe()
+
     trainer_config = TrainerConfig(
         initial_learning_rate=args.initial_learning_rate,
         learning_rate_shrink_factor=args.learning_rate_shrink_factor,
