@@ -116,6 +116,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Tile-parallel inference over an N-device "
                         "jax.sharding.Mesh: each request's tile batch is "
                         "sharded across the mesh (pod-slice serving)")
+    p.add_argument("--device-stall-seconds", type=float, default=300.0,
+                   metavar="SEC",
+                   help="Report status 'stalled' (healthz -> 503, "
+                        "annonet_device_stalled=1) when an in-flight "
+                        "device op has run longer than SEC — a wedged "
+                        "device runtime cannot be cancelled mid-op, so "
+                        "the server signals load balancers instead "
+                        "(default 300; floor 1)")
     p.add_argument("--max-batch", type=int, default=1, metavar="M",
                    help="Dynamic request batching: group up to M "
                         "concurrent same-size /infer requests (same "
@@ -256,6 +264,16 @@ class _ModelService:
         self._stats_lock = threading.Lock()
         self.requests_served = 0
         self.batches_dispatched = 0
+        # stall signaling: while a thread is inside a device section this
+        # holds its start time (monotonic). A wedged device runtime has no
+        # portable cancel/timeout mid-flight, so the best a server can do
+        # is SAY so: healthz turns 503/"stalled" once the in-flight device
+        # op exceeds --device-stall-seconds, letting load balancers stop
+        # routing here (the startup analog is cli/common.device_probe)
+        self._device_busy_since = None
+        self.device_stall_seconds = max(
+            1.0, float(getattr(args, "device_stall_seconds", 300.0) or 300.0)
+        )
         # bounded per-request latency samples (seconds) for GET /stats
         from collections import deque
 
@@ -363,7 +381,7 @@ class _ModelService:
                 # runs under device_lock (no device section in flight);
                 # requests already dispatched against the old state serve
                 # the new weights from here on (weight-level swap).
-                with self.device_lock:
+                with self._device_section():
                     new.inferer.update_params(new.params)
                     self.state = new
             else:
@@ -477,12 +495,38 @@ class _ModelService:
                 arr = arr[..., None]
         return arr
 
+    def _device_section(self):
+        """device_lock plus stall bookkeeping — every lock-held device op
+        goes through here so healthz can report a wedged device."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def section():
+            with self.device_lock:
+                self._device_busy_since = time.monotonic()
+                try:
+                    yield
+                finally:
+                    self._device_busy_since = None
+
+        return section()
+
+    def device_busy_seconds(self):
+        """Seconds the current device section has been running (None when
+        idle). Read once — the field may clear concurrently."""
+        t0 = self._device_busy_since
+        return None if t0 is None else max(0.0, time.monotonic() - t0)
+
+    def device_stalled(self) -> bool:
+        busy = self.device_busy_seconds()
+        return busy is not None and busy > self.device_stall_seconds
+
     def _device_pass(self, image, gains, detection_levels, inferer):
         """One image through the device (no batching): (labels, seeds)."""
         import numpy as np
 
         with_detection = bool(np.any(np.asarray(detection_levels) != 0.0))
-        with self.device_lock:
+        with self._device_section():
             if with_detection:
                 return inferer.infer_arrays(
                     image, gains=gains, detection_levels=detection_levels
@@ -527,7 +571,7 @@ class _ModelService:
                 try:
                     with_detection = any(d != 0.0 for d in detection)
                     batch = np.stack([p["image"] for p in ps])
-                    with self.device_lock:
+                    with self._device_section():
                         labels, seeds = ps[0]["state"].inferer.infer_arrays_batch(
                             batch, gains=list(gains),
                             detection_levels=(
@@ -672,6 +716,14 @@ class _ModelService:
             "bounded recent window.",
             "# TYPE annonet_latency_window gauge",
             f"annonet_latency_window {s['latency_window']}",
+            "# HELP annonet_device_busy_seconds Age of the in-flight "
+            "device section (0 when idle).",
+            "# TYPE annonet_device_busy_seconds gauge",
+            f"annonet_device_busy_seconds {self.device_busy_seconds() or 0.0:.3f}",
+            "# HELP annonet_device_stalled 1 when the in-flight device op "
+            "exceeded --device-stall-seconds (healthz serves 503).",
+            "# TYPE annonet_device_stalled gauge",
+            f"annonet_device_stalled {int(self.device_stalled())}",
         ]
         lat = s["latency_ms"]
         if lat["p50"] is not None:
@@ -701,8 +753,14 @@ class _ModelService:
 
     def healthz(self) -> dict:
         st = self.state
+        busy = self.device_busy_seconds()
+        stalled = self.device_stalled()
         return {
-            "status": "ok",
+            # "stalled" (served as 503): the in-flight device op exceeded
+            # --device-stall-seconds — the runtime is likely wedged; take
+            # this replica out of rotation until it recovers or restarts
+            "status": "stalled" if stalled else "ok",
+            "device_busy_seconds": busy,
             "model": st.model_path,
             "model_mtime": st.model_mtime,
             "reload_count": st.reload_count,
@@ -786,7 +844,9 @@ def make_server(args, service: Optional[_ModelService] = None):
             self._drain_body()  # a GET carrying a body must not desync
             path = urlparse(self.path).path
             if path in ("/healthz", "/"):
-                self._send_json(200, svc.healthz())
+                payload = svc.healthz()
+                code = 503 if payload["status"] == "stalled" else 200
+                self._send_json(code, payload)
             elif path == "/stats":
                 self._send_json(200, svc.stats())
             elif path == "/metrics":

@@ -7,6 +7,7 @@ the same request path production clients use.
 import io
 import json
 import threading
+import time
 import urllib.error
 import urllib.request
 
@@ -692,3 +693,76 @@ def test_watch_model_auto_reloads_on_mtime_change(tmp_path):
         stop.set()
         server.shutdown()
         thread.join(timeout=10)
+
+
+def test_device_stall_indicator(server_url):
+    """While a device section is in flight longer than
+    --device-stall-seconds, /healthz reports status "stalled" with HTTP
+    503 and /metrics raises annonet_device_stalled — the mid-serving
+    analog of the startup device_probe (a wedged device op cannot be
+    cancelled; the server signals load balancers instead). Uses the
+    _device_section bookkeeping directly so the test is deterministic."""
+    url, service = server_url
+
+    def get_health():
+        try:
+            with urllib.request.urlopen(url + "/healthz", timeout=30) as r:
+                return r.status, json.loads(r.read().decode())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read().decode())
+
+    # idle: ok, no busy age
+    code, health = get_health()
+    assert (code, health["status"]) == (200, "ok")
+    assert health["device_busy_seconds"] is None
+
+    old_threshold = service.device_stall_seconds
+    service.device_stall_seconds = 1.0  # floor value
+    entered = threading.Event()
+    release = threading.Event()
+
+    def hold_device_section():
+        with service._device_section():
+            entered.set()
+            release.wait(timeout=60)
+
+    holder = threading.Thread(target=hold_device_section, daemon=True)
+    holder.start()
+    try:
+        assert entered.wait(timeout=10)
+        # below the threshold: still ok, but busy age is visible
+        code, health = get_health()
+        assert code == 200 and health["device_busy_seconds"] >= 0.0
+        time.sleep(1.2)
+        code, health = get_health()
+        assert (code, health["status"]) == (503, "stalled")
+        assert health["device_busy_seconds"] > 1.0
+        with urllib.request.urlopen(url + "/metrics", timeout=30) as r:
+            body = r.read().decode()
+        assert "annonet_device_stalled 1" in body
+    finally:
+        release.set()
+        holder.join(timeout=10)
+        service.device_stall_seconds = old_threshold
+
+    # released: healthy again
+    code, health = get_health()
+    assert (code, health["status"]) == (200, "ok")
+    with urllib.request.urlopen(url + "/metrics", timeout=30) as r:
+        assert "annonet_device_stalled 0" in r.read().decode()
+
+
+def test_device_sections_cover_all_request_paths():
+    """Every lock-held device op must ride _device_section (the stall
+    bookkeeping): the single-image pass, the dynamic-batching dispatch,
+    and the reload fast-path weight swap."""
+    import inspect
+
+    from annonet_tpu.cli import serve as serve_mod
+
+    src = inspect.getsource(serve_mod._ModelService)
+    assert src.count("with self._device_section():") >= 3
+    # request paths must not bypass the bookkeeping with the raw lock
+    for fn in (serve_mod._ModelService._device_pass,
+               serve_mod._ModelService._dispatch_loop):
+        assert "with self.device_lock:" not in inspect.getsource(fn)
