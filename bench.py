@@ -76,6 +76,47 @@ def main() -> None:
 
     apply_platform_env()  # ANNONET_TPU_PLATFORM=cpu pins the backend
     # (the axon plugin silently overrides JAX_PLATFORMS — CLAUDE.md)
+
+    # Wait out transient device-runtime wedges before touching jax in THIS
+    # process: the dev tunnel can stall every transfer for tens of minutes
+    # (CLAUDE.md), and a bench that hangs or dies on a wedge loses the
+    # round's headline metric. The probe runs in a SUBPROCESS — a stuck
+    # in-process probe thread would hold jax's init lock and block every
+    # retry, whereas a fresh process sees the recovered tunnel cleanly.
+    import os
+    import subprocess
+    import sys
+    import time as _time
+
+    wait_s = float(os.environ.get("ANNONET_TPU_BENCH_WAIT_S", "1800"))
+    deadline = _time.monotonic() + wait_s
+    probe_code = (
+        "from annonet_tpu.cli.common import apply_platform_env, "
+        "device_probe\n"
+        "apply_platform_env()\n"
+        "device_probe(timeout_s=55, on_timeout='raise')\n"
+    )
+    while True:
+        try:
+            ok = subprocess.run(
+                [sys.executable, "-c", probe_code], timeout=120,
+                capture_output=True,
+            ).returncode == 0
+        except subprocess.TimeoutExpired:
+            ok = False
+        if ok:
+            break
+        if _time.monotonic() > deadline:
+            print(
+                "bench: device runtime unreachable/wedged for "
+                f"{wait_s:g} s; giving up (ANNONET_TPU_BENCH_WAIT_S "
+                "adjusts the patience)", file=sys.stderr, flush=True,
+            )
+            raise SystemExit(1)
+        print("bench: device probe failed (wedged runtime?); retrying...",
+              file=sys.stderr, flush=True)
+        _time.sleep(30.0)
+
     if args.tile_size is None:
         args.tile_size = default_tile_max()
 
