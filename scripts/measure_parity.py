@@ -75,7 +75,8 @@ def run_once(seed: int) -> dict:
         )
         crop_options = CropOptions(dim=16, allow_flip_left_right=True)
         with CropPipeline(
-            files, anno_classes, crop_options, thread_count=2, seed=seed + 1
+            files, anno_classes, crop_options, thread_count=2,
+            seed=seed + 1, deterministic=True,
         ) as pipe:
             for _ in range(40):
                 images, labels = pipe.next_minibatch(8, warn=None)
@@ -126,7 +127,8 @@ def main() -> None:
         "config": (
             "BASELINE.json configs[0]: synthetic 2-class dataset, "
             "train 40 steps (batch 8, crop 16, level_count 1, width 8, "
-            "lr 0.05) -> tiled inference round trip, CPU f32"
+            "lr 0.05, deterministic crop stream) -> tiled inference "
+            "round trip, CPU f32"
         ),
         "reference_measurement": (
             "IMPOSSIBLE: all reference dependencies are empty git "

@@ -78,8 +78,14 @@ def test_train_save_load_infer_round_trip(tmp_path):
     trainer = Trainer(model_config, trainer_config, seed=0)
     crop_options = CropOptions(dim=16, allow_flip_left_right=True)
 
+    # deterministic=True: the crop stream is a pure function of (seed,
+    # dataset) — without it, 2 racing loader threads interleave
+    # nondeterministically and this 40-step trajectory lands anywhere in a
+    # band WIDER than the pinned accuracy floors' margin (observed: mIoU
+    # 0.8857 under heavy machine load vs 0.936-0.996 recorded)
     with CropPipeline(
-        files, anno_classes, crop_options, thread_count=2, seed=1
+        files, anno_classes, crop_options, thread_count=2, seed=1,
+        deterministic=True,
     ) as pipe:
         losses = []
         for _ in range(40):
