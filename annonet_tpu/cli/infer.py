@@ -86,6 +86,21 @@ def build_parser() -> argparse.ArgumentParser:
                         "jax.sharding.Mesh: each image's tile batch is "
                         "sharded across the mesh (the spatial analog of "
                         "context parallelism)")
+    p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                   help="Multi-host batch inference: initialize "
+                        "jax.distributed and shard the IMAGE LIST across "
+                        "processes (process i infers images i, i+P, ... "
+                        "of the scan order and writes their result PNGs). "
+                        "Confusion matrices and timing are merged at the "
+                        "end; process 0 prints them and writes "
+                        "--report-json. Pass process 0's host:port on "
+                        "every host (+ --num-processes/--process-id), or "
+                        "'auto' on TPU pods. Does not compose with --mesh "
+                        "(tile-parallel is the in-process axis)")
+    p.add_argument("--num-processes", type=int, default=None, metavar="P",
+                   help="Total process (host) count for --coordinator")
+    p.add_argument("--process-id", type=int, default=None, metavar="I",
+                   help="This process's index (0..P-1) for --coordinator")
     p.add_argument("--no-compilation-cache", action="store_true",
                    help="Disable the persistent XLA compilation cache "
                         "(~/.cache/annonet_tpu/jax; see also "
@@ -174,6 +189,13 @@ def main(argv=None) -> int:
         return _run(args, input_directory)
     except Exception as e:  # noqa: BLE001
         print(e)
+        if getattr(args, "coordinator", None):
+            # a rank-local failure leaves peers blocked in the final
+            # merge all-gather until this death severs their transport
+            print(
+                "multi-host: this rank is exiting; peer processes may "
+                "block in the final merge. Restart the job on every host."
+            )
         return 1
 
 
@@ -234,6 +256,32 @@ def _run_impl(args, input_directory, stack) -> int:
         f"{i}:{g:g}" for i, g in enumerate(gains)))
     print("Using detection levels:", " ".join(
         f"{i}:{d:g}" for i, d in enumerate(detection_levels)))
+
+    # Multi-host bootstrap (--coordinator) must precede everything that
+    # initializes the JAX backend. Batch inference over a directory is
+    # embarrassingly parallel, so the multi-host axis is the IMAGE LIST
+    # (process i takes images i, i+P, ...) — each process runs its own
+    # single-process tiled inference; only the final confusion/timing
+    # merge is a collective (which doubles as the exit barrier).
+    multihost = bool(args.coordinator)
+    proc_id, nproc = 0, 1
+    if multihost:
+        if args.mesh:
+            raise RuntimeError(
+                "--coordinator shards images across processes and does "
+                "not compose with --mesh (tile-parallel inference is the "
+                "in-process axis; for cross-host serving see "
+                "docs/SERVING.md)"
+            )
+        from annonet_tpu.parallel.mesh import initialize_distributed
+
+        proc_id, nproc = initialize_distributed(
+            args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+        print(f"Multi-host inference: process {proc_id} of {nproc}")
+    io_process = proc_id == 0
 
     # mesh setup must precede select_device: the virtual-device flags only
     # take effect before the JAX backend initializes
@@ -298,6 +346,16 @@ def _run_impl(args, input_directory, stack) -> int:
     )
 
     files = find_image_files(input_directory, require_ground_truth=False)
+    total_image_count = len(files)
+    if multihost:
+        # every process runs the identical scan (shared filesystem, the
+        # same deterministic order — the contract --coordinator training
+        # already relies on), then keeps its stride-P shard
+        files = files[proc_id::nproc]
+        print(
+            f"images in dataset: {total_image_count}; this process infers "
+            f"{len(files)} (stride {nproc} from {proc_id})"
+        )
 
     # ---- reader threads: paths -> samples (annonet_infer_main.cpp:382-401).
     # Each result is tagged with its file index and the consumer reorders,
@@ -601,7 +659,13 @@ def _run_impl(args, input_directory, stack) -> int:
                     + (" (consider raising --calibration-images)"
                        if overshoot > 1.2 else "")
                 )
-        if args.save_calibration:
+        if args.save_calibration and multihost and proc_id != 0:
+            # ranks calibrate on their own shards; one file, one writer
+            print(
+                "Multi-host: only process 0 writes --save-calibration "
+                "(calibrated on its own image shard)"
+            )
+        elif args.save_calibration:
             exported = inferer.export_calibration()
             if exported is None:
                 print("No int8 net was frozen; nothing to save "
@@ -629,13 +693,80 @@ def _run_impl(args, input_directory, stack) -> int:
         for t in readers:
             t.join(timeout=5.0)
 
-    if ground_truth_count:
+    wall_seconds = t1 - t0
+    if multihost:
+        # Merge the shard-local results across processes. ONE allgather
+        # carries everything (scalars + both flattened matrices) and also
+        # serves as the exit barrier: no rank leaves while another still
+        # computes or writes. Counts survive the float64 ride exactly
+        # (they are far below 2^53).
+        from jax.experimental import multihost_utils
+
+        k2 = confusion_matrix_per_pixel.size
+        scalars = np.asarray(
+            [
+                float(ground_truth_count),
+                total_inference,
+                total_inference_excl_first,
+                float(excl_first_count),
+                max_inference_excl_first,
+                wall_seconds,
+            ],
+            np.float64,
+        )
+        gathered = np.asarray(
+            multihost_utils.process_allgather(
+                np.concatenate(
+                    [
+                        scalars,
+                        confusion_matrix_per_pixel.astype(np.float64).ravel(),
+                        confusion_matrix_per_region.astype(
+                            np.float64
+                        ).ravel(),
+                    ]
+                )
+            )
+        ).reshape(nproc, 6 + 2 * k2)
+        ground_truth_count = int(gathered[:, 0].sum())
+        total_inference = float(gathered[:, 1].sum())
+        total_inference_excl_first = float(gathered[:, 2].sum())
+        excl_first_count = int(gathered[:, 3].sum())
+        max_inference_excl_first = float(gathered[:, 4].max())
+        wall_seconds = float(gathered[:, 5].max())
+        shape = confusion_matrix_per_pixel.shape
+        dtype = confusion_matrix_per_pixel.dtype
+        confusion_matrix_per_pixel = (
+            gathered[:, 6 : 6 + k2].sum(axis=0).astype(dtype).reshape(shape)
+        )
+        confusion_matrix_per_region = (
+            gathered[:, 6 + k2 :].sum(axis=0).astype(dtype).reshape(shape)
+        )
+        if io_process:
+            print(
+                f"\nCluster totals: {total_image_count} images across "
+                f"{nproc} processes in {wall_seconds:.3f} seconds "
+                f"(summed device inference: {total_inference:.6f} seconds)"
+            )
+            if excl_first_count > 0:
+                print(
+                    "Cluster processing time excluding each process's "
+                    "first image: average = "
+                    f"{total_inference_excl_first * 1000.0 / excl_first_count:.3f} ms, "
+                    f"max = {max_inference_excl_first * 1000.0:.3f} ms"
+                )
+
+    if ground_truth_count and io_process:
         print("\nConfusion matrix per pixel:")
         print(format_confusion_matrix(confusion_matrix_per_pixel, anno_classes))
         print("\nConfusion matrix per region (two-way):")
         print(format_confusion_matrix(confusion_matrix_per_region, anno_classes))
 
-    if args.report_json:
+    if args.report_json and not io_process:
+        print(
+            "Multi-host: only process 0 writes --report-json "
+            "(it holds the merged matrices and timing)"
+        )
+    if args.report_json and io_process:
         import json
 
         from annonet_tpu.infer.evaluation import confusion_matrix_summary
@@ -643,13 +774,17 @@ def _run_impl(args, input_directory, stack) -> int:
         report = {
             "model": args.model,
             "input_directory": input_directory,
-            "images": len(files),
+            # global count; under --coordinator the per_image list covers
+            # only THIS process's shard (each rank reads/writes its own
+            # images), while matrices/timing aggregates are cluster-wide
+            "images": total_image_count,
+            "processes": nproc,
             "quantize": args.quantize,
             "image_batch": image_batch,
             "pipeline_depth": pipeline_depth,
             "gains": [float(g) for g in gains],
             "detection_levels": [float(d) for d in detection_levels],
-            "wall_seconds": round(t1 - t0, 6),
+            "wall_seconds": round(wall_seconds, 6),
             "inference_seconds": round(total_inference, 6),
             "excluding_first": (
                 {
