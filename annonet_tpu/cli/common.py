@@ -123,7 +123,8 @@ def select_device(device_index):
     return jax.default_device(devices[device_index])
 
 
-def device_probe(timeout_s=None, _op=None, on_timeout="exit"):
+def device_probe(timeout_s=None, _op=None, on_timeout=None,
+                 device_index=None):
     """Bounded first-device-op probe: fail fast, with an actionable
     message, when the accelerator runtime is unreachable or wedged.
 
@@ -140,6 +141,15 @@ def device_probe(timeout_s=None, _op=None, on_timeout="exit"):
     upload -> compute -> readback on a daemon thread, bounded by
     ``timeout_s``.
 
+    BACKEND INIT HAPPENS INSIDE THE PROBE THREAD: the CLIs call this
+    BEFORE anything else touches jax (select_device's jax.devices(),
+    mesh construction), so a hang in PJRT client init itself is bounded
+    too — not just the first transfer. ``device_index`` targets the
+    probe at the device ``--device N`` will select (jax.default_device
+    is a thread-local context, so the caller's selection would NOT apply
+    to the probe thread; an out-of-range index is ignored here so
+    select_device can raise its canonical error afterward).
+
     Cost: one scalar round trip (milliseconds; the tiny program is
     compile-cached). ANNONET_TPU_DEVICE_PROBE_TIMEOUT overrides the
     default 120 s; 0 disables the probe. ``_op`` is a test seam.
@@ -149,9 +159,10 @@ def device_probe(timeout_s=None, _op=None, on_timeout="exit"):
     backend-init/transfer code that includes PYTHON frames (e.g. the
     PJRT client-init retry loop), and normal interpreter finalization
     under such a thread segfaults — exiting without teardown is the only
-    clean report. ``on_timeout="raise"`` raises RuntimeError instead
-    (tests; library callers that prefer the exception and accept the
-    teardown hazard).
+    clean report. ``on_timeout="raise"`` raises RuntimeError instead.
+    Library embedders calling the CLI mains in-process can force the
+    exception contract with ANNONET_TPU_DEVICE_PROBE_ON_TIMEOUT=raise
+    (accepting the teardown hazard at their own process exit).
     """
     import os
     import threading
@@ -159,6 +170,10 @@ def device_probe(timeout_s=None, _op=None, on_timeout="exit"):
     if timeout_s is None:
         timeout_s = float(
             os.environ.get("ANNONET_TPU_DEVICE_PROBE_TIMEOUT", "120")
+        )
+    if on_timeout is None:
+        on_timeout = os.environ.get(
+            "ANNONET_TPU_DEVICE_PROBE_ON_TIMEOUT", "exit"
         )
     if timeout_s <= 0:
         return
@@ -169,10 +184,20 @@ def device_probe(timeout_s=None, _op=None, on_timeout="exit"):
         # under an importing daemon thread segfaults at exit, whereas a
         # thread parked in a GIL-released C call (the hang being
         # detected) tears down cleanly.
+        import contextlib
+
+        import jax
         import jax.numpy as jnp
 
         def _op():
-            value = float(jnp.full((8, 8), 3.0, jnp.float32).sum())
+            # jax.devices() initializes the backend — inside the bounded
+            # thread, so a stuck PJRT client init is caught too
+            devices = jax.devices()
+            ctx = contextlib.nullcontext()
+            if device_index is not None and 0 <= device_index < len(devices):
+                ctx = jax.default_device(devices[device_index])
+            with ctx:
+                value = float(jnp.full((8, 8), 3.0, jnp.float32).sum())
             if value != 192.0:
                 raise RuntimeError(f"device computed {value}, expected 192.0")
 
@@ -246,6 +271,21 @@ def enable_compilation_cache(cache_dir=None):
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:  # noqa: BLE001 — the cache is an optimization only
         pass
+
+
+def prepare_mesh_flags(n_devices: int) -> None:
+    """Set --mesh's virtual-device XLA flags WITHOUT initializing the
+    backend. Must run before device_probe (which performs the process's
+    first backend init inside its bounded thread); make_cli_mesh can
+    then build the mesh from the already-initialized backend. No-op
+    unless ANNONET_TPU_VIRTUAL_MESH=1 (production --mesh uses the real
+    devices)."""
+    import os
+
+    if os.environ.get("ANNONET_TPU_VIRTUAL_MESH") == "1":
+        from annonet_tpu.parallel.mesh import _set_virtual_device_flags
+
+        _set_virtual_device_flags(n_devices)
 
 
 def make_cli_mesh(n_devices: int, multiprocess: bool = False):

@@ -283,8 +283,26 @@ def _run_impl(args, input_directory, stack) -> int:
         print(f"Multi-host inference: process {proc_id} of {nproc}")
     io_process = proc_id == 0
 
-    # mesh setup must precede select_device: the virtual-device flags only
-    # take effect before the JAX backend initializes
+    # Ordering: --mesh's virtual-device flags first (no backend init),
+    # then the device probe — the process's FIRST backend init happens
+    # inside its bounded thread, so a wedged runtime exits 1 with triage
+    # text instead of hanging in jax.devices()/mesh construction — and
+    # only then mesh construction and --device selection (instant once
+    # the probe has initialized the backend).
+    from annonet_tpu.cli.common import device_probe, prepare_mesh_flags
+
+    if args.mesh:
+        prepare_mesh_flags(args.mesh)
+    # multi-process backend init legitimately takes longer (pod-scale
+    # client setup), so the wedge threshold defaults higher there
+    device_probe(
+        timeout_s=(
+            float(os.environ.get("ANNONET_TPU_DEVICE_PROBE_TIMEOUT", "600"))
+            if multihost else None
+        ),
+        device_index=args.device,
+    )
+
     mesh = None
     if args.mesh:
         from annonet_tpu.cli.common import make_cli_mesh
@@ -293,12 +311,6 @@ def _run_impl(args, input_directory, stack) -> int:
 
     if args.device is not None:
         stack.enter_context(select_device(args.device))
-
-    # fail fast (exit 1) instead of hanging forever at the first device op
-    # when the device runtime is wedged
-    from annonet_tpu.cli.common import device_probe
-
-    device_probe()
 
     # resolve the auto tile default only now: default_tile_max initializes
     # the backend, which must come after mesh setup / --device

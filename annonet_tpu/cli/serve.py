@@ -60,6 +60,7 @@ small concurrent images (one 512² image underfills the chip ~15x);
 from __future__ import annotations
 
 import argparse
+import contextlib
 import io
 import json
 import sys
@@ -123,7 +124,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "device op has run longer than SEC — a wedged "
                         "device runtime cannot be cancelled mid-op, so "
                         "the server signals load balancers instead "
-                        "(default 300; floor 1)")
+                        "(default 300; floor 1). The FIRST request of "
+                        "each input shape gets 900 s extra allowance "
+                        "for its lazy XLA compile, so un-warmed sizes "
+                        "never read as stalls")
     p.add_argument("--max-batch", type=int, default=1, metavar="M",
                    help="Dynamic request batching: group up to M "
                         "concurrent same-size /infer requests (same "
@@ -265,15 +269,20 @@ class _ModelService:
         self.requests_served = 0
         self.batches_dispatched = 0
         # stall signaling: while a thread is inside a device section this
-        # holds its start time (monotonic). A wedged device runtime has no
+        # holds (start time, allowance). A wedged device runtime has no
         # portable cancel/timeout mid-flight, so the best a server can do
         # is SAY so: healthz turns 503/"stalled" once the in-flight device
-        # op exceeds --device-stall-seconds, letting load balancers stop
-        # routing here (the startup analog is cli/common.device_probe)
+        # op exceeds its allowance, letting load balancers stop routing
+        # here (the startup analog is cli/common.device_probe). The FIRST
+        # device section for each input shape gets extra grace: the lazy
+        # 20-40 s XLA compile (x candidates under --plan-autotune) runs
+        # inside the section and must not read as a wedge.
         self._device_busy_since = None
+        self._seen_canvases: set = set()
         self.device_stall_seconds = max(
             1.0, float(getattr(args, "device_stall_seconds", 300.0) or 300.0)
         )
+        self.compile_grace_seconds = 900.0
         # bounded per-request latency samples (seconds) for GET /stats
         from collections import deque
 
@@ -381,7 +390,7 @@ class _ModelService:
                 # runs under device_lock (no device section in flight);
                 # requests already dispatched against the old state serve
                 # the new weights from here on (weight-level swap).
-                with self._device_section():
+                with self._device_section():  # weight swap: no compile
                     new.inferer.update_params(new.params)
                     self.state = new
             else:
@@ -391,6 +400,9 @@ class _ModelService:
                     warmed.append(f"{h}x{w}")
                 with self.device_lock:
                     self.state = new
+                    # the rebuilt inferer compiles lazily again: give each
+                    # shape's first post-reload section compile grace
+                    self._seen_canvases = set()
         return {
             "status": "reloaded",
             "model": new.model_path,
@@ -495,38 +507,46 @@ class _ModelService:
                 arr = arr[..., None]
         return arr
 
-    def _device_section(self):
+    @contextlib.contextmanager
+    def _device_section(self, key=None):
         """device_lock plus stall bookkeeping — every lock-held device op
-        goes through here so healthz can report a wedged device."""
-        import contextlib
+        goes through here so healthz can report a wedged device.
 
-        @contextlib.contextmanager
-        def section():
-            with self.device_lock:
-                self._device_busy_since = time.monotonic()
-                try:
-                    yield
-                finally:
-                    self._device_busy_since = None
-
-        return section()
+        ``key`` identifies the input geometry (image/batch shape): its
+        first section gets ``compile_grace_seconds`` extra allowance
+        because the lazy XLA compile runs inside it. ``key=None``
+        (weight swaps) never compiles and gets the plain allowance."""
+        with self.device_lock:
+            allowance = self.device_stall_seconds
+            if key is not None and key not in self._seen_canvases:
+                allowance += self.compile_grace_seconds
+            self._device_busy_since = (time.monotonic(), allowance)
+            try:
+                yield
+                if key is not None:
+                    self._seen_canvases.add(key)
+            finally:
+                self._device_busy_since = None
 
     def device_busy_seconds(self):
         """Seconds the current device section has been running (None when
         idle). Read once — the field may clear concurrently."""
-        t0 = self._device_busy_since
-        return None if t0 is None else max(0.0, time.monotonic() - t0)
+        entry = self._device_busy_since
+        return None if entry is None else max(0.0, time.monotonic() - entry[0])
 
     def device_stalled(self) -> bool:
-        busy = self.device_busy_seconds()
-        return busy is not None and busy > self.device_stall_seconds
+        entry = self._device_busy_since
+        if entry is None:
+            return False
+        t0, allowance = entry
+        return time.monotonic() - t0 > allowance
 
     def _device_pass(self, image, gains, detection_levels, inferer):
         """One image through the device (no batching): (labels, seeds)."""
         import numpy as np
 
         with_detection = bool(np.any(np.asarray(detection_levels) != 0.0))
-        with self._device_section():
+        with self._device_section(key=("single", image.shape)):
             if with_detection:
                 return inferer.infer_arrays(
                     image, gains=gains, detection_levels=detection_levels
@@ -571,7 +591,7 @@ class _ModelService:
                 try:
                     with_detection = any(d != 0.0 for d in detection)
                     batch = np.stack([p["image"] for p in ps])
-                    with self._device_section():
+                    with self._device_section(key=("batch", batch.shape)):
                         labels, seeds = ps[0]["state"].inferer.infer_arrays_batch(
                             batch, gains=list(gains),
                             detection_levels=(
@@ -1070,9 +1090,16 @@ def main(argv=None) -> int:
 
         enable_compilation_cache()
     try:
-        # mesh setup must precede select_device: the virtual-device flags
-        # only take effect before the JAX backend initializes (same
-        # ordering as cli/infer.py)
+        # Ordering (same as cli/infer.py): --mesh's virtual-device flags
+        # first (no backend init), then the device probe — the process's
+        # FIRST backend init happens inside its bounded thread, so a
+        # wedged runtime exits 1 at startup instead of hanging the first
+        # request — then mesh construction and --device selection.
+        from annonet_tpu.cli.common import device_probe, prepare_mesh_flags
+
+        if args.mesh:
+            prepare_mesh_flags(args.mesh)
+        device_probe(device_index=args.device)
         mesh = None
         if args.mesh:
             from annonet_tpu.cli.common import make_cli_mesh
@@ -1083,11 +1110,6 @@ def main(argv=None) -> int:
 
             ctx = select_device(args.device)
             ctx.__enter__()  # held for the server's lifetime
-        # fail fast at startup instead of hanging the first request
-        # forever when the device runtime is wedged
-        from annonet_tpu.cli.common import device_probe
-
-        device_probe()
         service = _ModelService(args, mesh=mesh)
     except Exception as e:
         print(str(e))

@@ -398,6 +398,26 @@ def _run_impl(args, input_directory, stack) -> int:
             )
             args.deterministic_data = True
 
+    # Ordering: the multihost bootstrap above set any virtual-device
+    # flags; single-process --mesh flags come next (no backend init),
+    # then the device probe — the process's FIRST backend init happens
+    # inside its bounded thread, so a wedged runtime exits 1 (setup
+    # contract) with triage text instead of hanging in
+    # jax.devices()/mesh construction — then mesh + --device selection.
+    from annonet_tpu.cli.common import device_probe, prepare_mesh_flags
+
+    if args.mesh and not multihost:
+        prepare_mesh_flags(args.mesh)
+    # multi-process backend init legitimately takes longer (pod-scale
+    # client setup), so the wedge threshold defaults higher there
+    device_probe(
+        timeout_s=(
+            float(os.environ.get("ANNONET_TPU_DEVICE_PROBE_TIMEOUT", "600"))
+            if multihost else None
+        ),
+        device_index=args.device,
+    )
+
     mesh = None
     if args.mesh:
         from annonet_tpu.cli.common import make_cli_mesh
@@ -406,12 +426,6 @@ def _run_impl(args, input_directory, stack) -> int:
 
     if args.device is not None:
         stack.enter_context(select_device(args.device))
-
-    # fail fast (exit 1, setup-error contract) instead of hanging forever
-    # at the first minibatch when the device runtime is wedged
-    from annonet_tpu.cli.common import device_probe
-
-    device_probe()
 
     trainer_config = TrainerConfig(
         initial_learning_rate=args.initial_learning_rate,

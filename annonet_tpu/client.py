@@ -48,11 +48,13 @@ ClassValues = Union[Mapping[int, float], Sequence[float]]
 class ServeError(RuntimeError):
     """A failed request. ``status`` is the HTTP status code (None for
     transport errors); the message carries the server's JSON ``error``
-    text when one was returned."""
+    text when one was returned, and ``payload`` the parsed JSON body
+    (when the body was a JSON object)."""
 
     def __init__(self, message: str, status: Optional[int] = None):
         super().__init__(message)
         self.status = status
+        self.payload: Optional[dict] = None
 
 
 def _class_value_params(name: str, values: Optional[ClassValues]):
@@ -109,13 +111,17 @@ class ServeClient:
                 }
         except urllib.error.HTTPError as e:
             raw = e.read()
+            payload = None
             try:
-                message = json.loads(raw.decode("utf-8"))["error"]
-            except Exception:  # noqa: BLE001 — non-JSON error body
+                payload = json.loads(raw.decode("utf-8"))
+                message = payload["error"]
+            except Exception:  # noqa: BLE001 — non-JSON / non-error body
                 message = raw.decode("utf-8", "replace") or str(e)
-            raise ServeError(
+            err = ServeError(
                 f"annonet_serve returned {e.code}: {message}", status=e.code
-            ) from None
+            )
+            err.payload = payload if isinstance(payload, dict) else None
+            raise err from None
         except OSError as e:
             raise ServeError(f"cannot reach {self._base}: {e}") from e
 
@@ -127,8 +133,19 @@ class ServeClient:
 
     def healthz(self) -> dict:
         """GET /healthz: model metadata (classes, downscaling factor,
-        required input dimension, ready state)."""
-        return self._get_json("/healthz")
+        required input dimension) plus ``status``.
+
+        A server whose in-flight device op exceeded --device-stall-seconds
+        serves the SAME payload with HTTP 503 and status "stalled" (the
+        load-balancer signal); this method returns that payload instead of
+        raising, so callers always read ``payload["status"]``. Transport
+        failures and non-JSON errors still raise :class:`ServeError`."""
+        try:
+            return self._get_json("/healthz")
+        except ServeError as e:
+            if e.status == 503 and e.payload is not None:
+                return e.payload
+            raise
 
     def stats(self) -> dict:
         """GET /stats: request/batch counters + latency percentiles."""

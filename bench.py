@@ -96,12 +96,33 @@ def main() -> None:
         "apply_platform_env()\n"
         "device_probe(timeout_s=55, on_timeout='raise')\n"
     )
+    # the child must resolve annonet_tpu the same way this script does
+    # (script dir on sys.path), not via its cwd
+    probe_env = dict(os.environ)
+    probe_env["PYTHONPATH"] = os.pathsep.join(
+        p for p in (
+            os.path.dirname(os.path.abspath(__file__)),
+            probe_env.get("PYTHONPATH"),
+        ) if p
+    )
     while True:
         try:
-            ok = subprocess.run(
+            proc = subprocess.run(
                 [sys.executable, "-c", probe_code], timeout=120,
-                capture_output=True,
-            ).returncode == 0
+                capture_output=True, text=True, env=probe_env,
+            )
+            ok = proc.returncode == 0
+            # only an actual probe timeout means "wedged runtime"; any
+            # other failure (import error, misconfiguration) must surface
+            # immediately, not masquerade as a wedge for 30 minutes
+            if not ok and "did not complete within" not in (
+                proc.stderr + proc.stdout
+            ):
+                print(proc.stderr or proc.stdout, file=sys.stderr,
+                      flush=True)
+                print("bench: device probe failed with a non-wedge error; "
+                      "aborting", file=sys.stderr, flush=True)
+                raise SystemExit(1)
         except subprocess.TimeoutExpired:
             ok = False
         if ok:

@@ -251,7 +251,14 @@ int annonet_client_healthz(annonet_client* c, char** out_json) {
     if (!c || !out_json) return -1;
     *out_json = nullptr;
     Response r;
-    if (!http_request(c, "GET", "/healthz", "", nullptr, 0, &r) ||
+    if (!http_request(c, "GET", "/healthz", "", nullptr, 0, &r)) {
+        return -2;
+    }
+    /* 503 is the server's own "device stalled" health signal and still
+     * carries the full status payload ("status":"stalled", ...) — hand
+     * it to the caller so it can distinguish a stalled device from a
+     * dead server. Other statuses are errors. */
+    if (r.status / 100 != 2 && r.status != 503 &&
         !require_2xx(c, r, "healthz")) {
         return -2;
     }

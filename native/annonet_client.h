@@ -44,8 +44,11 @@ void annonet_client_destroy(annonet_client* c);
 const char* annonet_client_last_error(const annonet_client* c);
 
 /* GET /healthz -> malloc'd JSON string (model path, class palette,
- * downscaling factor, required input dimension...). Caller frees with
- * annonet_client_free. */
+ * downscaling factor, required input dimension, "status"). Returns 0
+ * for HTTP 200 AND for 503 — the server serves 503 with the same
+ * payload ("status":"stalled") while an in-flight device op exceeds its
+ * --device-stall-seconds allowance; read the payload's "status" field.
+ * Caller frees with annonet_client_free. */
 int annonet_client_healthz(annonet_client* c, char** out_json);
 
 /* POST /infer -> per-pixel class indices at the image's original size.

@@ -81,4 +81,15 @@ def test_every_device_entry_point_probes():
 
     for fn in (train._run_impl, infer._run_impl, serve.main):
         src = inspect.getsource(fn)
-        assert "device_probe()" in src, fn.__qualname__
+        assert "device_probe(" in src, fn.__qualname__
+        # the probe must target the --device selection (thread-local
+        # default_device does not reach the probe thread otherwise)
+        assert "device_index=args.device" in src, fn.__qualname__
+        # ...and must run BEFORE anything else initializes the backend
+        # (select_device's jax.devices(), mesh construction)
+        assert src.index("device_probe(") < src.index("make_cli_mesh("), (
+            fn.__qualname__
+        )
+        assert src.index("device_probe(") < src.index("select_device(args"), (
+            fn.__qualname__
+        )

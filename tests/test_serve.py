@@ -740,6 +740,13 @@ def test_device_stall_indicator(server_url):
         with urllib.request.urlopen(url + "/metrics", timeout=30) as r:
             body = r.read().decode()
         assert "annonet_device_stalled 1" in body
+        # both embedding clients keep working against the 503: the Python
+        # sidecar client returns the payload (callers read status)...
+        from annonet_tpu.client import ServeClient
+
+        host, port = url.rsplit("//", 1)[1].split(":")
+        payload = ServeClient(host, int(port), timeout=30).healthz()
+        assert payload["status"] == "stalled"
     finally:
         release.set()
         holder.join(timeout=10)
@@ -761,8 +768,50 @@ def test_device_sections_cover_all_request_paths():
     from annonet_tpu.cli import serve as serve_mod
 
     src = inspect.getsource(serve_mod._ModelService)
-    assert src.count("with self._device_section():") >= 3
+    assert src.count("with self._device_section(") >= 3
     # request paths must not bypass the bookkeeping with the raw lock
     for fn in (serve_mod._ModelService._device_pass,
                serve_mod._ModelService._dispatch_loop):
         assert "with self.device_lock:" not in inspect.getsource(fn)
+
+
+def test_first_shape_compile_grace(server_url):
+    """The FIRST device section for a given input shape carries the lazy
+    XLA compile, so it gets compile_grace_seconds extra allowance before
+    reading as a stall; repeat sections of the same shape get only
+    --device-stall-seconds."""
+    _url, service = server_url
+    old = service.device_stall_seconds
+    service.device_stall_seconds = 1.0
+    key = ("test-grace", (32, 32, 3))
+    entered = threading.Event()
+    release = threading.Event()
+
+    def hold(section_key):
+        with service._device_section(key=section_key):
+            entered.set()
+            release.wait(timeout=60)
+
+    try:
+        # first section of this shape: within grace, never stalled
+        holder = threading.Thread(target=hold, args=(key,), daemon=True)
+        holder.start()
+        assert entered.wait(timeout=10)
+        time.sleep(1.2)  # > stall threshold, << grace
+        assert service.device_busy_seconds() > 1.0
+        assert not service.device_stalled()
+        release.set()
+        holder.join(timeout=10)
+
+        # the same shape again: plain allowance applies
+        entered.clear()
+        release.clear()
+        holder = threading.Thread(target=hold, args=(key,), daemon=True)
+        holder.start()
+        assert entered.wait(timeout=10)
+        time.sleep(1.2)
+        assert service.device_stalled()
+    finally:
+        release.set()
+        holder.join(timeout=10)
+        service.device_stall_seconds = old
