@@ -152,7 +152,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save-calibration", default=None, metavar="PATH",
                    help="After the run, persist the frozen int8 "
                         "calibration maxima for --calibration / "
-                        "annonet_serve --calibration")
+                        "annonet_serve --calibration. Under "
+                        "--coordinator the maxima are merged across ALL "
+                        "processes (element-wise max over each rank's "
+                        "calibrated images) and process 0 writes the file")
     return p
 
 
@@ -671,12 +674,10 @@ def _run_impl(args, input_directory, stack) -> int:
                     + (" (consider raising --calibration-images)"
                        if overshoot > 1.2 else "")
                 )
-        if args.save_calibration and multihost and proc_id != 0:
-            # ranks calibrate on their own shards; one file, one writer
-            print(
-                "Multi-host: only process 0 writes --save-calibration "
-                "(calibrated on its own image shard)"
-            )
+        if args.save_calibration and multihost:
+            # deferred: the maxima are merged across ranks after the
+            # final allgather barrier (below), then process 0 writes
+            pass
         elif args.save_calibration:
             exported = inferer.export_calibration()
             if exported is None:
@@ -766,6 +767,58 @@ def _run_impl(args, input_directory, stack) -> int:
                     f"{total_inference_excl_first * 1000.0 / excl_first_count:.3f} ms, "
                     f"max = {max_inference_excl_first * 1000.0:.3f} ms"
                 )
+
+        if args.save_calibration:
+            # Merge each rank's activation maxima (element-wise max of
+            # the per-layer, per-REAL-channel vectors) so the saved file
+            # covers the WHOLE directory, not just one rank's shard
+            # (each rank calibrates on the first --calibration-images
+            # images of its own shard; partial accumulations below the
+            # budget contribute too — more images only widen maxima).
+            # Every rank joins the fixed-shape allgather: shard-empty
+            # ranks contribute zeros (the identity for the max of
+            # post-ReLU maxima), and a trailing flag counts contributing
+            # ranks so "no rank calibrated" stays distinguishable from
+            # all-zero activations.
+            lengths = inferer.calibration_layer_shapes()
+            local = inferer.export_calibration(partial=True)
+            if lengths is None:
+                if io_process:
+                    print("No int8 net was frozen; nothing to save "
+                          "(this config cannot fold to int8)")
+            else:
+                flat = np.zeros(sum(lengths) + 1, np.float64)
+                if local is not None:
+                    flat[:-1] = np.concatenate(
+                        [np.asarray(v, np.float64).ravel() for v in local]
+                        or [np.zeros(0, np.float64)]
+                    )
+                    flat[-1] = 1.0
+                ranks = np.asarray(
+                    multihost_utils.process_allgather(flat)
+                ).reshape(nproc, -1)
+                contributed = int(ranks[:, -1].sum())
+                if contributed == 0:
+                    if io_process:
+                        print("No int8 net was frozen; nothing to save "
+                              "(fewer images than --calibration-images?)")
+                elif io_process:
+                    merged_flat = (
+                        ranks[:, :-1].max(axis=0).astype(np.float32)
+                    )
+                    merged, off = [], 0
+                    for n in lengths:
+                        merged.append(merged_flat[off:off + n])
+                        off += n
+                    serialization.save_calibration(
+                        args.save_calibration, merged, model_config,
+                        runtime_params,
+                    )
+                    print(
+                        f"Saved int8 calibration to "
+                        f"{args.save_calibration} (maxima merged across "
+                        f"{contributed} of {nproc} processes)"
+                    )
 
     if ground_truth_count and io_process:
         print("\nConfusion matrix per pixel:")

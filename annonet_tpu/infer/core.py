@@ -1107,26 +1107,70 @@ class TiledInferer:
             spec, arrays, accum, self.config, f0
         )
 
-    def export_calibration(self):
+    def export_calibration(self, partial: bool = False):
         """The frozen per-layer, per-REAL-channel activation maxima, or
         None if no int8 net has been frozen yet (run at least
         ``calibration_images`` images first). Fold-agnostic: persist with
         serialization.save_calibration and pass back as
         ``TiledInferer(..., calibration=...)`` to skip runtime
         calibration entirely (reproducible deployments; the first image
-        then runs int8 too)."""
-        if not self._calib_frozen:
+        then runs int8 too).
+
+        ``partial=True`` also includes accumulations that have not yet
+        reached ``calibration_images`` (more images only widen the
+        maxima, never narrow them) — used by multi-host
+        ``--save-calibration``, where a rank's shard can be smaller than
+        the calibration-image budget but its activations should still
+        contribute to the cluster-merged file."""
+        sources = list(self._calib_frozen.values())
+        if partial:
+            # _calib_frozen aliases the accumulator at freeze time, so
+            # double inclusion is a no-op under the element-wise max
+            sources.extend(self._calib_accum.values())
+        if not sources:
             return None
         # maxima are per-REAL-channel, so when several tile plans froze
         # different fold0 nets (mixed image sizes in one run), the
         # order-independent union is the element-wise max across folds
         merged = None
-        for frozen in self._calib_frozen.values():
+        for frozen in sources:
             vecs = [np.asarray(v, np.float32) for v in frozen]
             merged = vecs if merged is None else [
                 np.maximum(a, b) for a, b in zip(merged, vecs)
             ]
         return merged
+
+    def calibration_layer_shapes(self):
+        """Per-layer lengths of the export_calibration vectors — an
+        architecture property (per-REAL-channel, fold-agnostic), computed
+        WITHOUT inferring any image, or None when this config cannot fold
+        (folded_runtime.folding_supported == 0, so int8 never applies).
+
+        Multi-host ``--save-calibration`` uses this so a rank whose image
+        shard produced no calibration data can still participate in the
+        fixed-shape maxima allgather with max-identity zeros (post-ReLU
+        maxima are nonnegative)."""
+        from annonet_tpu.models.folded_runtime import folding_supported
+        from annonet_tpu.models.quantized_runtime import collect_calibration
+
+        if self._calib_accum or self._calib_frozen:
+            fold0 = next(iter(self._calib_accum or self._calib_frozen))
+        else:
+            # any valid fold works — the vectors are per-REAL-channel
+            fold0 = folding_supported(self.config, 64)
+            if fold0 == 0:
+                return None
+        (f0, spec), arrays = self._get_folded(fold0, mosaic=False)
+        dummy = jax.ShapeDtypeStruct(
+            (1, 64, 64, self.config.in_channels), jnp.uint8
+        )
+        shapes = jax.eval_shape(
+            lambda a, x: collect_calibration(
+                a, x, self.config, fold0=f0, spec=spec
+            ),
+            arrays, dummy,
+        )
+        return [int(s.shape[0]) for s in shapes]
 
     def pause_calibration(self):
         """Context manager: images inferred inside do NOT contribute to

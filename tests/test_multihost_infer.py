@@ -154,6 +154,141 @@ def test_rank_roles(shard_setup):
     assert "this process infers 2" in log1
 
 
+def _write_exposure_dataset(root, brightness_by_image, size=48, seed=7):
+    """Like write_synthetic_dataset, but image i's pixel values are scaled
+    by brightness_by_image[i] — so stride-sharded ranks see DIFFERENT
+    exposure ranges and per-shard activation maxima genuinely differ."""
+    from PIL import Image
+
+    from tests.test_end_to_end import ANNO_CLASSES
+    from annonet_tpu.classes import anno_classes_to_json
+
+    rng = np.random.default_rng(seed)
+    (root / "anno_classes.json").write_text(
+        anno_classes_to_json(ANNO_CLASSES)
+    )
+    for i, brightness in enumerate(brightness_by_image):
+        labels = np.zeros((size, size), dtype=np.uint16)
+        for _ in range(3):
+            y, x = rng.integers(4, size - 10, size=2)
+            h, w = rng.integers(4, 8, size=2)
+            labels[y : y + h, x : x + w] = 1
+        noise = rng.integers(0, 40, size=(size, size, 3))
+        image = np.where(
+            labels[..., None] == 1,
+            np.array([220, 30, 30]) + noise - 20,
+            np.array([40, 120, 40]) + noise - 20,
+        )
+        image = (image * brightness).clip(0, 255).astype(np.uint8)
+        mask = np.zeros((size, size, 4), dtype=np.uint8)
+        mask[labels == 0] = ANNO_CLASSES[0].rgba_label
+        mask[labels == 1] = ANNO_CLASSES[1].rgba_label
+        Image.fromarray(image).save(root / f"img{i}.png")
+        Image.fromarray(mask, mode="RGBA").save(
+            root / f"img{i}.png_mask.png"
+        )
+
+
+@pytest.fixture(scope="module")
+def calibration_setup(tmp_path_factory):
+    """4 images, alternating dark/bright, so the 2-process stride shards
+    {img0, img2} (dark) and {img1, img3} (bright) calibrate to different
+    activation maxima. Single-process --save-calibration over each shard
+    directory gives the per-shard ground truth; the merged multi-host
+    file must equal their element-wise max."""
+    root = tmp_path_factory.mktemp("mhcalib")
+    brightness = [0.35, 1.0, 0.35, 1.0]
+    data = root / "data"
+    data.mkdir()
+    _write_exposure_dataset(data, brightness)
+    shards = []
+    for pid in range(2):
+        d = root / f"shard{pid}"
+        d.mkdir()
+        (d / "anno_classes.json").write_text(
+            (data / "anno_classes.json").read_text()
+        )
+        for i in range(pid, 4, 2):
+            for suffix in (".png", ".png_mask.png"):
+                (d / f"img{i}{suffix}").write_bytes(
+                    (data / f"img{i}{suffix}").read_bytes()
+                )
+        shards.append(d)
+    model = root / "annonet.dnn"
+    _write_model(model, (data / "anno_classes.json").read_text())
+
+    calib = [root / f"calib_s{i}.npz" for i in range(2)] + [
+        root / "calib_merged.npz"
+    ]
+    int8 = ["--quantize", "int8", "--calibration-images", "2"]
+    for pid in range(2):
+        proc = subprocess.run(
+            _infer_cmd(
+                shards[pid], model, root / f"rs{pid}.json",
+                extra=[*int8, "--save-calibration", str(calib[pid])],
+            ),
+            env=_env(1), capture_output=True, text=True, timeout=600,
+        )
+        assert proc.returncode == 0, proc.stdout + proc.stderr
+
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            _infer_cmd(
+                data, model, root / f"rm{pid}.json",
+                extra=[
+                    *int8, "--save-calibration", str(calib[2]),
+                    "--coordinator", f"127.0.0.1:{port}",
+                    "--num-processes", "2", "--process-id", str(pid),
+                ],
+            ),
+            env=_env(1), stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in range(2)
+    ]
+    logs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            logs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    assert [p.returncode for p in procs] == [0, 0], "\n===\n".join(logs)
+    return {"calib": calib, "logs": logs, "model": model}
+
+
+def test_merged_calibration_is_max_over_all_shards(calibration_setup):
+    from annonet_tpu import serialization
+    from annonet_tpu.models.segnet import SegNetConfig
+
+    _, config, _, _ = serialization.load_model(
+        str(calibration_setup["model"])
+    )
+    assert isinstance(config, SegNetConfig)
+    s0, s1, merged = (
+        serialization.load_calibration(str(p), config)
+        for p in calibration_setup["calib"]
+    )
+    assert len(merged) == len(s0) == len(s1)
+    # the dark and bright shards must calibrate to genuinely different
+    # maxima somewhere, or this test is vacuous
+    assert any(
+        a.size and not np.array_equal(a, b) for a, b in zip(s0, s1)
+    )
+    for a, b, m in zip(s0, s1, merged):
+        np.testing.assert_array_equal(np.maximum(a, b), m)
+
+
+def test_merged_calibration_rank_roles(calibration_setup):
+    log0, log1 = calibration_setup["logs"]
+    assert "maxima merged across 2 of 2 processes" in log0
+    assert "Saved int8 calibration" in log0
+    assert "Saved int8 calibration" not in log1
+
+
 def test_mesh_does_not_compose_with_coordinator(tmp_path):
     write_synthetic_dataset(tmp_path, n_images=1, size=48, seed=0)
     model = tmp_path / "annonet.dnn"
