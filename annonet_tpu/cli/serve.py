@@ -13,6 +13,11 @@ plain HTTP (stdlib only — no framework dependency):
                             (text/plain; version=0.0.4) for scraping
   GET  /model            -> JSON: the served artifact's identity (path,
                             mtime, reload count, classes)
+  GET  /calibration      -> the SERVING int8 activation calibration as
+                            --save-calibration npz bytes: persist it and
+                            restart replicas with --calibration for a
+                            bit-identical fleet (409 when not int8 or
+                            nothing frozen yet)
   POST /infer            -> body: an encoded image (PNG/JPEG/...), or raw
                             uint8 pixels with an ``X-Image-Shape: h,w,c``
                             header (the zero-codec embedding path used by
@@ -799,6 +804,34 @@ class _ModelService:
             ],
         }
 
+    def calibration_npz(self) -> bytes:
+        """GET /calibration: the SERVING int8 activation calibration as
+        ``--save-calibration`` npz bytes (consumed by ``--calibration``
+        on annonet_infer / annonet_serve).
+
+        The export half of the reproducible-deployment loop when the
+        server calibrated itself on live traffic: persist the download,
+        then restart every replica with ``--calibration`` so the whole
+        fleet serves the identical frozen int8 net. Raises RuntimeError
+        (handler maps it to HTTP 409) when the server is not int8 or
+        nothing has frozen yet."""
+        from annonet_tpu import serialization
+
+        st = self.state
+        if st.quantize != "int8":
+            raise RuntimeError(
+                "not an int8 server (start with --quantize int8)"
+            )
+        exported = st.inferer.export_calibration()
+        if exported is None:
+            raise RuntimeError(
+                "no int8 calibration frozen yet — serve at least "
+                "--calibration-images real images first"
+            )
+        return serialization.calibration_npz_bytes(
+            exported, st.config, st.params
+        )
+
     def model_info(self) -> dict:
         """GET /model: the currently served artifact's identity."""
         st = self.state
@@ -876,6 +909,19 @@ def make_server(args, service: Optional[_ModelService] = None):
                 )
             elif path == "/model":
                 self._send_json(200, svc.model_info())
+            elif path == "/calibration":
+                try:
+                    body = svc.calibration_npz()
+                except Exception as e:
+                    self._send_json(409, {"error": str(e)})
+                else:
+                    self._send(
+                        200, "application/octet-stream", body,
+                        extra={
+                            "Content-Disposition": 'attachment; '
+                            'filename="annonet_calibration.npz"',
+                        },
+                    )
             else:
                 self._send_json(404, {"error": "not found"})
 

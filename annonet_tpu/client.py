@@ -156,6 +156,19 @@ class ServeClient:
         reload count, classes)."""
         return self._get_json("/model")
 
+    def calibration(self) -> bytes:
+        """GET /calibration: the int8 activation calibration the server
+        is currently serving with, as ``--save-calibration`` npz bytes.
+
+        Write them to a file and pass it as ``annonet_serve
+        --calibration`` / ``annonet_infer --calibration`` to freeze the
+        exact same int8 net on every replica — the export half of the
+        reproducible-deployment loop when the server calibrated itself
+        on live traffic. Raises :class:`ServeError` (HTTP 409) when the
+        server is not int8 or nothing has been calibrated yet."""
+        body, _ = self._request("GET", "/calibration")
+        return body
+
     def reload(self, recalibrate: bool = False) -> dict:
         """POST /reload: hot-swap to the artifact currently on disk.
 

@@ -193,6 +193,29 @@ def save_calibration(
     weights, so a calibration from a retrained model must not silently
     apply even when the architecture matches.
     """
+    _atomic_savez(path, **_calibration_arrays(
+        calibration, config, runtime_params
+    ))
+
+
+def calibration_npz_bytes(
+    calibration,
+    config: SegNetConfig,
+    runtime_params: Any = None,
+) -> bytes:
+    """The save_calibration npz as in-memory bytes — byte-compatible with
+    the file format, so load_calibration reads it back verbatim. Backs
+    annonet_serve's ``GET /calibration`` download (export the scales a
+    live int8 server froze on real traffic, for reproducible redeploys
+    via ``--calibration``)."""
+    import io
+
+    buf = io.BytesIO()
+    np.savez(buf, **_calibration_arrays(calibration, config, runtime_params))
+    return buf.getvalue()
+
+
+def _calibration_arrays(calibration, config, runtime_params):
     if not calibration:
         raise ValueError("empty calibration (no frozen int8 net to export)")
     meta = {
@@ -210,7 +233,7 @@ def save_calibration(
     arrays["__meta__"] = np.frombuffer(
         json.dumps(meta).encode("utf-8"), dtype=np.uint8
     )
-    _atomic_savez(path, **arrays)
+    return arrays
 
 
 def load_calibration(path: str, config: SegNetConfig,
