@@ -780,6 +780,11 @@ def _run_impl(args, input_directory, stack) -> int:
             # post-ReLU maxima), and a trailing flag counts contributing
             # ranks so "no rank calibrated" stays distinguishable from
             # all-zero activations.
+            # args.save_calibration without --quantize int8 cannot reach
+            # here: the upfront validation raises (see "--calibration/
+            # --save-calibration require --quantize int8" above), so the
+            # "fewer images than --calibration-images?" hint below is
+            # accurate — every rank really was int8-calibrating.
             lengths = inferer.calibration_layer_shapes()
             local = inferer.export_calibration(partial=True)
             if lengths is None:

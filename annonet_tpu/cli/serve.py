@@ -912,8 +912,12 @@ def make_server(args, service: Optional[_ModelService] = None):
             elif path == "/calibration":
                 try:
                     body = svc.calibration_npz()
-                except Exception as e:
+                except RuntimeError as e:
+                    # the two documented client-state conditions raised
+                    # by calibration_npz (not int8 / nothing frozen yet)
                     self._send_json(409, {"error": str(e)})
+                except Exception as e:
+                    self._send_json(500, {"error": str(e)})
                 else:
                     self._send(
                         200, "application/octet-stream", body,

@@ -331,6 +331,15 @@ def _run_impl(args, input_directory, stack) -> int:
 
     relative_training_length = max(0.01, args.relative_training_length)
 
+    if args.grayscale and args.allow_random_color_offset:
+        # grayscale reference builds omit -o from the flag table entirely
+        # (annonet_train_main.cpp:285-287 ifdef); we accept it for a
+        # uniform surface but it cannot apply to 1-channel input
+        print(
+            "Warning: --allow-random-color-offset has no effect with "
+            "--grayscale (color offsets need RGB input)"
+        )
+
     model_config = SegNetConfig(
         class_count=2,  # fixed up after parsing anno classes
         level_count=args.level_count,

@@ -66,11 +66,17 @@ def _mosaic_int8_mode() -> str:
     """Mosaic-kernel policy for the int8 net (ops/int8_conv_mosaic.py).
 
     ANNONET_TPU_MOSAIC_INT8: "0"=off, "s1"=stride-1 convs only,
-    "1"=stride-1+2 convs (both bit-exact vs the XLA path,
-    tests/test_int8_conv_mosaic.py), "2"=additionally quantize the bf16
-    up layers to the int8 GEMM kernel (NOT bit-exact — int8 up weights;
-    accuracy floors asserted in tests). Unset = off, pending the
-    composed device A/B (scripts/ab_mosaic_int8.py).
+    "1"=stride-1+2 convs (both bit-exact vs the XLA path IN INTERPRET
+    MODE, tests/test_int8_conv_mosaic.py), "2"=additionally quantize the
+    bf16 up layers to the int8 GEMM kernel (NOT bit-exact — int8 up
+    weights; accuracy floors asserted in tests). Unset = off — the
+    composed device A/B lost (scripts/ab_mosaic_int8.py, DESIGN.md §21).
+
+    HARDWARE FENCE: on a real TPU backend the s1 kernel's lowering
+    diverges from interpret mode (66,371-px label disagreement at WB=128
+    on v5e, DESIGN.md §21 — unresolved), so a non-off mode REFUSES to
+    run on any non-CPU backend unless ANNONET_TPU_MOSAIC_INT8_UNSAFE=1
+    explicitly acknowledges wrong results (measurement scripts only).
 
     Whatever the mode, the rewrite only applies to tile plans whose
     folded width is in the measured-fast set (MOSAIC_FAST_WB — the
@@ -79,7 +85,32 @@ def _mosaic_int8_mode() -> str:
     import os
 
     flag = os.environ.get("ANNONET_TPU_MOSAIC_INT8")
-    return {"s1": "s1", "1": "s1s2", "2": "up"}.get(flag or "", "off")
+    mode = {"s1": "s1", "1": "s1s2", "2": "up"}.get(flag or "", "off")
+    if mode != "off":
+        import jax
+
+        platform = jax.devices()[0].platform
+        if platform != "cpu":
+            if os.environ.get("ANNONET_TPU_MOSAIC_INT8_UNSAFE") == "1":
+                import sys
+
+                print(
+                    "WARNING: ANNONET_TPU_MOSAIC_INT8 on the "
+                    f"{platform!r} backend produces WRONG labels "
+                    "(hardware-vs-interpret divergence, DESIGN.md §21); "
+                    "continuing because ANNONET_TPU_MOSAIC_INT8_UNSAFE=1",
+                    file=sys.stderr,
+                )
+            else:
+                raise RuntimeError(
+                    "ANNONET_TPU_MOSAIC_INT8 is a measurement-only flag "
+                    "whose kernels produce WRONG results on the "
+                    f"{platform!r} backend (hardware-vs-interpret "
+                    "divergence, DESIGN.md §21). Unset it, run on CPU, "
+                    "or set ANNONET_TPU_MOSAIC_INT8_UNSAFE=1 to "
+                    "acknowledge wrong labels (measurement only)."
+                )
+    return mode
 
 
 def _gather_sublane() -> bool:

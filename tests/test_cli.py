@@ -87,6 +87,23 @@ def test_train_requires_input_directory(capsys):
     assert "anno" in out
 
 
+def test_grayscale_color_offset_warns(tmp_path, capsys):
+    """-o with --grayscale is a no-op (reference grayscale builds omit -o
+    from the flag table entirely, annonet_train_main.cpp:285-287); we
+    accept it for a uniform surface but warn."""
+    from annonet_tpu.cli.train import main
+
+    # empty directory -> exits 1 after the config echo, which is after
+    # the warning — no training happens, the test stays fast
+    assert main([str(tmp_path), "--grayscale", "-o"]) == 1
+    out = capsys.readouterr().out
+    assert "--allow-random-color-offset has no effect" in out
+
+    assert main([str(tmp_path), "--grayscale"]) == 1
+    out = capsys.readouterr().out
+    assert "--allow-random-color-offset has no effect" not in out
+
+
 @pytest.mark.slow
 def test_cli_train_then_infer_round_trip(tmp_path, capsys):
     from annonet_tpu.cli.infer import main as infer_main

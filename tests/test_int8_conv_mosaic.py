@@ -419,3 +419,31 @@ def test_inferer_wb_gate_and_auto_snap(monkeypatch):
     qspec, _ = inf2._get_quantized(fold0, small.tile_width)
     assert any(k.startswith("ms1") for k in qspec)
     assert any(k.startswith("ms2") for k in qspec)
+
+
+def test_mosaic_int8_refuses_non_cpu_backends(monkeypatch):
+    """The hardware fence: a non-off ANNONET_TPU_MOSAIC_INT8 raises on
+    any non-CPU backend (the s1 kernel is wrong on real TPUs — 66,371-px
+    label divergence at WB=128, docs/DESIGN.md §21) unless
+    ANNONET_TPU_MOSAIC_INT8_UNSAFE=1 acknowledges it. infer/core.py
+    _mosaic_int8_mode."""
+    from annonet_tpu.infer import core
+
+    class _FakeDevice:
+        platform = "tpu"
+
+    monkeypatch.setattr(jax, "devices", lambda *a, **k: [_FakeDevice()])
+
+    monkeypatch.setenv("ANNONET_TPU_MOSAIC_INT8", "s1")
+    monkeypatch.delenv("ANNONET_TPU_MOSAIC_INT8_UNSAFE", raising=False)
+    with pytest.raises(RuntimeError, match="WRONG results"):
+        core._mosaic_int8_mode()
+
+    # the explicit acknowledgment downgrades refuse -> stderr warning
+    monkeypatch.setenv("ANNONET_TPU_MOSAIC_INT8_UNSAFE", "1")
+    assert core._mosaic_int8_mode() == "s1"
+
+    # off never touches the backend query path
+    monkeypatch.delenv("ANNONET_TPU_MOSAIC_INT8_UNSAFE", raising=False)
+    monkeypatch.setenv("ANNONET_TPU_MOSAIC_INT8", "0")
+    assert core._mosaic_int8_mode() == "off"
