@@ -30,11 +30,25 @@ namespace {
 struct JpegErr {
     jpeg_error_mgr mgr;
     jmp_buf jump;
+    int warnings;
 };
 
 void jpeg_error_exit(j_common_ptr cinfo) {
     JpegErr* err = reinterpret_cast<JpegErr*>(cinfo->err);
     longjmp(err->jump, 1);
+}
+
+void jpeg_emit_message(j_common_ptr cinfo, int msg_level) {
+    // Corruption warnings ("Premature end of JPEG file", bogus marker
+    // lengths...) are msg_level -1; libjpeg would decode anyway, filling
+    // the missing area with gray. Count them so the decode can be
+    // REJECTED instead: the Python layer then falls back to PIL, keeping
+    // the native path's accept/reject classification identical to the
+    // pure-PIL fallback (PIL raises on truncated files). Trace messages
+    // (msg_level > 0) stay ignored.
+    if (msg_level < 0) {
+        reinterpret_cast<JpegErr*>(cinfo->err)->warnings++;
+    }
 }
 
 inline uint8_t luma(uint8_t r, uint8_t g, uint8_t b) {
@@ -59,6 +73,13 @@ void convert_row(const uint8_t* rgba, int64_t w, int want, uint8_t* out) {
         }
     }
 }
+
+// Malicious headers can declare absurd dimensions; cap what a decode may
+// allocate BEFORE touching memory (an anno dataset image is far below
+// this). 1<<20 px per side matches libpng's own default user limit; the
+// total-pixel cap bounds the transient RGBA buffer at 1 GiB.
+constexpr int64_t kMaxDim = 1 << 20;
+constexpr int64_t kMaxPixels = int64_t{1} << 28;  // 256 Mpx
 
 int32_t decode_png(FILE* f, int32_t want, uint8_t** out_data,
                    int64_t* out_h, int64_t* out_w) {
@@ -87,12 +108,23 @@ int32_t decode_png(FILE* f, int32_t want, uint8_t** out_data,
 
     const int64_t w = png_get_image_width(png, info);
     const int64_t h = png_get_image_height(png, info);
+    if (w <= 0 || h <= 0 || w > kMaxDim || h > kMaxDim ||
+        h > kMaxPixels / w) {
+        png_destroy_read_struct(&png, &info, nullptr);
+        return 4;
+    }
     if (png_get_rowbytes(png, info) != static_cast<size_t>(w) * 4) {
         png_destroy_read_struct(&png, &info, nullptr);
         return 4;
     }
-    rgba.resize(static_cast<size_t>(h) * w * 4);
-    rows.resize(h);
+    try {
+        rgba.resize(static_cast<size_t>(h) * w * 4);
+        rows.resize(h);
+    } catch (const std::bad_alloc&) {
+        // a C++ exception must not cross the extern "C"/ctypes boundary
+        png_destroy_read_struct(&png, &info, nullptr);
+        return 5;
+    }
     for (int64_t r = 0; r < h; ++r) rows[r] = rgba.data() + r * w * 4;
     png_read_image(png, rows.data());
     png_destroy_read_struct(&png, &info, nullptr);
@@ -120,6 +152,8 @@ int32_t decode_jpeg(FILE* f, int32_t want, uint8_t** out_data,
     uint8_t* volatile row_guard = nullptr;  // longjmp would skip vector dtors
     cinfo.err = jpeg_std_error(&err.mgr);
     err.mgr.error_exit = jpeg_error_exit;
+    err.mgr.emit_message = jpeg_emit_message;
+    err.warnings = 0;
     if (setjmp(err.jump)) {
         jpeg_destroy_decompress(&cinfo);
         std::free(out_guard);
@@ -133,6 +167,11 @@ int32_t decode_jpeg(FILE* f, int32_t want, uint8_t** out_data,
     jpeg_start_decompress(&cinfo);
     const int64_t w = cinfo.output_width;
     const int64_t h = cinfo.output_height;
+    if (w <= 0 || h <= 0 || w > kMaxDim || h > kMaxDim ||
+        h > kMaxPixels / w) {
+        jpeg_destroy_decompress(&cinfo);
+        return 4;
+    }
 
     uint8_t* out = static_cast<uint8_t*>(
         std::malloc(static_cast<size_t>(h) * w * want));
@@ -164,6 +203,11 @@ int32_t decode_jpeg(FILE* f, int32_t want, uint8_t** out_data,
     jpeg_finish_decompress(&cinfo);
     jpeg_destroy_decompress(&cinfo);
     std::free(rows);
+    if (err.warnings > 0) {
+        // corrupt-but-decodable input: reject (see jpeg_emit_message)
+        std::free(out);
+        return 3;
+    }
     *out_data = out;
     *out_h = h;
     *out_w = w;
