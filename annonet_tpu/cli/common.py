@@ -240,6 +240,71 @@ def device_probe(timeout_s=None, _op=None, on_timeout=None,
         ) from result["error"]
 
 
+# Substrings that identify a failed PEER (a rank that died, was preempted,
+# or became unreachable) in the errors the distributed runtime raises into
+# this process: gloo collective/context failures (CPU cross-process
+# collectives time out after ~30 s), coordination-service barrier and
+# heartbeat verdicts (DCN/TPU pods). Measured catalog: killing a rank
+# mid-training raises "Gloo context initialization failed:
+# DEADLINE_EXCEEDED: GetKeyValue() timed out" on the survivor ~30 s later,
+# and the coordination service independently declares "Task .../task:N
+# heartbeat timeout" at heartbeat_timeout_seconds (default 100).
+_PEER_FAILURE_MARKERS = (
+    "gloo",
+    "heartbeat timeout",
+    "deadline_exceeded",
+    "coordination service",
+    "barrier failed",
+    "getkeyvalue",
+    "peer closed",
+    "connection reset",
+    "connection refused",
+)
+
+
+def peer_failure_diagnosis(exc) -> "str | None":
+    """Classify an exception as a multi-host PEER failure; returns the
+    actionable diagnosis line, or None for unrelated errors."""
+    text = str(exc).lower()
+    if not any(marker in text for marker in _PEER_FAILURE_MARKERS):
+        return None
+    return (
+        "multi-host peer failure detected: a peer process died, was "
+        "preempted, or became unreachable (collective/coordination "
+        "error above). This rank is exiting now; restart the job on "
+        "EVERY host — training resumes from the shared --sync-file."
+    )
+
+
+def exit_on_peer_failure(exc, multihost: bool, exit_code: int = 2) -> None:
+    """The multi-host analog of device_probe's wedge handling: when a
+    collective raises because a PEER died, report and leave IMMEDIATELY.
+
+    A classified peer failure must not return through normal unwinding:
+    the coordination client has (or soon will) declare the job fatal and
+    abort the process from a background thread (client.h "Terminating
+    process because the JAX distributed service detected fatal errors"),
+    and interpreter exit blocks in the distributed shutdown barrier until
+    heartbeat timeout — measured: the survivor lingered 100 s and died by
+    async abort with the CLI's own diagnosis lost in the race. Printing
+    (flushed) and ``os._exit``ing wins that race: bounded (~30 s after
+    peer death, the gloo collective timeout), diagnosable, and with the
+    documented exit code. No-op when the error is not a peer failure.
+    """
+    if not multihost:
+        return
+    diagnosis = peer_failure_diagnosis(exc)
+    if diagnosis is None:
+        return
+    import os
+    import sys
+
+    print(exc, flush=True)
+    print(diagnosis, flush=True)
+    sys.stderr.flush()
+    os._exit(exit_code)
+
+
 def enable_compilation_cache(cache_dir=None):
     """Persistent XLA compilation cache for the CLI entry points.
 

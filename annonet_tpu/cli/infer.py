@@ -191,6 +191,14 @@ def main(argv=None) -> int:
     try:
         return _run(args, input_directory)
     except Exception as e:  # noqa: BLE001
+        from annonet_tpu.cli.common import exit_on_peer_failure
+
+        # a dead PEER surfaces here as a gloo/coordination error (the
+        # merge all-gather, or any sharded-batch collective): report and
+        # leave before the coordination client's async process abort
+        exit_on_peer_failure(
+            e, bool(getattr(args, "coordinator", None)), exit_code=1
+        )
         print(e)
         if getattr(args, "coordinator", None):
             # a rank-local failure leaves peers blocked in the final

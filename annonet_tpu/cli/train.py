@@ -244,6 +244,13 @@ def main(argv=None) -> int:
     try:
         return _run(args, input_directory)
     except Exception as e:  # noqa: BLE001
+        from annonet_tpu.cli.common import exit_on_peer_failure
+
+        # setup-phase collectives (the resume pre-check all-gather, the
+        # first mesh step's gloo context init) surface a dead peer HERE:
+        # report + leave before the coordination client's async abort
+        exit_on_peer_failure(e, bool(getattr(args, "coordinator", None)),
+                             exit_code=1)
         print(e)
         return 1
 
@@ -291,6 +298,8 @@ def _run(args, input_directory) -> int:
 
 
 def _run_impl(args, input_directory, stack) -> int:
+    from annonet_tpu.cli.common import exit_on_peer_failure
+
     if not args.no_compilation_cache:
         from annonet_tpu.cli.common import enable_compilation_cache
 
@@ -780,6 +789,7 @@ def _run_impl(args, input_directory, stack) -> int:
                         save_inference_net()
                     minibatch += 1
         except Exception as e:  # noqa: BLE001
+            exit_on_peer_failure(e, multihost)  # dead peer: report, leave now
             print(e)
             if multihost:
                 # data errors raise identically on every rank (identical
@@ -805,6 +815,7 @@ def _run_impl(args, input_directory, stack) -> int:
         save_inference_net()
         trainer.save_sync_file()
     except Exception as e:  # noqa: BLE001
+        exit_on_peer_failure(e, multihost)
         print(e)
         if multihost:
             print(

@@ -60,10 +60,22 @@ def initialize_distributed(
     (testing aid — the multi-host analog of ensure_virtual_devices; the
     flag must be set before backend init, hence here).
 
+    Failure-detection knobs (both env-tunable): the coordination-service
+    heartbeat declares a silent peer dead after
+    ANNONET_TPU_HEARTBEAT_TIMEOUT seconds (default 100, JAX's default)
+    and ABORTS this process — the backstop bound when no collective
+    raises first (cli.common.exit_on_peer_failure handles the raising
+    path); ANNONET_TPU_SHUTDOWN_TIMEOUT (default 300) bounds the exit
+    barrier a clean shutdown waits on.
+
     Returns (process_index, process_count).
     """
+    import os
+
     if local_virtual_devices:
         _set_virtual_device_flags(local_virtual_devices)
+    heartbeat = int(os.environ.get("ANNONET_TPU_HEARTBEAT_TIMEOUT", "100"))
+    shutdown = int(os.environ.get("ANNONET_TPU_SHUTDOWN_TIMEOUT", "300"))
     try:
         # cross-process CPU collectives ride gloo/TCP; the option only
         # affects the CPU client, so it is harmless on TPU pods (whose
@@ -72,7 +84,10 @@ def initialize_distributed(
     except Exception:  # noqa: BLE001 — unavailable on some jaxlib builds
         pass
     if coordinator == "auto":
-        jax.distributed.initialize()
+        jax.distributed.initialize(
+            heartbeat_timeout_seconds=heartbeat,
+            shutdown_timeout_seconds=shutdown,
+        )
     else:
         if num_processes is None or process_id is None:
             raise ValueError(
@@ -84,6 +99,8 @@ def initialize_distributed(
             coordinator_address=coordinator,
             num_processes=num_processes,
             process_id=process_id,
+            heartbeat_timeout_seconds=heartbeat,
+            shutdown_timeout_seconds=shutdown,
         )
     return jax.process_index(), jax.process_count()
 

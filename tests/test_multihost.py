@@ -315,3 +315,155 @@ def test_mesh_must_cover_global_devices():
 
     with pytest.raises(ValueError, match="global device count"):
         make_cli_mesh(3, multiprocess=True)  # 8 virtual devices visible
+
+
+# --------------------------------------------------------- failure injection
+
+def _launch_pair_logged(tmp_path, data, outs, syncs, steps, prefix="rank"):
+    """Launch the 2-process pair with per-rank LOG FILES (unbuffered child
+    stdout) so the test can poll progress and inject failures."""
+    port = _free_port()
+    procs, log_paths = [], []
+    for pid in range(2):
+        cmd = _train_cmd(
+            data, outs[pid], syncs[pid], steps=steps,
+            extra=[
+                "--coordinator", f"127.0.0.1:{port}",
+                "--num-processes", "2", "--process-id", str(pid),
+            ],
+        )
+        env = _env(4)
+        env["PYTHONUNBUFFERED"] = "1"
+        log = tmp_path / f"{prefix}{pid}.log"
+        handle = open(log, "w")
+        procs.append(subprocess.Popen(
+            cmd, env=env, stdout=handle, stderr=subprocess.STDOUT, text=True,
+        ))
+        handle.close()  # the child holds its own fd
+        log_paths.append(log)
+    return procs, log_paths
+
+
+def _wait_for_line(paths, needle, procs, timeout=240):
+    import time
+
+    deadline = time.monotonic() + timeout
+    while time.monotonic() < deadline:
+        if all(needle in p.read_text(errors="replace") for p in paths):
+            return
+        if any(p.poll() is not None for p in procs):
+            raise AssertionError(
+                f"a rank exited before '{needle}' appeared:\n"
+                + "\n===\n".join(p.read_text(errors="replace") for p in paths)
+            )
+        time.sleep(0.5)
+    raise AssertionError(
+        f"'{needle}' did not appear within {timeout}s:\n"
+        + "\n===\n".join(p.read_text(errors="replace") for p in paths)
+    )
+
+
+_PEER_DIAGNOSES = (
+    # the CLI's classified report (cli.common.exit_on_peer_failure) ...
+    "multi-host peer failure detected",
+    # ... or the coordination-service heartbeat backstop's process abort
+    "JAX distributed service detected fatal errors",
+)
+
+
+@pytest.mark.slow
+def test_rank_death_mid_training_is_bounded_and_diagnosed(tmp_path):
+    """Kill rank 1 mid-training: rank 0 must exit within a BOUNDED time
+    (the gloo collective timeout raises ~30 s after peer death; the
+    coordination heartbeat abort backstops at 100 s) with a non-zero code
+    and an actionable peer-failure diagnosis — never a silent wedge.
+    Restarting both ranks afterwards resumes from the shared sync file's
+    last checkpoint."""
+    import time
+
+    data = tmp_path / "data"
+    data.mkdir()
+    write_synthetic_dataset(data, n_images=3, size=40)
+    outs = [tmp_path / "mh0.dnn", tmp_path / "mh1.dnn"]
+    shared = tmp_path / "shared_sync.dat"
+
+    # phase A: a clean short run writes the shared checkpoint
+    rcs, logs = _run_pair(data, outs, [shared, shared], steps=3)
+    assert rcs == [0, 0], logs
+    assert shared.exists()
+
+    # phase B: relaunch open-ended, kill rank 1 once both are training
+    procs, log_paths = _launch_pair_logged(
+        tmp_path, data, outs, [shared, shared], steps=5000,
+    )
+    try:
+        _wait_for_line(log_paths, "Multi-host training: process", procs)
+        time.sleep(3)  # let some steps/collectives get in flight
+        procs[1].kill()
+        t_kill = time.monotonic()
+        procs[0].wait(timeout=240)  # BOUNDED: no indefinite gloo hang
+        elapsed = time.monotonic() - t_kill
+        assert procs[0].returncode != 0
+        log0 = log_paths[0].read_text(errors="replace")
+        assert any(d in log0 for d in _PEER_DIAGNOSES), (elapsed, log0)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+
+    # phase C: restart every rank -> resume from the shared checkpoint
+    rcs, logs = _run_pair(data, outs, [shared, shared], steps=6)
+    assert rcs == [0, 0], logs
+    for log in logs:
+        assert "resumed from" in log and "at step 3" in log, log
+
+
+@pytest.mark.slow
+def test_rank_death_mid_inference_is_bounded_and_diagnosed(tmp_path):
+    """Kill rank 1 during multi-host batch inference: rank 0 must fail
+    its merge all-gather within a bounded time with the peer-failure
+    diagnosis instead of blocking forever."""
+    import time
+
+    from tests.test_multihost_infer import _infer_cmd, _write_model
+
+    data = tmp_path / "data"
+    data.mkdir()
+    write_synthetic_dataset(data, n_images=6, size=48, seed=5)
+    model = tmp_path / "annonet.dnn"
+    _write_model(model, (data / "anno_classes.json").read_text())
+
+    port = _free_port()
+    procs, log_paths = [], []
+    for pid in range(2):
+        cmd = _infer_cmd(
+            data, model, tmp_path / f"report{pid}.json",
+            extra=[
+                "--coordinator", f"127.0.0.1:{port}",
+                "--num-processes", "2", "--process-id", str(pid),
+            ],
+        )
+        env = _env(1)
+        env["PYTHONUNBUFFERED"] = "1"
+        log = tmp_path / f"irank{pid}.log"
+        handle = open(log, "w")
+        procs.append(subprocess.Popen(
+            cmd, env=env, stdout=handle, stderr=subprocess.STDOUT, text=True,
+        ))
+        handle.close()
+        log_paths.append(log)
+    try:
+        _wait_for_line(
+            [log_paths[1]], "Multi-host inference: process 1", [procs[1]],
+        )
+        procs[1].kill()
+        t_kill = time.monotonic()
+        procs[0].wait(timeout=240)
+        elapsed = time.monotonic() - t_kill
+        assert procs[0].returncode != 0
+        log0 = log_paths[0].read_text(errors="replace")
+        assert any(d in log0 for d in _PEER_DIAGNOSES), (elapsed, log0)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
