@@ -72,11 +72,17 @@ def _mosaic_int8_mode() -> str:
     weights; accuracy floors asserted in tests). Unset = off — the
     composed device A/B lost (scripts/ab_mosaic_int8.py, DESIGN.md §21).
 
-    HARDWARE FENCE: on a real TPU backend the s1 kernel's lowering
-    diverges from interpret mode (66,371-px label disagreement at WB=128
-    on v5e, DESIGN.md §21 — unresolved), so a non-off mode REFUSES to
-    run on any non-CPU backend unless ANNONET_TPU_MOSAIC_INT8_UNSAFE=1
-    explicitly acknowledges wrong results (measurement scripts only).
+    HARDWARE FENCE: on a real TPU backend the composed program's labels
+    drift from the same-plan XLA arm (66,371 px at 4096² — root-caused
+    in round 4, DESIGN.md §34: the pallas custom call perturbs XLA's
+    layout/fusion of the DOWNSTREAM bf16 "up" conv_transpose, whose
+    accumulation order shifts and ~2% of its requant outputs flip by
+    exactly ±1; the Mosaic kernels themselves are bit-exact on
+    hardware). The int8 stack's contract is program-variant
+    bit-stability, which this path cannot offer — so a non-off mode
+    REFUSES to run on any non-CPU backend unless
+    ANNONET_TPU_MOSAIC_INT8_UNSAFE=1 acknowledges the label drift
+    (measurement scripts only; the composed program is also 0.56x XLA).
 
     Whatever the mode, the rewrite only applies to tile plans whose
     folded width is in the measured-fast set (MOSAIC_FAST_WB — the
@@ -96,19 +102,23 @@ def _mosaic_int8_mode() -> str:
 
                 print(
                     "WARNING: ANNONET_TPU_MOSAIC_INT8 on the "
-                    f"{platform!r} backend produces WRONG labels "
-                    "(hardware-vs-interpret divergence, DESIGN.md §21); "
+                    f"{platform!r} backend: labels drift ±1-requant-step "
+                    "from the XLA arm (downstream bf16 layer "
+                    "accumulation-order shift, DESIGN.md §34); "
                     "continuing because ANNONET_TPU_MOSAIC_INT8_UNSAFE=1",
                     file=sys.stderr,
                 )
             else:
                 raise RuntimeError(
-                    "ANNONET_TPU_MOSAIC_INT8 is a measurement-only flag "
-                    "whose kernels produce WRONG results on the "
-                    f"{platform!r} backend (hardware-vs-interpret "
-                    "divergence, DESIGN.md §21). Unset it, run on CPU, "
-                    "or set ANNONET_TPU_MOSAIC_INT8_UNSAFE=1 to "
-                    "acknowledge wrong labels (measurement only)."
+                    "ANNONET_TPU_MOSAIC_INT8 is a measurement-only flag: "
+                    f"on the {platform!r} backend the composed program's "
+                    "labels drift from the XLA arm (the custom call "
+                    "shifts a downstream bf16 layer's accumulation "
+                    "order; ±1 requant steps, ~0.2-0.4% of labels — "
+                    "DESIGN.md §34), and it is slower than XLA anyway. "
+                    "Unset it, run on CPU, or set "
+                    "ANNONET_TPU_MOSAIC_INT8_UNSAFE=1 to acknowledge "
+                    "the drift (measurement only)."
                 )
     return mode
 
@@ -1010,7 +1020,13 @@ class TiledInferer:
                 cached = with_ycat(plain)
                 self._mosaic_q_cache[ykey] = cached
             return cached
-        key = (fold0, mode, self._mosaic_flatten, self.stem_ycat)
+        import os as _os
+
+        # bisection aid (scripts/repro_mosaic_s1.py --stage composed):
+        # rewrite only the first N eligible layers
+        limit_env = _os.environ.get("ANNONET_TPU_MOSAIC_LIMIT")
+        limit = int(limit_env) if limit_env else None
+        key = (fold0, mode, self._mosaic_flatten, self.stem_ycat, limit)
         cached = self._mosaic_q_cache.get(key)
         if cached is None:
             cached = mosaicize_qspec(
@@ -1018,6 +1034,7 @@ class TiledInferer:
                 quantize_up=(mode == "up"),
                 flatten=self._mosaic_flatten,
                 kinds=("qs1",) if mode == "s1" else ("qs1", "qs2"),
+                limit=limit,
             )
             cached = with_ycat(cached)
             self._mosaic_q_cache[key] = cached

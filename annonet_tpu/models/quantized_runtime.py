@@ -39,6 +39,7 @@ tests/test_quantized.py and the synthetic-config accuracy floors
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
@@ -405,6 +406,9 @@ def apply_folded_int8(
 
             wl, wc, wr, scale, offset, w_q = entry
             rows = pick_rows(int(x.shape[1]))
+            if os.environ.get("ANNONET_TPU_MOSAIC_DEBUG") == "1":
+                print(f"[mosaic-debug] ms1 x={tuple(x.shape)} rows={rows} "
+                      f"flat={kind.endswith(':flat')}", flush=True)
             if rows > 1:
                 x = qconv3x3_s1_requant(
                     x, wl, wc, wr, scale, offset, rows=rows,

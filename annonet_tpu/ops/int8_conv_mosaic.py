@@ -36,15 +36,25 @@ Formulation (per output row block of R rows):
 Weights: W[dy, t] is w_q[:, t].reshape(3*C, C) — rows (dy, ci), exactly
 the folded block-Toeplitz kernel's t-th width tap.
 
-STATUS — research negative, ships OFF (docs/DESIGN.md par.20/21):
+STATUS — research negative, ships OFF (docs/DESIGN.md par.20/21/34):
 micro-benches win 1.5-1.7x at selected folded widths (MOSAIC_FAST_WB),
 but the COMPOSED int8 program at the snapped fast plan (WB=128) runs
 0.56x XLA (48.95 vs 27.03 ms/image device timeline, 4096^2,
-scripts/ab_mosaic_int8.py) and the s1 kernel is NOT bit-exact on
-hardware at composed scale (66,371 px label disagreement vs the
-same-plan XLA arm; interpret-mode exactness holds — a known
-hardware/interpret semantics divergence class, CLAUDE.md). The
-ANNONET_TPU_MOSAIC_INT8/FLOAT flags stay for measurement only.
+scripts/ab_mosaic_int8.py). The round-3 "66,371 px label disagreement"
+was ROOT-CAUSED in round 4 (scripts/repro_mosaic_s1.py, DESIGN.md
+par.34): the kernels themselves are bit-exact on hardware — 19 isolated
+geometry sweeps including the exact composed shapes, plus a
+shared-calibration composed prefix bisection, all match XLA int8
+exactly through every int8 layer. The divergence enters at the first
+DOWNSTREAM bf16 "up" conv_transpose: the pallas custom call changes
+XLA's layout/fusion choices for that float op, its accumulation order
+shifts, and ~2% of its requant outputs flip by EXACTLY +-1 (max|delta|
+= 1), cascading to ~0.2-0.4% label flips at argmax near-ties — the
+same requant-rounding tolerance class as the float twins' documented
+tap-order tolerance, NOT a kernel semantics error. The flags stay
+measurement-only because the composed program is SLOWER, and the TPU
+fence stays because the path cannot claim the int8 stack's
+program-variant bit-stability.
 """
 
 from __future__ import annotations
@@ -569,7 +579,8 @@ def quantize_up_entry(entry):
 
 def mosaicize_qspec(qspec, qarrays, quantize_up: bool = False,
                     flatten: bool = False,
-                    kinds: tuple = ("qs1", "qs2")):
+                    kinds: tuple = ("qs1", "qs2"),
+                    limit: "int | None" = None):
     """Rewrite eligible "qs1"/"qs2" entries to Mosaic form ("ms1"/"ms2").
 
     Eligible: plain folded stride-1/2 convs (no :pad4 stem suffix — its
@@ -591,8 +602,12 @@ def mosaicize_qspec(qspec, qarrays, quantize_up: bool = False,
     asserted under it in tests. ``flatten`` bakes the s1 kernel's
     flattened-M variant into the rewritten entries (resolved HERE, once,
     so every compiled program of the frozen net uses the same variant).
+    ``limit`` stops after that many rewrites (bisection aid —
+    ANNONET_TPU_MOSAIC_LIMIT via infer.core — for localizing which
+    rewritten layer a composed-program divergence enters at).
     """
     out_spec, out_arrays = [], []
+    rewrites = 0
 
     def taps(w_q):
         # on-device: w_q[:, t].reshape is a pure layout op — no host
@@ -601,27 +616,32 @@ def mosaicize_qspec(qspec, qarrays, quantize_up: bool = False,
         return [jnp.reshape(w_q[:, t], (kh * cin, cout)) for t in range(kw)]
 
     for kind, entry in zip(qspec, qarrays):
-        if kind == "qs1" and "qs1" in kinds:
+        open_slot = limit is None or rewrites < limit
+        if kind == "qs1" and "qs1" in kinds and open_slot:
             w_q, scale, offset = entry
             cin = w_q.shape[2]
             if cin % 128 == 0 and w_q.shape[:2] == (3, 3):
                 wl, wc, wr = taps(w_q)
                 out_spec.append("ms1:flat" if flatten else "ms1")
                 out_arrays.append((wl, wc, wr, scale, offset, w_q))
+                rewrites += 1
                 continue
-        if kind == "qs2" and "qs2" in kinds:
+        if kind == "qs2" and "qs2" in kinds and open_slot:
             w_q, scale, offset = entry
             cin = w_q.shape[2]
             if cin % 128 == 0 and w_q.shape[:2] == (3, 2):
                 w0, w1 = taps(w_q)
                 out_spec.append("ms2:flat" if flatten else "ms2")
                 out_arrays.append((w0, w1, scale, offset, w_q))
+                rewrites += 1
                 continue
-        if kind == "up" and quantize_up and entry[0].shape[2] % 128 == 0:
+        if (kind == "up" and quantize_up and open_slot
+                and entry[0].shape[2] % 128 == 0):
             out_spec.append("mup:flat" if flatten else "mup")
             # keep the original bf16 entry for the rows==1 fallback
             # (prime input heights, e.g. the deepest up at H=109)
             out_arrays.append(quantize_up_entry(entry) + (entry,))
+            rewrites += 1
             continue
         out_spec.append(kind)
         out_arrays.append(entry)

@@ -78,6 +78,9 @@ def main(argv=None) -> int:
     ap.add_argument("--quantize", choices=["none", "int8"], default="none")
     ap.add_argument("--tile-max", type=int, default=64,
                     help="small tiles so the soak exercises multi-tile blending")
+    ap.add_argument("--max-batch", type=int, default=1,
+                    help="serve-side request batching (annonet_serve "
+                    "--max-batch); >1 exercises the dispatcher under load")
     ap.add_argument("--startup-timeout", type=float, default=180.0)
     args = ap.parse_args(argv)
 
@@ -103,6 +106,7 @@ def main(argv=None) -> int:
         "--model", model_path, "--host", "127.0.0.1", "--port", str(port),
         "--tile-max-width", str(args.tile_max), "--tile-max-height", str(args.tile_max),
         "--quantize", args.quantize,
+        "--max-batch", str(args.max_batch),
     ]
     proc = subprocess.Popen(cmd)
     client = ServeClient("127.0.0.1", port, timeout=120.0)
@@ -111,6 +115,7 @@ def main(argv=None) -> int:
     latencies: list[float] = []
     errors: list[str] = []
     reloads = [0]
+    server_stats: dict = {}
     stop = threading.Event()
 
     try:
@@ -189,6 +194,10 @@ def main(argv=None) -> int:
             rss.append((time.monotonic(), _rss_mb(proc.pid)))
         for w in workers:
             w.join(timeout=130.0)
+        try:
+            server_stats = client.stats()
+        except Exception:  # noqa: BLE001 — stats are best-effort
+            server_stats = {}
     finally:
         stop.set()
         if proc.poll() is None:
@@ -213,6 +222,12 @@ def main(argv=None) -> int:
         "rss_end_mb": round(rss[-1][1], 1),
         "rss_tail_growth_mb": round(rss[-1][1] - mid, 1),
     }
+    served = server_stats.get("requests_served")
+    batches = server_stats.get("batches_dispatched")
+    if served and batches:
+        # dynamic-batching occupancy: requests per device batch (1.0 =
+        # no grouping; approaches --max-batch under saturated load)
+        summary["batch_occupancy"] = round(served / batches, 2)
     for e in errors[:10]:
         print("ERROR:", e, file=sys.stderr, flush=True)
     print(json.dumps(summary), flush=True)

@@ -423,8 +423,10 @@ def test_inferer_wb_gate_and_auto_snap(monkeypatch):
 
 def test_mosaic_int8_refuses_non_cpu_backends(monkeypatch):
     """The hardware fence: a non-off ANNONET_TPU_MOSAIC_INT8 raises on
-    any non-CPU backend (the s1 kernel is wrong on real TPUs — 66,371-px
-    label divergence at WB=128, docs/DESIGN.md §21) unless
+    any non-CPU backend (on real TPUs the composed program's labels
+    drift ±1 requant step from the XLA arm — a downstream bf16 layer's
+    accumulation order shifts under the custom call's layout influence,
+    docs/DESIGN.md §34 — and the path is slower anyway) unless
     ANNONET_TPU_MOSAIC_INT8_UNSAFE=1 acknowledges it. infer/core.py
     _mosaic_int8_mode."""
     from annonet_tpu.infer import core
@@ -436,7 +438,7 @@ def test_mosaic_int8_refuses_non_cpu_backends(monkeypatch):
 
     monkeypatch.setenv("ANNONET_TPU_MOSAIC_INT8", "s1")
     monkeypatch.delenv("ANNONET_TPU_MOSAIC_INT8_UNSAFE", raising=False)
-    with pytest.raises(RuntimeError, match="WRONG results"):
+    with pytest.raises(RuntimeError, match="labels drift"):
         core._mosaic_int8_mode()
 
     # the explicit acknowledgment downgrades refuse -> stderr warning
