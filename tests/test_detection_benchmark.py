@@ -1,0 +1,100 @@
+"""Detection-graded accuracy benchmark: region-level recall floors.
+
+The reference's stated purpose is defect *detection* — the
+detection-biased per-region vote rule exists precisely for rare small
+blobs (/root/reference/annonet_infer_main.cpp:250-260) — and the
+benign 2-class floors in tests/test_end_to_end.py are near-ceiling and
+cannot grade that machinery (round-3 verdict). This suite runs the
+severe benchmark (annonet_tpu/data/synthetic.py: ~1000:1 imbalance,
+sub-receptive-field defects straddling tile boundaries, clutter
+false-positive pressure, oversize mislabeled smears region-filtered in
+training) through the FULL pipeline — plateau-driven training to its
+natural min-LR stop, tiled inference under nonzero gains + detection
+levels, per-REGION confusion — and asserts the floors pinned by
+scripts/measure_detection.py --pin into PARITY_TARGETS.json.
+"""
+
+import importlib.util
+import json
+import os
+import pathlib
+
+import pytest
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+
+
+def _load_measure_detection():
+    spec = importlib.util.spec_from_file_location(
+        "measure_detection", REPO / "scripts" / "measure_detection.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def benchmark_run():
+    md = _load_measure_detection()
+    return md.run_benchmark(0, verbose=False)
+
+
+@pytest.fixture(scope="module")
+def pinned():
+    targets = json.loads((REPO / "PARITY_TARGETS.json").read_text())
+    return targets["detection_benchmark"]
+
+
+@pytest.mark.slow
+def test_training_reaches_its_natural_min_lr_stop(benchmark_run):
+    """The reference's primary control loop (annonet_train_main.cpp:
+    569-577): plateau -> LR shrink (x0.1) -> ... -> stop below min LR,
+    exercised end-to-end rather than step-capped."""
+    assert benchmark_run["stopped_at_min_lr"], benchmark_run
+    assert len(benchmark_run["lr_shrinks"]) >= 2, benchmark_run
+    # loss actually decreased over the run
+    assert benchmark_run["loss_last"] < benchmark_run["loss_first"] / 2
+
+
+@pytest.mark.slow
+def test_severe_regime_is_actually_severe(benchmark_run):
+    """The scored set keeps the ~1000:1 pixel imbalance the benchmark
+    exists for (the old benign floors were measured near 2:1)."""
+    assert benchmark_run["bg_px_per_defect_px"] > 300
+
+
+@pytest.mark.slow
+def test_region_recall_floors(benchmark_run, pinned):
+    floors = pinned["pinned_region_recall_floor"]
+    for cls, floor in enumerate(floors):
+        got = benchmark_run["region_recall"][cls]
+        assert got is not None and got >= floor, (
+            f"class {cls}: region recall {got} < pinned floor {floor}; "
+            f"region_cm={benchmark_run['region_cm']}"
+        )
+
+
+@pytest.mark.slow
+def test_pixel_accuracy_floor(benchmark_run, pinned):
+    floor = pinned["pinned_pixel_accuracy_floor"]
+    assert benchmark_run["pixel_accuracy"] >= floor
+
+
+@pytest.mark.slow
+def test_region_filter_is_load_bearing(benchmark_run, pinned):
+    """The no-filter control arm (training ON the oversize mislabeled
+    smears instead of region-ignoring them) must measurably hurt minor-
+    defect region precision vs the filtered arm — the damage
+    --ignore-large-nonzero-regions-by-* exists to prevent
+    (annonet_train_main.cpp:434-502). Pinned from the recorded control
+    runs rather than re-trained here (the arm is another full training);
+    scripts/measure_detection.py --no-filter reproduces it."""
+    control = pinned.get("no_filter_control")
+    if not control:
+        pytest.skip("no recorded control arm in PARITY_TARGETS.json")
+    # the filtered benchmark run must beat the recorded unfiltered
+    # minor-defect region precision by the pinned margin
+    got = benchmark_run["region_precision"][1]
+    assert got >= control["minor_region_precision"] + control["margin"], (
+        got, control
+    )
