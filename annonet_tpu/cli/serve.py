@@ -157,6 +157,18 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _process_rss_mb() -> float:
+    """This process's VmRSS in MB (0.0 where /proc is unavailable)."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) / 1024.0
+    except OSError:
+        pass
+    return 0.0
+
+
 class _ModelState:
     """One loaded model: everything POST /reload swaps atomically — the
     deserialized artifact, its parsed classes and server defaults, and
@@ -710,6 +722,12 @@ class _ModelService:
                 "max": (round(lat[-1] * 1e3, 2) if lat else None),
             },
             "compiled_programs": len(self.inferer._compiled),
+            # ops visibility: long-running servers should watch this —
+            # some PJRT transports leak per-UPLOAD host buffers (measured
+            # ~1 MB/s under 26 req/s load on a tunneled dev TPU,
+            # docs/SERVING.md "Host RSS"), which only an external monitor
+            # or this gauge catches
+            "rss_mb": round(_process_rss_mb(), 1),
         }
 
     def metrics_text(self) -> str:
@@ -749,6 +767,10 @@ class _ModelService:
             "exceeded --device-stall-seconds (healthz serves 503).",
             "# TYPE annonet_device_stalled gauge",
             f"annonet_device_stalled {int(self.device_stalled())}",
+            "# HELP annonet_process_rss_mb Server host RSS (watch for "
+            "PJRT per-upload host-buffer leaks on tunneled transports).",
+            "# TYPE annonet_process_rss_mb gauge",
+            f"annonet_process_rss_mb {s['rss_mb']}",
         ]
         lat = s["latency_ms"]
         if lat["p50"] is not None:
