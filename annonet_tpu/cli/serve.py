@@ -133,6 +133,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "each input shape gets 900 s extra allowance "
                         "for its lazy XLA compile, so un-warmed sizes "
                         "never read as stalls")
+    p.add_argument("--max-rss-mb", type=float, default=0.0, metavar="MB",
+                   help="Report status 'rss-exceeded' (healthz -> 503) "
+                        "once the server's host RSS passes MB, so an "
+                        "orchestrator rotates the replica out and "
+                        "restarts it. Built for transports whose PJRT "
+                        "client leaks per-upload staging buffers "
+                        "(docs/SERVING.md 'Host RSS'); 0 = off "
+                        "(default). In-flight requests still complete "
+                        "— only health turns red")
     p.add_argument("--max-batch", type=int, default=1, metavar="M",
                    help="Dynamic request batching: group up to M "
                         "concurrent same-size /infer requests (same "
@@ -309,6 +318,7 @@ class _ModelService:
         # call — the TPU-native answer to many small concurrent images
         # (one 512² image underfills the chip ~15x)
         self.max_batch = max(1, getattr(args, "max_batch", 1))
+        self.max_rss_mb = float(getattr(args, "max_rss_mb", 0.0) or 0.0)
         self.batch_window = max(
             0.0, getattr(args, "batch_window_ms", 5.0)
         ) / 1000.0
@@ -771,6 +781,10 @@ class _ModelService:
             "PJRT per-upload host-buffer leaks on tunneled transports).",
             "# TYPE annonet_process_rss_mb gauge",
             f"annonet_process_rss_mb {s['rss_mb']}",
+            "# HELP annonet_rss_exceeded 1 when RSS passed --max-rss-mb "
+            "(healthz serves 503 so the replica is rotated out).",
+            "# TYPE annonet_rss_exceeded gauge",
+            f"annonet_rss_exceeded {int(self.rss_exceeded())}",
         ]
         lat = s["latency_ms"]
         if lat["p50"] is not None:
@@ -798,15 +812,28 @@ class _ModelService:
             ]
         return "\n".join(lines) + "\n"
 
+    def rss_exceeded(self) -> bool:
+        """--max-rss-mb guard: true once host RSS passes the limit
+        (leaky-transport mitigation, docs/SERVING.md 'Host RSS')."""
+        return bool(
+            self.max_rss_mb > 0.0 and _process_rss_mb() > self.max_rss_mb
+        )
+
     def healthz(self) -> dict:
         st = self.state
         busy = self.device_busy_seconds()
         stalled = self.device_stalled()
+        # "stalled" / "rss-exceeded" (served as 503): the in-flight device
+        # op exceeded --device-stall-seconds (runtime likely wedged), or
+        # host RSS passed --max-rss-mb (leaky transport) — either way,
+        # take this replica out of rotation until it recovers or restarts
+        status = "ok"
+        if self.rss_exceeded():
+            status = "rss-exceeded"
+        if stalled:
+            status = "stalled"
         return {
-            # "stalled" (served as 503): the in-flight device op exceeded
-            # --device-stall-seconds — the runtime is likely wedged; take
-            # this replica out of rotation until it recovers or restarts
-            "status": "stalled" if stalled else "ok",
+            "status": status,
             "device_busy_seconds": busy,
             "model": st.model_path,
             "model_mtime": st.model_mtime,
@@ -920,7 +947,7 @@ def make_server(args, service: Optional[_ModelService] = None):
             path = urlparse(self.path).path
             if path in ("/healthz", "/"):
                 payload = svc.healthz()
-                code = 503 if payload["status"] == "stalled" else 200
+                code = 503 if payload["status"] != "ok" else 200
                 self._send_json(code, payload)
             elif path == "/stats":
                 self._send_json(200, svc.stats())

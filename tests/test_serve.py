@@ -815,3 +815,45 @@ def test_first_shape_compile_grace(server_url):
         release.set()
         holder.join(timeout=10)
         service.device_stall_seconds = old
+
+
+def test_max_rss_guard_turns_health_red(tmp_path):
+    """--max-rss-mb: once host RSS passes the limit, healthz reports
+    'rss-exceeded' (HTTP 503 — replica rotated out) and /metrics exports
+    the gauge. Built for transports whose PJRT client leaks per-upload
+    staging buffers (docs/SERVING.md 'Host RSS'); 0 disables."""
+    model_path = str(tmp_path / "annonet.dnn")
+    config = SegNetConfig(class_count=3, level_count=0, base_width=8)
+    params, bn = init_state(jax.random.PRNGKey(0), config)
+    runtime = fold_batchnorm(params, bn, config)
+    serialization.save_model(
+        model_path, runtime, config,
+        anno_classes_to_json(default_anno_classes()), 1.0,
+    )
+    from annonet_tpu.cli.serve import (
+        _ModelService, _process_rss_mb, build_parser,
+    )
+
+    base = ["--model", model_path, "--port", "0",
+            "--tile-max-width", "64", "--tile-max-height", "64"]
+
+    # default: off — even though RSS is obviously > 0
+    service = _ModelService(build_parser().parse_args(base))
+    assert _process_rss_mb() > 1.0
+    assert service.healthz()["status"] == "ok"
+    assert "annonet_rss_exceeded 0" in service.metrics_text()
+    assert service.stats()["rss_mb"] > 1.0
+
+    # a 1 MB limit is below any real process RSS -> red
+    service = _ModelService(
+        build_parser().parse_args([*base, "--max-rss-mb", "1"])
+    )
+    assert service.rss_exceeded()
+    assert service.healthz()["status"] == "rss-exceeded"
+    assert "annonet_rss_exceeded 1" in service.metrics_text()
+
+    # a huge limit -> ok
+    service = _ModelService(
+        build_parser().parse_args([*base, "--max-rss-mb", "1000000"])
+    )
+    assert service.healthz()["status"] == "ok"
