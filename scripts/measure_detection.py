@@ -138,6 +138,7 @@ def run_benchmark(seed, steps=None, use_filter=True, verbose=True,
                 iterations_without_progress_threshold=b["plateau_window"],
                 previous_loss_values_dump_amount=b["plateau_window"],
                 min_learning_rate=b["min_lr"],
+                int8_forward=b.get("int8_forward", False),
             ),
             seed=seed,
         )
