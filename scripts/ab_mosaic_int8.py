@@ -13,10 +13,14 @@ measures the four composed candidates in one process:
              per pixel): same-geometry exactness partner for the
              mosaic arms, and measures what the snap alone costs XLA;
   mos_s1   — ANNONET_TPU_MOSAIC_INT8=s1 (stride-1 kernels, snapped
-             plan; must match xla_s bit-for-bit — asserted);
-  mos_s1s2 — ANNONET_TPU_MOSAIC_INT8=1 (+stride-2 kernels, also
-             bit-exact; the sweep says XLA s2 is faster at WB=96, the
-             composed program decides).
+             plan; compared to xla_s — round 4 root-caused the
+             observed label diff as DOWNSTREAM bf16 accumulation-order
+             drift under the custom call's layout influence, ±1
+             requant steps, NOT kernel error: DESIGN.md §34,
+             scripts/repro_mosaic_s1.py);
+  mos_s1s2 — ANNONET_TPU_MOSAIC_INT8=1 (+stride-2 kernels; the sweep
+             says XLA s2 is faster at WB=96, the composed program
+             decides).
 
 Cross-plan comparisons are reported in Mpx/s (same 4096^2 image for
 every arm). Interleaved wall-clock rounds PLUS the par.16 arbiter:
@@ -107,7 +111,8 @@ def main() -> None:
         if plans[name] == plans["xla_s"]:
             mism = int(jnp.sum(outs[name] != outs["xla_s"]))
             print(f"label disagreement {name} vs xla_s: {mism} px "
-                  f"(must be 0)", flush=True)
+                  f"(expected ~0.2-0.4%: downstream bf16 drift, "
+                  f"DESIGN.md par.34)", flush=True)
             exact_fail |= bool(mism)
         else:
             # different tile geometry -> different calibration crops ->
