@@ -467,3 +467,39 @@ def test_rank_death_mid_inference_is_bounded_and_diagnosed(tmp_path):
         for p in procs:
             if p.poll() is None:
                 p.kill()
+
+
+@pytest.mark.slow
+def test_coordinator_death_mid_training_is_bounded(tmp_path):
+    """Kill rank 0 — the process hosting the coordination SERVICE and
+    owning the artifact writes — mid-training: rank 1 must still exit
+    within a bounded window (its collectives fail, or its heartbeats to
+    the dead service abort it) with a non-zero code, never a silent
+    wedge."""
+    import time
+
+    data = tmp_path / "data"
+    data.mkdir()
+    write_synthetic_dataset(data, n_images=3, size=40)
+    outs = [tmp_path / "mh0.dnn", tmp_path / "mh1.dnn"]
+    shared = tmp_path / "shared_sync.dat"
+
+    procs, log_paths = _launch_pair_logged(
+        tmp_path, data, outs, [shared, shared], steps=5000,
+    )
+    try:
+        _wait_for_line(log_paths, "Multi-host training: process", procs)
+        time.sleep(3)
+        procs[0].kill()
+        t_kill = time.monotonic()
+        procs[1].wait(timeout=240)
+        elapsed = time.monotonic() - t_kill
+        assert procs[1].returncode != 0
+        log1 = log_paths[1].read_text(errors="replace")
+        assert any(
+            d in log1 for d in (*_PEER_DIAGNOSES, "coordinator")
+        ), (elapsed, log1)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
