@@ -272,11 +272,13 @@ def peer_failure_diagnosis(exc) -> "str | None":
         "multi-host peer failure detected: a peer process died, was "
         "preempted, or became unreachable (collective/coordination "
         "error above). This rank is exiting now; restart the job on "
-        "EVERY host — training resumes from the shared --sync-file."
+        "EVERY host (training resumes from the shared --sync-file; "
+        "batch inference simply reruns)."
     )
 
 
-def exit_on_peer_failure(exc, multihost: bool, exit_code: int = 2) -> None:
+def exit_on_peer_failure(exc, multihost: bool, exit_code: int = 2,
+                         before_exit=None) -> None:
     """The multi-host analog of device_probe's wedge handling: when a
     collective raises because a PEER died, report and leave IMMEDIATELY.
 
@@ -290,6 +292,10 @@ def exit_on_peer_failure(exc, multihost: bool, exit_code: int = 2) -> None:
     (flushed) and ``os._exit``ing wins that race: bounded (~30 s after
     peer death, the gloo collective timeout), diagnosable, and with the
     documented exit code. No-op when the error is not a peer failure.
+
+    ``before_exit``: best-effort last-words hook (e.g. writing a final
+    --metrics-jsonl error event) run after the diagnosis is printed;
+    its own failure never blocks the exit.
     """
     if not multihost:
         return
@@ -301,6 +307,11 @@ def exit_on_peer_failure(exc, multihost: bool, exit_code: int = 2) -> None:
 
     print(exc, flush=True)
     print(diagnosis, flush=True)
+    if before_exit is not None:
+        try:
+            before_exit()
+        except Exception:  # noqa: BLE001 — last words must not block exit
+            pass
     sys.stderr.flush()
     os._exit(exit_code)
 

@@ -789,7 +789,14 @@ def _run_impl(args, input_directory, stack) -> int:
                         save_inference_net()
                     minibatch += 1
         except Exception as e:  # noqa: BLE001
-            exit_on_peer_failure(e, multihost)  # dead peer: report, leave now
+            # dead peer: report + write the final metrics event, leave now
+            exit_on_peer_failure(
+                e, multihost,
+                before_exit=(
+                    None if metrics is None
+                    else lambda: metrics.event("error", message=str(e))
+                ),
+            )
             print(e)
             if multihost:
                 # data errors raise identically on every rank (identical
@@ -815,7 +822,13 @@ def _run_impl(args, input_directory, stack) -> int:
         save_inference_net()
         trainer.save_sync_file()
     except Exception as e:  # noqa: BLE001
-        exit_on_peer_failure(e, multihost)
+        exit_on_peer_failure(
+            e, multihost,
+            before_exit=(
+                None if metrics is None
+                else lambda: metrics.event("error", message=str(e))
+            ),
+        )
         print(e)
         if multihost:
             print(

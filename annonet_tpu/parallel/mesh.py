@@ -74,8 +74,23 @@ def initialize_distributed(
 
     if local_virtual_devices:
         _set_virtual_device_flags(local_virtual_devices)
-    heartbeat = int(os.environ.get("ANNONET_TPU_HEARTBEAT_TIMEOUT", "100"))
-    shutdown = int(os.environ.get("ANNONET_TPU_SHUTDOWN_TIMEOUT", "300"))
+
+    def _timeout_env(name: str, default: int) -> int:
+        raw = os.environ.get(name, "")
+        if not raw:
+            return default
+        try:
+            value = int(raw)
+        except ValueError:
+            raise ValueError(
+                f"{name}={raw!r} is not an integer number of seconds"
+            ) from None
+        if value <= 0:
+            raise ValueError(f"{name}={raw!r} must be a positive integer")
+        return value
+
+    heartbeat = _timeout_env("ANNONET_TPU_HEARTBEAT_TIMEOUT", 100)
+    shutdown = _timeout_env("ANNONET_TPU_SHUTDOWN_TIMEOUT", 300)
     try:
         # cross-process CPU collectives ride gloo/TCP; the option only
         # affects the CPU client, so it is harmless on TPU pods (whose

@@ -106,14 +106,19 @@ def main() -> None:
         inferers[name] = inf
         outs[name] = labels
 
+    # Up to ~1% label drift vs the same-plan XLA arm is the EXPECTED
+    # downstream bf16 accumulation-order effect (DESIGN.md par.34,
+    # ~0.2-0.4% measured); beyond that something else is wrong and the
+    # perf numbers should not be trusted.
+    drift_budget = 0.01 * SIZE * SIZE
     exact_fail = False
     for name in ("mos_s1", "mos_s1s2"):
         if plans[name] == plans["xla_s"]:
             mism = int(jnp.sum(outs[name] != outs["xla_s"]))
             print(f"label disagreement {name} vs xla_s: {mism} px "
-                  f"(expected ~0.2-0.4%: downstream bf16 drift, "
-                  f"DESIGN.md par.34)", flush=True)
-            exact_fail |= bool(mism)
+                  f"({mism / (SIZE * SIZE):.4%}; expected ~0.2-0.4%: "
+                  f"downstream bf16 drift, DESIGN.md par.34)", flush=True)
+            exact_fail |= mism > drift_budget
         else:
             # different tile geometry -> different calibration crops ->
             # legitimately different int8 scales; informational only
@@ -122,8 +127,9 @@ def main() -> None:
                   f"(CROSS-PLAN — informational, no exactness claim)",
                   flush=True)
     if exact_fail:
-        print("!! bit-exact arm mismatch — perf numbers below are for a "
-              "WRONG program; do not use", flush=True)
+        print("!! label drift beyond the par.34 budget (>1%) — perf "
+              "numbers below are for a WRONG program; do not use",
+              flush=True)
 
     trivial = jax.jit(lambda a: a[0, 0].astype(jnp.int32))
     float(trivial(outs["xla"]))

@@ -261,6 +261,12 @@ def main():
     ap.add_argument("--no-filter", action="store_true",
                     help="control arm: train WITHOUT the region filter")
     args = ap.parse_args()
+    if args.pin and args.no_filter:
+        ap.error(
+            "--pin with --no-filter would pin floors measured from "
+            "UNFILTERED (smear-damaged) training runs, corrupting the "
+            "benchmark contract; --pin runs its own control arm"
+        )
 
     runs = [
         run_benchmark(s, args.steps, use_filter=not args.no_filter)

@@ -125,15 +125,6 @@ def _corpus() -> dict:
     return cases
 
 
-def _pil_loads(path: str, mode: str) -> bool:
-    try:
-        with Image.open(path) as im:
-            im.convert(mode).load()
-        return True
-    except Exception:
-        return False
-
-
 @pytest.fixture(scope="module")
 def corpus_dir(tmp_path_factory):
     d = tmp_path_factory.mktemp("fuzz_corpus")
