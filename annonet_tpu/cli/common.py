@@ -249,16 +249,25 @@ def device_probe(timeout_s=None, _op=None, on_timeout=None,
 # DEADLINE_EXCEEDED: GetKeyValue() timed out" on the survivor ~30 s later,
 # and the coordination service independently declares "Task .../task:N
 # heartbeat timeout" at heartbeat_timeout_seconds (default 100).
+#
+# Every marker names the COLLECTIVE/COORDINATION runtime specifically —
+# generic transport strings (bare "gloo", "connection reset/refused",
+# "deadline_exceeded") were removed after review: a rank-LOCAL error whose
+# text merely contains one (a network-filesystem read error, a
+# misconfigured coordinator address timing out at init) would be
+# misdiagnosed as a dead peer and os._exit, bypassing the rank-local abort
+# path that deliberately unblocks peers. Misses are backstopped by the
+# coordination service's own heartbeat abort ("JAX distributed service
+# detected fatal errors", default 100 s) — the failure stays bounded
+# either way, only the diagnosis line differs.
 _PEER_FAILURE_MARKERS = (
-    "gloo",
-    "heartbeat timeout",
-    "deadline_exceeded",
+    "gloo context",          # "Gloo context initialization failed: ..."
+    "connectfullmesh",       # gloo rendezvous with a vanished peer
+    "closed by peer",        # gloo TCP pair severed mid-collective
+    "heartbeat timeout",     # coordination-service verdict
     "coordination service",
     "barrier failed",
-    "getkeyvalue",
-    "peer closed",
-    "connection reset",
-    "connection refused",
+    "getkeyvalue",           # coordination KV timeouts inside collectives
 )
 
 
@@ -277,7 +286,16 @@ def peer_failure_diagnosis(exc) -> "str | None":
     )
 
 
-def exit_on_peer_failure(exc, multihost: bool, exit_code: int = 2,
+#: The ONE exit code for classified multi-host peer failures, in every
+#: CLI and every handler (setup-phase collectives, the training loop, the
+#: tail flush, inference merges). Distinct from the reference's setup (1)
+#: and run-loop (2) contracts so orchestrators can key "restart ALL
+#: hosts" off a single value instead of parsing logs (docs/RUNBOOK.md).
+PEER_FAILURE_EXIT_CODE = 3
+
+
+def exit_on_peer_failure(exc, multihost: bool,
+                         exit_code: int = PEER_FAILURE_EXIT_CODE,
                          before_exit=None) -> None:
     """The multi-host analog of device_probe's wedge handling: when a
     collective raises because a PEER died, report and leave IMMEDIATELY.

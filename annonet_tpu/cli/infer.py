@@ -196,9 +196,7 @@ def main(argv=None) -> int:
         # a dead PEER surfaces here as a gloo/coordination error (the
         # merge all-gather, or any sharded-batch collective): report and
         # leave before the coordination client's async process abort
-        exit_on_peer_failure(
-            e, bool(getattr(args, "coordinator", None)), exit_code=1
-        )
+        exit_on_peer_failure(e, bool(getattr(args, "coordinator", None)))
         print(e)
         if getattr(args, "coordinator", None):
             # a rank-local failure leaves peers blocked in the final

@@ -248,9 +248,10 @@ def main(argv=None) -> int:
 
         # setup-phase collectives (the resume pre-check all-gather, the
         # first mesh step's gloo context init) surface a dead peer HERE:
-        # report + leave before the coordination client's async abort
-        exit_on_peer_failure(e, bool(getattr(args, "coordinator", None)),
-                             exit_code=1)
+        # report + leave before the coordination client's async abort.
+        # Same exit code as the loop handlers (PEER_FAILURE_EXIT_CODE) —
+        # the root cause is the same, so orchestrators see one value.
+        exit_on_peer_failure(e, bool(getattr(args, "coordinator", None)))
         print(e)
         return 1
 
@@ -646,14 +647,14 @@ def _run_impl(args, input_directory, stack) -> int:
             else "n/a (no labeled pixels)"
         )
         print(
-            f"validation (step {minibatch}): accuracy = "
+            f"validation (step {trainer.step_count}): accuracy = "
             f"{accuracy_text} over {px} labeled px, "
             f"{len(validation_samples)} images; recall {recalls}"
         )
         if metrics is not None:
             metrics.event(
                 "validation",
-                step=minibatch,
+                step=trainer.step_count,  # absolute, like loss events
                 accuracy=accuracy,
                 labeled_pixels=px,
                 images=len(validation_samples),
@@ -676,7 +677,14 @@ def _run_impl(args, input_directory, stack) -> int:
             downscaling_factor=downscaling_total,
         )
         if metrics is not None:
-            metrics.event("save", step=minibatch, path=args.output)
+            # ABSOLUTE DISPATCHED step, matching the loss/
+            # learning_rate_shrink events' numbering — a resumed phase's
+            # run-relative counter would disagree with them (observed in
+            # docs/data/hw_plateau round 4). step_count, not total_steps:
+            # the artifact reflects only steps already applied to the
+            # weights, not superstep decisions still buffered.
+            metrics.event("save", step=trainer.step_count,
+                          path=args.output)
         if validation_samples:
             run_validation(runtime_net)
 
@@ -842,7 +850,11 @@ def _run_impl(args, input_directory, stack) -> int:
     if metrics is not None:
         metrics.event(
             "done",
-            steps=minibatch,
+            # absolute, like loss/shrink events (the tail flush above has
+            # dispatched any buffered supersteps, so this is also the
+            # number of weight updates applied)
+            steps=trainer.step_count,
+            steps_this_run=minibatch,
             wall_seconds=round(time.monotonic() - train_started, 3),
         )
     if multihost:

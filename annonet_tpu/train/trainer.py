@@ -820,6 +820,16 @@ class Trainer:
             )
 
     @property
+    def total_steps(self) -> int:
+        """ABSOLUTE step count: includes steps restored from a sync-file
+        resume and superstep decisions buffered but not yet dispatched.
+        This is the numbering the loss / learning_rate_shrink metrics
+        events use, so CLI save/done events keyed off it line up with
+        them across resumed runs (a resumed phase's run-relative counter
+        does not)."""
+        return self.step_count + len(self._superstep_buffer)
+
+    @property
     def should_stop(self) -> bool:
         """True once plateau-driven decay pushed the learning rate below
         ``min_learning_rate`` — the stop condition of the reference's

@@ -189,6 +189,11 @@ int32_t decode_jpeg(FILE* f, int32_t want, uint8_t** out_data,
     uint8_t* rgb_row = rows;
     uint8_t* rgba_row = rows + static_cast<size_t>(w) * 3;
     while (cinfo.output_scanline < cinfo.output_height) {
+        // short-circuit on the FIRST corruption warning: the decode is
+        // already doomed to rejection (see below), so finishing the row
+        // loop — libjpeg gray-fills the rest of a truncated scan — would
+        // only burn a full-image decode before the PIL-arbiter fallback
+        if (err.warnings > 0) break;
         uint8_t* rowp = rgb_row;
         jpeg_read_scanlines(&cinfo, &rowp, 1);
         const int64_t r = cinfo.output_scanline - 1;
@@ -200,14 +205,19 @@ int32_t decode_jpeg(FILE* f, int32_t want, uint8_t** out_data,
         }
         convert_row(rgba_row, w, want, out + r * w * want);
     }
-    jpeg_finish_decompress(&cinfo);
-    jpeg_destroy_decompress(&cinfo);
-    std::free(rows);
     if (err.warnings > 0) {
-        // corrupt-but-decodable input: reject (see jpeg_emit_message)
+        // corrupt-but-decodable input: reject (see jpeg_emit_message).
+        // The Python layer falls back to PIL, which ARBITRATES: benign
+        // warnings (extraneous bytes before a marker) decode there and
+        // the file still loads; structural damage raises there too.
+        jpeg_destroy_decompress(&cinfo);  // mid-decode abort is legal
+        std::free(rows);
         std::free(out);
         return 3;
     }
+    jpeg_finish_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    std::free(rows);
     *out_data = out;
     *out_h = h;
     *out_w = w;

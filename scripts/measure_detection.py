@@ -276,6 +276,21 @@ def main():
     if args.pin:
         path = REPO / "PARITY_TARGETS.json"
         targets = json.loads(path.read_text())
+        # region recall is None for a class with ZERO eval regions (the
+        # test floors handle None; min() would TypeError) — a degenerate
+        # seed/config must fail the pin with a diagnosis, not a traceback
+        degenerate = [
+            (r["seed"], c)
+            for r in runs
+            for c in range(3)
+            if r["region_recall"][c] is None
+        ]
+        if degenerate:
+            raise SystemExit(
+                "refusing to pin: region recall is undefined (no eval "
+                f"regions) for (seed, class) pairs {degenerate}; the eval "
+                "set must contain regions of every class at every seed"
+            )
         min_recall = [
             min(r["region_recall"][c] for r in runs) for c in range(3)
         ]

@@ -112,14 +112,18 @@ def main() -> int:
     assert f"at step {args.phase_a_steps}" in stdout_b, stdout_b[-2000:]
     assert "resumed from" in stdout_b
     shrinks = [e for e in events_b if e.get("event") == "learning_rate_shrink"]
-    losses = [e for e in events_b if e.get("event") == "loss"]
+    dones = [e for e in events_b if e.get("event") == "done"]
     final_lr = shrinks[-1]["learning_rate"] if shrinks else None
     summary.update({
         "phase_a_steps": args.phase_a_steps,
         "phase_a_wall_s": round(wall_a, 1),
         "phase_b_wall_s": round(wall_b, 1),
         "resumed": True,
-        "total_steps": losses[-1]["step"] if losses else None,
+        # ABSOLUTE final step from the done event — the same numbering
+        # the lr_shrinks carry (cli/train.py emits absolute steps), so
+        # total_steps >= every shrink step by construction
+        "total_steps": dones[-1]["steps"] if dones else None,
+        "phase_b_steps": dones[-1]["steps_this_run"] if dones else None,
         "lr_shrinks": [
             {"step": e["step"], "learning_rate": e["learning_rate"]}
             for e in shrinks

@@ -904,10 +904,11 @@ def test_train_divergence_in_tail_flush_exits_2(tmp_path, capsys):
     ]
     assert events[-1]["event"] == "error"
     assert "diverged" in events[-1]["message"]
-    # the step-0 periodic save ran (reference parity); the FINAL save of
-    # the now-poisoned weights must not have
+    # the minibatch-0 periodic save ran (reference parity; absolute step
+    # 1 — one step already dispatched); the FINAL save of the
+    # now-poisoned weights must not have
     saves = [e for e in events if e["event"] == "save"]
-    assert [e["step"] for e in saves] == [0]
+    assert [e["step"] for e in saves] == [1]
 
 
 @pytest.mark.slow
@@ -947,7 +948,11 @@ def test_train_validation_directory(tmp_path, capsys):
         json.loads(line) for line in metrics_path.read_text().splitlines()
     ]
     vals = [e for e in events if e["event"] == "validation"]
-    # one validation per save: step 0 and the final save
+    # one validation per save: the minibatch-0 periodic save (its one
+    # decision still buffered in the superstep window, so 0 steps applied
+    # to the exported weights) and the final save. Steps are ABSOLUTE
+    # DISPATCHED counts, matching loss/shrink events across resumes
+    # (round-5 numbering fix).
     assert [v["step"] for v in vals] == [0, 2]
     for v in vals:
         assert 0.0 <= v["accuracy"] <= 1.0

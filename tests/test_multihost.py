@@ -503,3 +503,66 @@ def test_coordinator_death_mid_training_is_bounded(tmp_path):
         for p in procs:
             if p.poll() is None:
                 p.kill()
+
+
+def test_peer_failure_classifier_measured_phrases_only():
+    """peer_failure_diagnosis classifies the MEASURED collective/
+    coordination error catalog — and nothing broader. A rank-local error
+    whose text merely contains a generic transport string (NFS reset,
+    HTTP connection refused) must NOT be diagnosed as a dead peer: that
+    would os._exit past the rank-local abort path that deliberately
+    unblocks peers (advisor finding, round 4)."""
+    from annonet_tpu.cli.common import peer_failure_diagnosis
+
+    classified = [
+        # the measured mid-training survivor error (docs/ROUND4.md)
+        "Gloo context initialization failed: DEADLINE_EXCEEDED: "
+        "GetKeyValue() timed out",
+        # coordination-service heartbeat verdict
+        "Task /job:jax_worker/task:1 heartbeat timeout",
+        "coordination service reported an error",
+        "Barrier failed at annonet_train exit",
+        # gloo TCP pair severed mid-collective
+        "read: Connection closed by peer 127.0.0.1:12345",
+        "Gloo connectFullMesh failed with ...",
+    ]
+    for text in classified:
+        assert peer_failure_diagnosis(RuntimeError(text)) is not None, text
+
+    rank_local = [
+        # data-loader I/O against a network filesystem
+        "OSError: [Errno 104] Connection reset by peer: "
+        "'/mnt/nfs/data/img_0001.png'",
+        # a misconfigured metrics sink
+        "ConnectionRefusedError: [Errno 111] Connection refused",
+        # an unrelated timeout that merely says DEADLINE_EXCEEDED
+        "DEADLINE_EXCEEDED: rpc to storage backend timed out",
+        "training diverged: loss is nan at step 7",
+        "device probe failed: something",
+    ]
+    for text in rank_local:
+        assert peer_failure_diagnosis(RuntimeError(text)) is None, text
+
+
+def test_peer_failure_exit_code_is_one_value():
+    """Every CLI handler exits classified peer failures with the SAME
+    documented code (advisor finding: train's setup handler used 1 while
+    its loop handlers used 2, so restart policy couldn't key off one
+    value)."""
+    import inspect
+
+    from annonet_tpu.cli import common
+
+    assert common.PEER_FAILURE_EXIT_CODE == 3
+    # no call site may override exit_code anymore
+    import annonet_tpu.cli.infer as infer_mod
+    import annonet_tpu.cli.train as train_mod
+
+    for mod in (train_mod, infer_mod):
+        src = inspect.getsource(mod)
+        for line_no, line in enumerate(src.splitlines(), 1):
+            if "exit_on_peer_failure(" in line and "def " not in line:
+                # collect the full call text (may span lines)
+                tail = "\n".join(src.splitlines()[line_no - 1:line_no + 6])
+                call = tail.split(")")[0]
+                assert "exit_code=" not in call, (mod.__name__, call)
