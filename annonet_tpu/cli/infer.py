@@ -115,6 +115,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "near-tie pixels (accuracy floors are covered by "
                         "tests). An activation clip-saturation figure is "
                         "printed after the run")
+    p.add_argument("--reference-blend-semantics", action="store_true",
+                   help="Compat mode: compare per-class gains (-g) and "
+                        "detection levels (-d) against the UNNORMALIZED "
+                        "ramp-sum blend accumulation inside tile-overlap "
+                        "bands, exactly like the reference "
+                        "(annonet_infer.cpp:146-161,176-185,205-211), "
+                        "instead of normalizing first. Use when carrying "
+                        "gains/levels tuned on a reference deployment. "
+                        "Identical output when all gains and levels are "
+                        "zero (PARITY.md)")
     p.add_argument("--calibration-images", type=int, default=1, metavar="N",
                    help="Spread int8 activation calibration over the first "
                         "N images (with --quantize int8): per-channel "
@@ -362,6 +372,7 @@ def _run_impl(args, input_directory, stack) -> int:
         calibration=calibration,
         blend_dtype=(None if args.blend_dtype == "auto"
                      else args.blend_dtype),
+        reference_blend_semantics=args.reference_blend_semantics,
         mesh=mesh,
         plan_autotune=args.plan_autotune,
     )

@@ -97,6 +97,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="int8 = 2x-MXU quantized conv stack (calibrated on "
                         "the first inferred or warm-up image)")
     p.add_argument("--calibration-images", type=int, default=1)
+    p.add_argument("--reference-blend-semantics", action="store_true",
+                   help="Compat mode: gains/detection levels meet the "
+                        "UNNORMALIZED ramp-sum blend inside tile-overlap "
+                        "bands, matching the reference "
+                        "(annonet_infer.cpp:146-161,176-185,205-211); "
+                        "for serving with gains/levels tuned on a "
+                        "reference deployment")
     p.add_argument("--calibration", default=None, metavar="PATH",
                    help="Persisted int8 calibration (annonet_infer "
                         "--save-calibration): skips runtime calibration, "
@@ -263,6 +270,9 @@ def _load_state(args, mesh, reload_count: int = 0,
             quantize=None if args.quantize == "none" else args.quantize,
             calibration_images=args.calibration_images,
             calibration=calibration,
+            reference_blend_semantics=getattr(
+                args, "reference_blend_semantics", False
+            ),
             mesh=mesh,
             plan_autotune=getattr(args, "plan_autotune", False),
         )

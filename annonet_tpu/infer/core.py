@@ -21,7 +21,11 @@ so gains/detection levels mean the same thing at every pixel, whereas the
 reference compares against unnormalized (ramp-sum-inflated) logits inside
 tile-overlap bands (PARITY.md "Documented behavioral deviations";
 pinned by tests/test_infer.py::
-test_gain_semantics_in_overlap_bands_documented_deviation).
+test_gain_semantics_in_overlap_bands_documented_deviation). The opt-in
+compat mode (--reference-blend-semantics /
+TiledInferer(reference_blend_semantics=True)) reproduces the reference's
+unnormalized comparisons in this framework's own grid, so tuned
+gains/levels carry over from reference deployments.
 
 Compilation: one XLA program per (padded size, tile shape, tile-count
 bucket); gains/detection levels are traced arguments so changing them never
@@ -239,6 +243,14 @@ def _tiled_forward(
     use_pallas_blend: bool = False,
     mesh=None,
     mesh_axis: str = "batch",
+    # reference-blend compat (annonet_infer.cpp:146-161,176-185,205-211):
+    # compare gains and detection-seed margins against the UNNORMALIZED
+    # ramp-sum accumulation s(p)*blended — the reference's semantics
+    # inside tile-overlap bands — instead of normalizing first. With zero
+    # gains and levels the label maps are identical (argmax is invariant
+    # under the positive per-pixel scale s); under nonzero gains/levels
+    # this lets reference users carry tuned values over unchanged.
+    reference_blend: bool = False,
 ):
     # Tile positions are a deterministic function of the compile key (padded
     # canvas + tile shape + overlap), so they are baked in as constants:
@@ -409,7 +421,15 @@ def _tiled_forward(
         )
         import os as _os
 
-        if (
+        if reference_blend:
+            # compat: gains/margins meet the raw ramp-sum accumulation —
+            # no normalization pass at all (cheaper than either branch
+            # below; the semantics difference IS the absence of 1/wsum)
+            b4 = acc.reshape(m, hp, wpb, k, f)
+            labels4 = jnp.argmax(
+                b4 + gains.astype(bd)[None, None, None, :, None], axis=3
+            ).astype(jnp.int32)  # [M, Hp, WPb, f]
+        elif (
             not with_detection
             and quantized
             and wsum_factors is not None
@@ -484,7 +504,10 @@ def _tiled_forward(
             padded_w=wp,
             interpret=jax.default_backend() != "tpu",
         )
-        blended = (acc * inv_wsum[None])[:, None]  # [K, 1, Hp, Wp]
+        if reference_blend:
+            blended = acc[:, None]  # compat: keep the raw ramp-sum scale
+        else:
+            blended = (acc * inv_wsum[None])[:, None]  # [K, 1, Hp, Wp]
     else:
         planes = []
         for c in range(k):
@@ -494,7 +517,9 @@ def _tiled_forward(
                 acc_c = acc_c.at[:, y : y + tile_h, x : x + tile_w].add(
                     weighted_c[i]
                 )
-            planes.append(acc_c * inv_wsum[None])
+            # compat mode: gains/margins meet the raw ramp-sum scale
+            planes.append(acc_c if reference_blend
+                          else acc_c * inv_wsum[None])
         blended = jnp.stack(planes)  # [K, M, Hp, Wp]
 
     labels = jnp.argmax(
@@ -548,6 +573,15 @@ class TiledInferer:
         calibration_images: int = 1,
         calibration=None,  # pre-computed per-layer maxima (export/…load)
         blend_dtype: Optional[str] = None,  # None = auto (bf16 iff int8)
+        # opt-in reference-blend compat (--reference-blend-semantics):
+        # gains and detection-seed margins are compared against the
+        # UNNORMALIZED ramp-sum accumulation, matching the reference's
+        # overlap-band semantics (annonet_infer.cpp:146-161,176-185,
+        # 205-211) in this framework's own tile grid, so tuned gains/
+        # levels carry over from reference deployments. Identical output
+        # when all gains and detection levels are zero. PARITY.md
+        # "Documented behavioral deviations".
+        reference_blend_semantics: bool = False,
         mesh=None,
         mesh_axis: str = "batch",
         # None = auto (the Mosaic fast-width snap when that path is on);
@@ -591,6 +625,7 @@ class TiledInferer:
         if blend_dtype is None:
             blend_dtype = "bfloat16" if quantize else "float32"
         self.blend_dtype = jnp.dtype(blend_dtype)
+        self.reference_blend_semantics = bool(reference_blend_semantics)
         if self.blend_dtype not in (
             jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)
         ):
@@ -924,6 +959,7 @@ class TiledInferer:
             quantized,
             image_batch,
             str(self.blend_dtype),
+            self.reference_blend_semantics,
         )
         fn = self._compiled.get(key)
         if fn is None:
@@ -970,6 +1006,7 @@ class TiledInferer:
                     use_pallas_blend=self.use_pallas_blend,
                     mesh=self.mesh,
                     mesh_axis=self.mesh_axis,
+                    reference_blend=self.reference_blend_semantics,
                 )
             )
             self._compiled[key] = fn

@@ -457,12 +457,24 @@ def _head_matmul(x, w, b, dtype, default_dot: bool = False):
 
 def folding_supported(config: SegNetConfig, tile_width: int) -> int:
     """The fold factor to use for this config/tile, or 0 when folding
-    doesn't apply (width not divisible / nothing to gain)."""
+    doesn't apply (width not divisible / nothing to gain / the fold
+    schedule cannot mirror through the decoder).
+
+    The encoder halves the fold at every stride-2 level and the decoder
+    doubles it back at every up layer, so a valid base fold must survive
+    ``level_count`` halvings without flooring at 1: fold0 >= 2^L.
+    Configs whose stem width forbids that (e.g. base_width 24/32 at
+    level_count 3: 8 * width(0) > 128 lanes caps fold0 at 4 < 2^3) run
+    the plain unfolded net — previously they passed this gate and then
+    crashed fold_runtime_params' decoder mirror assert (found by the
+    round-5 detection sweep's width arm)."""
     fold = 8
     while fold > 1 and (
         tile_width % fold or fold * config.width(0) > 128
     ):
         fold //= 2
+    if fold < (1 << config.level_count):
+        return 0
     return fold if fold > 1 else 0
 
 

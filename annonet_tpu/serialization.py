@@ -28,7 +28,7 @@ from __future__ import annotations
 import json
 import os
 import tempfile
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Sequence, Tuple
 
 import numpy as np
 
@@ -77,6 +77,232 @@ def _atomic_savez(path: str, **arrays) -> None:
         raise
 
 
+# ---------------------------------------------------------------------------
+# Untrusted-input validation
+#
+# These artifacts are parsed from arbitrary files (a served model directory,
+# a shared sync file, an operator-supplied --calibration), exactly like the
+# image path the round-4 fuzzing hardened — so the loaders validate the
+# CONTAINER (zip + npy headers) and the DECLARED shapes/dtypes against the
+# architecture BEFORE decompressing any array data. That turns truncation,
+# dimension/allocation bombs (a zero-filled multi-GB array compresses to
+# kilobytes), mismatched trees, and hostile embedded JSON into clean
+# RuntimeErrors with bounded memory, instead of MemoryErrors, KeyErrors, or
+# shape explosions deep inside jit tracing. The reference inherits dlib's
+# throwing deserialize here (annonet_infer_main.cpp:343).
+# ---------------------------------------------------------------------------
+
+_MAX_META_BYTES = 16 << 20  # __meta__ carries anno_classes.json; cap it
+_CONFIG_FIELDS = {
+    "class_count", "level_count", "width_scaler", "min_filter_count",
+    "grayscale", "base_width", "compute_dtype",
+}
+
+
+def _corrupt(path, kind: str, why: str) -> RuntimeError:
+    return RuntimeError(
+        f"{_describe(path)} is not a valid annonet-tpu {kind} file: {why}"
+    )
+
+
+def _describe(path) -> str:
+    """Path string, or a readable tag for file-like inputs (the serve
+    client hands load_calibration a BytesIO)."""
+    return path if isinstance(path, (str, os.PathLike)) else "<in-memory file>"
+
+
+def _rewound(path):
+    """Loaders scan headers first and then np.load the same source; a
+    file-like input must be rewound between (and before) the passes."""
+    if hasattr(path, "seek"):
+        path.seek(0)
+    return path
+
+
+def _scan_npz(path: str, kind: str):
+    """Parse the zip directory + every member's npy HEADER (shape, dtype)
+    without decompressing array data; parse and return the __meta__ JSON.
+
+    Returns (meta_dict, {member_name: (shape, dtype)}). Raises a clean
+    RuntimeError for anything malformed."""
+    import io
+    import zipfile
+
+    from numpy.lib import format as npformat
+
+    headers: Dict[str, Tuple[tuple, np.dtype]] = {}
+    try:
+        with zipfile.ZipFile(_rewound(path)) as zf:
+            names = zf.namelist()
+            if "__meta__.npy" not in names:
+                raise _corrupt(path, kind, "missing __meta__ entry")
+            meta_info = zf.getinfo("__meta__.npy")
+            if meta_info.file_size > _MAX_META_BYTES:
+                raise _corrupt(
+                    path, kind,
+                    f"__meta__ declares {meta_info.file_size} bytes "
+                    f"(cap {_MAX_META_BYTES})",
+                )
+            for name in names:
+                if not name.endswith(".npy"):
+                    raise _corrupt(path, kind, f"unexpected member {name!r}")
+                with zf.open(name) as f:
+                    version = npformat.read_magic(f)
+                    shape, _fortran, dtype = npformat._read_array_header(
+                        f, version
+                    )
+                if dtype.hasobject:
+                    raise _corrupt(
+                        path, kind, f"member {name!r} has object dtype"
+                    )
+                headers[name[: -len(".npy")]] = (tuple(shape), dtype)
+            meta_bytes = zf.read("__meta__.npy")
+    except RuntimeError:
+        raise
+    except Exception as e:  # zipfile/format/header errors — corrupt container
+        raise _corrupt(path, kind, f"unreadable npz container ({e})") from e
+    try:
+        meta_arr = np.load(io.BytesIO(meta_bytes), allow_pickle=False)
+        meta = json.loads(bytes(meta_arr).decode("utf-8"))
+    except Exception as e:
+        raise _corrupt(path, kind, f"unreadable __meta__ ({e})") from e
+    if not isinstance(meta, dict):
+        raise _corrupt(path, kind, "__meta__ is not a JSON object")
+    if meta.get("format") != _FORMAT or meta.get("kind") != kind:
+        # the historical message for a wrong-kind/foreign file, asserted
+        # by existing tests and printed by the CLIs
+        raise RuntimeError(
+            f"{_describe(path)} is not an annonet-tpu {_KIND_NAMES[kind]}"
+        )
+    return meta, headers
+
+
+_KIND_NAMES = {
+    "runtime_net": "model file",
+    "trainer_state": "trainer state file",
+    "int8_calibration": "calibration file",
+}
+
+
+def _validated_config(raw, path: str, kind: str) -> SegNetConfig:
+    """SegNetConfig from untrusted meta: reject unknown fields, wrong
+    types, and absurd ranges BEFORE any shape computation keys off them
+    (a hostile level_count/base_width would otherwise size multi-GB
+    expected trees or spin the dimension queries)."""
+    if not isinstance(raw, dict):
+        raise _corrupt(path, kind, "model_config is not an object")
+    unknown = set(raw) - _CONFIG_FIELDS
+    missing = _CONFIG_FIELDS - set(raw)
+    if unknown or missing:
+        raise _corrupt(
+            path, kind,
+            f"model_config fields unknown={sorted(unknown)} "
+            f"missing={sorted(missing)}",
+        )
+    def _int(name, lo, hi):
+        v = raw[name]
+        if not isinstance(v, int) or isinstance(v, bool) or not lo <= v <= hi:
+            raise _corrupt(
+                path, kind, f"model_config.{name}={v!r} outside [{lo}, {hi}]"
+            )
+        return v
+
+    _int("class_count", 1, 65535)
+    _int("level_count", 0, 8)
+    _int("base_width", 1, 8192)
+    _int("min_filter_count", 1, 8192)
+    ws = raw["width_scaler"]
+    if not isinstance(ws, (int, float)) or isinstance(ws, bool) or not (
+        0.0 < float(ws) <= 1024.0 and np.isfinite(ws)
+    ):
+        raise _corrupt(path, kind, f"model_config.width_scaler={ws!r}")
+    if not isinstance(raw["grayscale"], bool):
+        raise _corrupt(path, kind, "model_config.grayscale is not a bool")
+    if raw["compute_dtype"] not in ("bfloat16", "float32"):
+        raise _corrupt(
+            path, kind,
+            f"model_config.compute_dtype={raw['compute_dtype']!r}",
+        )
+    return SegNetConfig.from_dict(raw)
+
+
+def _expected_shapes(config: SegNetConfig, trees: Sequence[str]):
+    """{member_name: (shape, dtype)} the architecture dictates, computed
+    WITHOUT any real compute (jax.eval_shape over init/fold)."""
+    import jax
+
+    from annonet_tpu.models.segnet import fold_batchnorm, init_state
+
+    key = jax.ShapeDtypeStruct((2,), np.uint32)
+
+    def build(k):
+        params, bn_stats = init_state(k, config)
+        out = {}
+        if "params" in trees and "bn_stats" not in trees:
+            # runtime artifact: the BN-folded net
+            out["params"] = fold_batchnorm(params, bn_stats, config)
+        if "params" in trees and "bn_stats" in trees:
+            out["params"] = params
+        if "bn_stats" in trees:
+            out["bn_stats"] = bn_stats
+        if "velocity" in trees:
+            out["velocity"] = jax.tree_util.tree_map(lambda a: a, params)
+        return out
+
+    shaped = jax.eval_shape(build, key)
+    expected: Dict[str, Tuple[tuple, np.dtype]] = {}
+    for name, tree in shaped.items():
+        for k, v in flatten_tree_specs(tree).items():
+            expected[name + _SEP + k] = v
+    return expected
+
+
+def flatten_tree_specs(tree: Any, prefix: str = ""):
+    """flatten_tree for ShapeDtypeStructs: {path: (shape, dtype)}."""
+    out: Dict[str, Tuple[tuple, np.dtype]] = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            key = f"{prefix}{_SEP}{k}" if prefix else str(k)
+            out.update(flatten_tree_specs(v, key))
+    else:
+        out[prefix] = (tuple(tree.shape), np.dtype(tree.dtype))
+    return out
+
+
+def _check_tree_headers(path, kind, headers, expected):
+    """Every expected parameter present with the declared shape/dtype,
+    nothing extra — BEFORE decompression, so bombs never allocate."""
+    stored = {k: v for k, v in headers.items() if k != "__meta__"}
+    missing = sorted(set(expected) - set(stored))
+    extra = sorted(set(stored) - set(expected))
+    if missing or extra:
+        raise _corrupt(
+            path, kind,
+            f"parameter tree mismatch vs declared architecture "
+            f"(missing {missing[:4]}{'...' if len(missing) > 4 else ''}, "
+            f"unexpected {extra[:4]}{'...' if len(extra) > 4 else ''})",
+        )
+    total = 0
+    for name, (shape, dtype) in expected.items():
+        got_shape, got_dtype = stored[name]
+        # dtype may legitimately differ (e.g. f32 params saved from a
+        # bf16-configured net) — bound the SIZE instead, and require a
+        # plain numeric dtype
+        if got_shape != shape or got_dtype.kind not in "fiu":
+            raise _corrupt(
+                path, kind,
+                f"parameter {name!r} has shape {got_shape} dtype "
+                f"{got_dtype}, architecture expects shape {shape}",
+            )
+        total += int(np.prod(got_shape, dtype=np.int64)) * got_dtype.itemsize
+    if total > (8 << 30):
+        # the declared config itself implies a tree no real annonet net
+        # reaches (flagship < 100 MB) — treat as hostile
+        raise _corrupt(
+            path, kind, f"declared parameter tree is {total} bytes"
+        )
+
+
 def save_model(
     path: str,
     runtime_params: Any,
@@ -102,19 +328,38 @@ def save_model(
 
 
 def load_model(path: str) -> Tuple[Any, SegNetConfig, str, float]:
-    """Read back (runtime_params, config, anno_classes_json, downscaling)."""
-    with np.load(path) as z:
-        meta = json.loads(bytes(z["__meta__"]).decode("utf-8"))
-        if meta.get("format") != _FORMAT or meta.get("kind") != "runtime_net":
-            raise RuntimeError(f"{path} is not an annonet-tpu model file")
+    """Read back (runtime_params, config, anno_classes_json, downscaling).
+
+    The file is UNTRUSTED (see the validation block above): container,
+    meta fields, and declared array shapes are all verified against the
+    declared architecture before any array data is decompressed."""
+    kind = "runtime_net"
+    meta, headers = _scan_npz(path, kind)
+    config = _validated_config(meta.get("model_config"), path, kind)
+    anno_classes_json = meta.get("anno_classes_json")
+    if not isinstance(anno_classes_json, str):
+        raise _corrupt(path, kind, "anno_classes_json is not a string")
+    downscaling = meta.get("downscaling_factor")
+    if (
+        not isinstance(downscaling, (int, float))
+        or isinstance(downscaling, bool)
+        or not np.isfinite(downscaling)
+        or not 0.0 < float(downscaling) <= 1e6
+    ):
+        raise _corrupt(
+            path, kind, f"downscaling_factor={downscaling!r}"
+        )
+    _check_tree_headers(
+        path, kind, headers, _expected_shapes(config, ("params",))
+    )
+    with np.load(_rewound(path), allow_pickle=False) as z:
         flat = {
             k[len("params" + _SEP) :]: z[k]
             for k in z.files
             if k.startswith("params" + _SEP)
         }
     params = unflatten_tree(flat)
-    config = SegNetConfig.from_dict(meta["model_config"])
-    return params, config, meta["anno_classes_json"], meta["downscaling_factor"]
+    return params, config, anno_classes_json, float(downscaling)
 
 
 def save_trainer_state(path: str, trees: Dict[str, Any], meta: Dict[str, Any]) -> None:
@@ -133,22 +378,57 @@ def save_trainer_state(path: str, trees: Dict[str, Any], meta: Dict[str, Any]) -
 
 
 def load_trainer_meta(path: str) -> Dict[str, Any]:
-    """Read ONLY the meta dict of a trainer-state file (lazy single-member
-    npz read — the multi-host resume pre-check runs on every rank and must
-    not decompress the full parameter payload twice per rank)."""
-    with np.load(path) as z:
-        payload = json.loads(bytes(z["__meta__"]).decode("utf-8"))
-    if payload.get("format") != _FORMAT or payload.get("kind") != "trainer_state":
-        raise RuntimeError(f"{path} is not an annonet-tpu trainer state file")
-    return payload["meta"]
+    """Read ONLY the meta dict of a trainer-state file (single-member
+    bounded read — the multi-host resume pre-check runs on every rank and
+    must not decompress the full parameter payload twice per rank)."""
+    kind = "trainer_state"
+    payload, _headers = _scan_npz(path, kind)
+    meta = payload.get("meta")
+    if not isinstance(meta, dict):
+        raise _corrupt(path, kind, "meta is not an object")
+    return meta
 
 
 def load_trainer_state(path: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
-    """Read back (trees, meta) written by save_trainer_state."""
-    with np.load(path) as z:
-        payload = json.loads(bytes(z["__meta__"]).decode("utf-8"))
-        if payload.get("format") != _FORMAT or payload.get("kind") != "trainer_state":
-            raise RuntimeError(f"{path} is not an annonet-tpu trainer state file")
+    """Read back (trees, meta) written by save_trainer_state.
+
+    UNTRUSTED input (a shared sync file on a network filesystem):
+    container, tree names, and declared shapes are validated against the
+    architecture the file itself declares (meta.model_config — the
+    trainer additionally requires it to equal ITS config) before any
+    array decompression."""
+    kind = "trainer_state"
+    payload, headers = _scan_npz(path, kind)
+    meta = payload.get("meta")
+    if not isinstance(meta, dict):
+        raise _corrupt(path, kind, "meta is not an object")
+    if payload.get("tree_names") != ["bn_stats", "params", "velocity"]:
+        raise _corrupt(
+            path, kind, f"tree_names={payload.get('tree_names')!r}"
+        )
+    config = _validated_config(meta.get("model_config"), path, kind)
+    _check_tree_headers(
+        path, kind, headers,
+        _expected_shapes(config, ("params", "bn_stats", "velocity")),
+    )
+    losses = meta.get("previous_loss_values", [])
+    if not isinstance(losses, list) or len(losses) > 1_000_000 or any(
+        not isinstance(v, (int, float)) or isinstance(v, bool)
+        for v in losses
+    ):
+        raise _corrupt(path, kind, "previous_loss_values is malformed")
+    step = meta.get("step_count")
+    if not isinstance(step, int) or isinstance(step, bool) or not (
+        0 <= step <= 10**12
+    ):
+        raise _corrupt(path, kind, f"step_count={step!r}")
+    lr = meta.get("learning_rate")
+    if (
+        not isinstance(lr, (int, float)) or isinstance(lr, bool)
+        or not np.isfinite(lr)
+    ):
+        raise _corrupt(path, kind, f"learning_rate={lr!r}")
+    with np.load(_rewound(path), allow_pickle=False) as z:
         trees: Dict[str, Any] = {}
         for name in payload["tree_names"]:
             flat = {
@@ -157,7 +437,7 @@ def load_trainer_state(path: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
                 if k.startswith(name + _SEP)
             }
             trees[name] = unflatten_tree(flat)
-    return trees, payload["meta"]
+    return trees, meta
 
 
 def weights_fingerprint(runtime_params: Any) -> str:
@@ -240,14 +520,31 @@ def load_calibration(path: str, config: SegNetConfig,
                      runtime_params: Any = None):
     """Read back a save_calibration file; raises if it was produced for a
     different model config, or (when both sides carry a fingerprint) for
-    different trained weights."""
-    with np.load(path) as z:
-        meta = json.loads(bytes(z["__meta__"]).decode("utf-8"))
-        if (meta.get("format") != _FORMAT
-                or meta.get("kind") != "int8_calibration"):
-            raise RuntimeError(
-                f"{path} is not an annonet-tpu calibration file"
+    different trained weights. UNTRUSTED input: the container and the
+    declared layer-vector shapes are validated before decompression."""
+    kind = "int8_calibration"
+    meta, headers = _scan_npz(path, kind)
+    layer_count = meta.get("layer_count")
+    if not isinstance(layer_count, int) or isinstance(layer_count, bool) or (
+        not 1 <= layer_count <= 4096
+    ):
+        raise _corrupt(path, kind, f"layer_count={layer_count!r}")
+    expected_names = {f"layer{_SEP}{i:03d}" for i in range(layer_count)}
+    stored = set(headers) - {"__meta__"}
+    if stored != expected_names:
+        raise _corrupt(
+            path, kind,
+            f"layer members do not match layer_count={layer_count}",
+        )
+    for name in expected_names:
+        shape, dtype = headers[name]
+        if len(shape) != 1 or shape[0] > (1 << 20) or dtype.kind != "f":
+            raise _corrupt(
+                path, kind,
+                f"member {name!r} has shape {shape} dtype {dtype} "
+                "(expected a small 1-D float vector)",
             )
+    with np.load(_rewound(path), allow_pickle=False) as z:
         if meta["model_config"] != config.to_dict():
             raise RuntimeError(
                 f"{path} was calibrated for a different model config "

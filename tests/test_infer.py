@@ -376,6 +376,90 @@ def test_gain_semantics_in_overlap_bands_documented_deviation():
     labels_nogain, _ = inferer.infer_arrays(image)
     assert (labels_nogain == 1).all()
 
+    # --- the opt-in compat mode reproduces the REFERENCE-side decisions
+    # (annonet_infer.cpp:176-185 semantics in this framework's own grid):
+    # argmax over the unnormalized s * logits + gain, pixel for pixel
+    compat = TiledInferer(
+        runtime, mc, tiling, reference_blend_semantics=True
+    )
+    labels_compat, _ = compat.infer_arrays(image, gains=[gain0, 0.0])
+    h, w = labels_compat.shape
+    expected_ref = np.where(s[:h, :w] * margin > gain0, 1, 0)
+    # decided: pixels safely away from the threshold (float rounding of
+    # the ramp accumulation may flip exact-tie pixels either way)
+    decided = np.abs(s[:h, :w] * margin - gain0) > 1e-4
+    assert decided.mean() > 0.99
+    assert (labels_compat == expected_ref)[decided].all()
+    # the compat mode actually disagrees with the default mode here —
+    # the deviation is real, and the flag closes it
+    assert (labels_compat != labels).any()
+    # with zero gains the modes are identical (argmax invariant under s)
+    labels_compat_nogain, _ = compat.infer_arrays(image)
+    assert (labels_compat_nogain == 1).all()
+
+
+def test_reference_blend_semantics_detection_seed_margins():
+    """Detection-SEED margins under the compat mode also meet the
+    unnormalized accumulation (annonet_infer.cpp:205-211): a seed fires
+    where s(p)*(logit[label] - logit[0]) > det[label] - det[0], so a
+    level between m and s_max*m seeds ONLY inside overlap bands where the
+    ramp sum s(p) inflates the margin — the exact reference behavior the
+    normalized default (margin identical everywhere -> no seeds at all at
+    that level) cannot express."""
+    import jax
+
+    from annonet_tpu.infer.core import TiledInferer
+    from annonet_tpu.infer.tiling import (
+        TilingParameters,
+        inverse_weight_sum,
+        plan_tiles,
+    )
+    from annonet_tpu.models.segnet import (
+        SegNetConfig,
+        fold_batchnorm,
+        init_state,
+    )
+
+    mc = SegNetConfig(
+        class_count=2, level_count=1, base_width=4, compute_dtype="float32"
+    )
+    params, stats = init_state(jax.random.PRNGKey(0), mc)
+    runtime = fold_batchnorm(params, stats, mc)
+    margin = 0.5
+    runtime = jax.tree_util.tree_map(lambda a: np.zeros_like(a), runtime)
+    runtime["head"]["b"] = np.array([0.0, margin], np.float32)
+
+    tiling = TilingParameters(48, 48, 8, 8)
+    image = np.full((96, 96, 3), 128, np.uint8)
+    plan = plan_tiles(96, 96, mc, tiling)
+    s = 1.0 / inverse_weight_sum(plan)
+    s_max = float(s.max())
+    assert s_max > 1.2
+
+    level1 = margin * (1.0 + s_max) / 2.0  # m < level < s_max * m
+
+    # default (normalized) semantics: margin is exactly m everywhere,
+    # m < level -> no seed anywhere -> the veto erases every label
+    plain = TiledInferer(runtime, mc, tiling)
+    _, seeds_plain = plain.infer_arrays(
+        image, detection_levels=[0.0, level1]
+    )
+    assert seeds_plain is not None and not seeds_plain.any()
+
+    # compat semantics: seeds exactly where s(p) * m > level
+    compat = TiledInferer(
+        runtime, mc, tiling, reference_blend_semantics=True
+    )
+    _, seeds_compat = compat.infer_arrays(
+        image, detection_levels=[0.0, level1]
+    )
+    h, w = seeds_compat.shape
+    expected = s[:h, :w] * margin > level1
+    decided = np.abs(s[:h, :w] * margin - level1) > 1e-4
+    assert expected.any() and not expected.all()
+    assert decided.mean() > 0.99
+    assert (seeds_compat == expected)[decided].all()
+
 
 def test_batch_exact_size_no_padding_matches_bucketed():
     """pad_to_bucket=False compiles an exact-M program (zero padded
