@@ -256,6 +256,28 @@ def main(argv=None) -> int:
         return 1
 
 
+def _sync_interval_seconds() -> float:
+    """The sync-file write period: the reference's 10 minutes
+    (annonet_train_main.cpp:403), overridable via
+    ANNONET_TPU_SYNC_INTERVAL_SECONDS (must be > 0; invalid values get
+    the same one-line validation error the timeout knobs do)."""
+    import os
+
+    raw = os.environ.get("ANNONET_TPU_SYNC_INTERVAL_SECONDS")
+    if raw is None:
+        return 600.0
+    try:
+        value = float(raw)
+    except ValueError:
+        value = -1.0
+    if not value > 0.0:
+        raise RuntimeError(
+            f"ANNONET_TPU_SYNC_INTERVAL_SECONDS={raw!r} must be a "
+            "positive number of seconds"
+        )
+    return value
+
+
 def _resume_state_vector(sync_file):
     """The multi-host resume pre-check's per-rank state, as one comparable
     uint8 vector: int64 step | float64 learning rate | 32-byte weights
@@ -462,7 +484,12 @@ def _run_impl(args, input_directory, stack) -> int:
         loss_sync_interval=max(1, args.loss_sync_interval),
         steps_per_dispatch=max(1, args.steps_per_dispatch),
         sync_file=args.sync_file,
-        sync_interval_seconds=600.0,
+        # 10 minutes, the reference's SetSynchronizationFile period
+        # (annonet_train_main.cpp:403). ANNONET_TPU_SYNC_INTERVAL_SECONDS
+        # overrides — operators running preemptible fleets can checkpoint
+        # tighter, and the recovery drill (tests/test_multihost.py) uses
+        # it to exercise a genuine MID-RUN checkpoint resume.
+        sync_interval_seconds=_sync_interval_seconds(),
         verbose=True,
     )
     if multihost:

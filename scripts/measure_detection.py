@@ -68,6 +68,14 @@ BENCH = dict(
     gains=[0.0, 0.5, 0.5],
     detection_levels=[0.0, 1.5, 1.5],
     region_filter_area=8.0,  # x receptive-field area; smears exceed it
+    # augmentation (the reference's own robustness flags,
+    # annonet_train_main.cpp:73-103,184-231): photometric augmentation is
+    # load-bearing for wider nets in this regime — without it they overfit
+    # the sensor-noise texture (round-5 sweep)
+    noise_stddev=0.0,
+    brightness_prob=0.0,
+    brightness_stddev=0.1,
+    color_offset=False,
 )
 
 
@@ -149,6 +157,10 @@ def run_benchmark(seed, steps=None, use_filter=True, verbose=True,
         crop_options = CropOptions(
             dim=b["crop_dim"], allow_flip_left_right=True,
             allow_flip_upside_down=True,
+            multiplicative_brightness_change_probability=b["brightness_prob"],
+            multiplicative_brightness_change_sigma=b["brightness_stddev"],
+            noise_level_stddev=b["noise_stddev"],
+            allow_random_color_offset=b["color_offset"],
         )
         with CropPipeline(
             files, anno_classes, crop_options, thread_count=2,

@@ -18,6 +18,7 @@ compare the final model artifacts numerically.
 """
 
 import os
+import pathlib
 import socket
 import subprocess
 import sys
@@ -566,3 +567,160 @@ def test_peer_failure_exit_code_is_one_value():
                 tail = "\n".join(src.splitlines()[line_no - 1:line_no + 6])
                 call = tail.split(")")[0]
                 assert "exit_code=" not in call, (mod.__name__, call)
+
+
+@pytest.mark.slow
+def test_supervised_recovery_drill_end_to_end(tmp_path):
+    """The full recovery story, supervised (VERDICT round-4 item 7):
+
+      rank 1 dies mid-PLATEAU-DRIVEN training
+        -> rank 0 exits bounded with the classified diagnosis and THE
+           peer-failure exit code (3) an orchestrator keys restarts off
+        -> the supervisor (this test) restarts BOTH ranks with the same
+           command
+        -> they resume from the shared sync file's checkpoint and run to
+           the NATURAL min-LR stop
+        -> the exported artifact clears the pinned parity pixel-accuracy
+           floor
+
+    Recovery wall-times are measured and printed (recorded in
+    docs/RUNBOOK.md). Round 4 proved bounded *failure*; this proves
+    *recovery*."""
+    import json
+    import time
+
+    data = tmp_path / "data"
+    data.mkdir()
+    write_synthetic_dataset(data, n_images=3, size=40)
+    outs = [tmp_path / "r0.dnn", tmp_path / "r1.dnn"]
+    shared = tmp_path / "shared_sync.dat"
+    metrics = [tmp_path / "m0.jsonl", tmp_path / "m1.jsonl"]
+    # plateau config: lr 0.02, window 20 (-t 0.01). Phase 1 uses a min LR
+    # it can never reach (the run must still be training when the kill
+    # lands); the RESTARTED phase uses min LR 2.5e-3 -> ONE shrink
+    # (0.02 -> 2e-3 < 2.5e-3) then the natural stop. The 500-step cap is
+    # a safety net the restarted run must NOT hit.
+    phase_min_lr = ["1e-12"]
+    drill_extra = lambda pid: [  # noqa: E731
+        "--min-learning-rate", phase_min_lr[0],
+        "-t", "0.01",
+        "--metrics-jsonl", str(metrics[pid]),
+    ]
+
+    def launch():
+        port = _free_port()
+        procs, logs = [], []
+        for pid in range(2):
+            cmd = _train_cmd(
+                data, outs[pid], shared, steps=500,
+                extra=[
+                    "--coordinator", f"127.0.0.1:{port}",
+                    "--num-processes", "2", "--process-id", str(pid),
+                    *drill_extra(pid),
+                ],
+            )
+            env = _env(4)
+            env["PYTHONUNBUFFERED"] = "1"
+            # tight checkpoint period so the kill happens with a genuine
+            # MID-RUN checkpoint on disk (the reference period is 10 min,
+            # annonet_train_main.cpp:403 — far longer than this test)
+            env["ANNONET_TPU_SYNC_INTERVAL_SECONDS"] = "2"
+            log = tmp_path / f"drill{pid}_{port}.log"
+            handle = open(log, "w")
+            procs.append(subprocess.Popen(
+                cmd, env=env, stdout=handle, stderr=subprocess.STDOUT,
+                text=True,
+            ))
+            handle.close()
+            logs.append(log)
+        return procs, logs
+
+    # --- phase 1: launch, wait for a MID-RUN checkpoint, kill rank 1
+    procs, logs = launch()
+    try:
+        _wait_for_line(logs, "Now training", procs)
+        deadline = time.monotonic() + 120
+        while not shared.exists() and time.monotonic() < deadline:
+            assert all(p.poll() is None for p in procs), [
+                log.read_text(errors="replace") for log in logs
+            ]
+            time.sleep(0.5)
+        time.sleep(1)  # past the atomic replace; more steps in flight
+        procs[1].kill()
+        t_kill = time.monotonic()
+        procs[0].wait(timeout=240)
+        t_diagnosis = time.monotonic() - t_kill
+        log0 = logs[0].read_text(errors="replace")
+        assert procs[0].returncode != 0
+        # the ONE documented restart-policy key: exit code 3 (classified
+        # peer failure, cli/common.py::PEER_FAILURE_EXIT_CODE) — unless
+        # the coordination service's async abort won the race (rc 1 +
+        # its own fatal-error line), which the backstop also bounds
+        classified = procs[0].returncode == 3
+        assert classified or (
+            "JAX distributed service detected fatal errors" in log0
+        ), (procs[0].returncode, log0[-2000:])
+        if classified:
+            assert "multi-host peer failure detected" in log0
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    assert shared.exists(), "no sync checkpoint was written before the kill"
+
+    # --- phase 2: supervisor restarts BOTH ranks; resume + natural stop
+    phase_min_lr[0] = "2.5e-3"
+    t_restart = time.monotonic()
+    procs, logs = launch()
+    try:
+        for p in procs:
+            p.wait(timeout=600)
+        t_complete = time.monotonic() - t_restart
+        rcs = [p.returncode for p in procs]
+        texts = [log.read_text(errors="replace") for log in logs]
+        assert rcs == [0, 0], texts
+        for text in texts:
+            assert "resumed from" in text
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+
+    # natural min-LR stop, not the 500-step safety cap
+    events = [
+        json.loads(line)
+        for line in metrics[0].read_text().splitlines()
+    ]
+    done = [e for e in events if e["event"] == "done"][-1]
+    assert done["steps"] < 500, done
+    shrinks = [e for e in events if e["event"] == "learning_rate_shrink"]
+    assert shrinks and shrinks[-1]["learning_rate"] < 2.5e-3, shrinks
+
+    # --- phase 3: the recovered artifact clears the parity floor
+    import io
+    from contextlib import redirect_stdout
+
+    from annonet_tpu.cli.infer import main as infer_main
+
+    report = tmp_path / "report.json"
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = infer_main([
+            str(data), "--model", str(outs[0]),
+            "--report-json", str(report),
+        ])
+    assert rc == 0, buf.getvalue()
+    rep = json.loads(report.read_text())
+    accuracy = rep["confusion_per_pixel"]["accuracy"]
+    floors = json.loads(
+        (pathlib.Path(REPO_ROOT) / "PARITY_TARGETS.json").read_text()
+    )
+    floor = floors["pinned_pixel_accuracy_floor"]
+    assert accuracy >= floor, (accuracy, floor)
+
+    print(
+        "recovery drill: diagnosis "
+        f"{t_diagnosis:.1f}s after kill (rc={3 if classified else 'abort'}),"
+        f" restart->natural-stop {t_complete:.1f}s at step {done['steps']}, "
+        f"artifact accuracy {accuracy:.4f} (floor {floor})"
+    )
