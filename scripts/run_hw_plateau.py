@@ -34,16 +34,22 @@ import time
 REPO = pathlib.Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
+# the recommended detection-regime configuration (round-5 recipe,
+# scripts/measure_detection.py BENCH + docs/ROUND5.md): width-32 net,
+# lr 0.02, plateau window 120 (0.06 * 2000), photometric augmentation
 TRAIN_FLAGS = [
     "-b", "8",
     "--level-count", "2",
-    "--net-width-scaler", "1.0",
+    "--net-width-scaler", "2.0",
     "--input-dimension-multiplier", "1.0",
-    "--initial-learning-rate", "0.05",
+    "--initial-learning-rate", "0.02",
     "--min-learning-rate", "2e-4",
-    "-t", "0.03",  # plateau window 60 (0.03 * 2000), matching the CPU bench
+    "-t", "0.06",  # plateau window 120, matching the CPU bench recipe
     "--ignore-large-nonzero-regions-by-area", "8.0",
     "-u", "-l",
+    "-n", "2.0",
+    "--multiplicative-brightness-change-probability", "0.5",
+    "-o",
     "--seed", "0",
     "--data-loader-thread-count", "2",
     "--save-interval", "100000",
@@ -138,7 +144,7 @@ def main() -> int:
     cmd = [
         sys.executable, "-m", "annonet_tpu.cli.infer",
         str(wd / "eval"), "--model", str(out),
-        "-g", "1:0.5", "-g", "2:0.5", "-d", "1:1.5", "-d", "2:1.5",
+        "-g", "1:0.5", "-g", "2:0.5", "-d", "1:1.5", "-d", "2:2.0",
         "--report-json", str(report),
     ]
     proc = subprocess.run(

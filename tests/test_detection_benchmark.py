@@ -88,10 +88,23 @@ def test_region_filter_is_load_bearing(benchmark_run, pinned):
     --ignore-large-nonzero-regions-by-* exists to prevent
     (annonet_train_main.cpp:434-502). Pinned from the recorded control
     runs rather than re-trained here (the arm is another full training);
-    scripts/measure_detection.py --no-filter reproduces it."""
+    scripts/measure_detection.py --no-filter reproduces it.
+
+    REGIME NOTE (round 5): under the recommended robust recipe
+    (width 32 + photometric augmentation) the smear damage is
+    neutralized — control and filtered arms score within noise — so
+    --pin declines to record a control block and this test SKIPS by
+    design. The round-4 fragile-regime record (filtered 0.846 vs
+    control 0.700) stands as the filter's load-bearing evidence
+    (docs/ROUND4.md, docs/ROUND5.md); the filter's exact reference
+    semantics stay unit-tested in tests/test_data_layer.py."""
     control = pinned.get("no_filter_control")
     if not control:
-        pytest.skip("no recorded control arm in PARITY_TARGETS.json")
+        pytest.skip(
+            "no recorded control arm: the robust recipe neutralizes the "
+            "smear damage (docs/ROUND5.md); filter semantics are "
+            "unit-tested elsewhere"
+        )
     # the filtered benchmark run must beat the recorded unfiltered
     # minor-defect region precision by the pinned margin
     got = benchmark_run["region_precision"][1]

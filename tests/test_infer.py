@@ -328,7 +328,6 @@ def test_gain_semantics_in_overlap_bands_documented_deviation():
     from annonet_tpu.infer.tiling import (
         TilingParameters,
         inverse_weight_sum,
-        plan_tiles,
     )
     from annonet_tpu.models.segnet import (
         SegNetConfig,
@@ -350,8 +349,11 @@ def test_gain_semantics_in_overlap_bands_documented_deviation():
     tiling = TilingParameters(48, 48, 8, 8)
     image = np.full((96, 96, 3), 128, np.uint8)
 
-    # the plan really has overlap bands with unnormalized ramp sums > 1
-    plan = plan_tiles(96, 96, mc, tiling)
+    inferer = TiledInferer(runtime, mc, tiling)
+    # the INFERER's plan (which may differ from raw plan_tiles — e.g. the
+    # folded path's 3->4 tile-count bump): the s map must describe the
+    # grid actually executed
+    plan = inferer.plan(96, 96)
     assert plan.tile_count > 1
     s = 1.0 / inverse_weight_sum(plan)
     s_max = float(s.max())
@@ -360,7 +362,6 @@ def test_gain_semantics_in_overlap_bands_documented_deviation():
     gain0 = margin * (1.0 + s_max) / 2.0  # m < g < s_max * m
     assert margin < gain0 < s_max * margin
 
-    inferer = TiledInferer(runtime, mc, tiling)
     labels, _ = inferer.infer_arrays(image, gains=[gain0, 0.0])
 
     # this framework: uniform gain semantics -> ALL pixels flip to class 0
@@ -412,7 +413,6 @@ def test_reference_blend_semantics_detection_seed_margins():
     from annonet_tpu.infer.tiling import (
         TilingParameters,
         inverse_weight_sum,
-        plan_tiles,
     )
     from annonet_tpu.models.segnet import (
         SegNetConfig,
@@ -431,16 +431,17 @@ def test_reference_blend_semantics_detection_seed_margins():
 
     tiling = TilingParameters(48, 48, 8, 8)
     image = np.full((96, 96, 3), 128, np.uint8)
-    plan = plan_tiles(96, 96, mc, tiling)
+    # default (normalized) semantics: margin is exactly m everywhere,
+    # m < level -> no seed anywhere -> the veto erases every label
+    plain = TiledInferer(runtime, mc, tiling)
+    # the executed grid's ramp-sum map (inferer.plan, not raw plan_tiles:
+    # the folded path's tile-count bump can change the grid)
+    plan = plain.plan(96, 96)
     s = 1.0 / inverse_weight_sum(plan)
     s_max = float(s.max())
     assert s_max > 1.2
 
     level1 = margin * (1.0 + s_max) / 2.0  # m < level < s_max * m
-
-    # default (normalized) semantics: margin is exactly m everywhere,
-    # m < level -> no seed anywhere -> the veto erases every label
-    plain = TiledInferer(runtime, mc, tiling)
     _, seeds_plain = plain.infer_arrays(
         image, detection_levels=[0.0, level1]
     )
