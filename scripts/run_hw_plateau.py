@@ -41,7 +41,8 @@ TRAIN_FLAGS = [
     "-b", "8",
     "--level-count", "2",
     "--net-width-scaler", "2.0",
-    "--input-dimension-multiplier", "1.0",
+    # crop 64 like the CPU benchmark recipe (required dim 30 * 2.14 -> 64)
+    "--input-dimension-multiplier", "2.14",
     "--initial-learning-rate", "0.02",
     "--min-learning-rate", "2e-4",
     "-t", "0.06",  # plateau window 120, matching the CPU bench recipe
@@ -56,28 +57,66 @@ TRAIN_FLAGS = [
 ]
 
 
+def wait_for_device(wait_s: float = 1800.0) -> None:
+    """Wait out transient tunnel wedges before starting (same discipline
+    as bench.py: probe in a SUBPROCESS so a stuck probe never poisons
+    this process's backend init)."""
+    probe_code = (
+        "from annonet_tpu.cli.common import apply_platform_env, "
+        "device_probe\n"
+        "apply_platform_env()\n"
+        "device_probe(timeout_s=55, on_timeout='raise')\n"
+    )
+    env = dict(os.environ)
+    env["PYTHONPATH"] = f"{REPO}{os.pathsep}" + env.get("PYTHONPATH", "")
+    deadline = time.monotonic() + wait_s
+    while True:
+        try:
+            ok = subprocess.run(
+                [sys.executable, "-c", probe_code], timeout=120,
+                capture_output=True, env=env,
+            ).returncode == 0
+        except subprocess.TimeoutExpired:
+            ok = False
+        if ok:
+            return
+        if time.monotonic() > deadline:
+            raise SystemExit("device runtime wedged; giving up")
+        print("device probe failed (wedged runtime?); retrying...",
+              flush=True)
+        time.sleep(60.0)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", default="/tmp/annonet_hw_plateau")
     ap.add_argument("--train-images", type=int, default=10)
     ap.add_argument("--eval-images", type=int, default=6)
     ap.add_argument("--phase-a-steps", type=int, default=120)
+    ap.add_argument("--resume-phase-c", action="store_true",
+                    help="Skip training: score the workdir's existing "
+                         "artifact (for a run whose phase C alone was "
+                         "lost to a tunnel wedge; phases A/B's metrics "
+                         "files feed the summary as usual)")
     args = ap.parse_args()
+
+    wait_for_device()
 
     from annonet_tpu.data.synthetic import write_detection_dataset
 
     wd = pathlib.Path(args.workdir)
-    if wd.exists():
-        shutil.rmtree(wd)
-    (wd / "train").mkdir(parents=True)
-    write_detection_dataset(
-        wd / "train", n_images=args.train_images, size=256, seed=0,
-        defect_count=5, oversize_images=3,
-    )
-    write_detection_dataset(
-        wd / "eval", n_images=args.eval_images, size=256, seed=1000,
-        defect_count=5, oversize_images=0,
-    )
+    if not args.resume_phase_c:
+        if wd.exists():
+            shutil.rmtree(wd)
+        (wd / "train").mkdir(parents=True)
+        write_detection_dataset(
+            wd / "train", n_images=args.train_images, size=256, seed=0,
+            defect_count=5, oversize_images=3,
+        )
+        write_detection_dataset(
+            wd / "eval", n_images=args.eval_images, size=256, seed=1000,
+            defect_count=5, oversize_images=0,
+        )
 
     env = dict(os.environ)
     env["PYTHONPATH"] = f"{REPO}{os.pathsep}" + env.get("PYTHONPATH", "")
@@ -85,7 +124,7 @@ def main() -> int:
     sync = wd / "sync.dat"
     summary = {}
 
-    def train(phase, extra):
+    def train(phase, extra, attempts=4):
         jsonl = wd / f"metrics_{phase}.jsonl"
         cmd = [
             sys.executable, "-m", "annonet_tpu.cli.train",
@@ -93,13 +132,31 @@ def main() -> int:
             "--output", str(out), "--sync-file", str(sync),
             "--metrics-jsonl", str(jsonl), *extra,
         ]
-        t0 = time.monotonic()
-        proc = subprocess.run(
-            cmd, env=env, cwd=wd, capture_output=True, text=True,
-            timeout=1500,
-        )
-        wall = time.monotonic() - t0
-        (wd / f"log_{phase}.txt").write_text(proc.stdout + proc.stderr)
+        # the probe-timeout bump + retry loop exist for FLAPPING tunnels
+        # (observed: a wait_for_device probe succeeds, the phase's own
+        # startup probe stalls 2 min later). A phase that dies AT its
+        # startup probe did no training, so retrying is safe; any other
+        # failure still asserts.
+        env_phase = dict(env)
+        env_phase["ANNONET_TPU_DEVICE_PROBE_TIMEOUT"] = "300"
+        for attempt in range(attempts):
+            t0 = time.monotonic()
+            proc = subprocess.run(
+                cmd, env=env_phase, cwd=wd, capture_output=True, text=True,
+                timeout=1800,
+            )
+            wall = time.monotonic() - t0
+            (wd / f"log_{phase}.txt").write_text(proc.stdout + proc.stderr)
+            if (
+                proc.returncode != 0
+                and "device probe did not complete" in proc.stdout
+                and attempt + 1 < attempts
+            ):
+                print(f"phase {phase}: startup probe hit a wedged tunnel; "
+                      "waiting it out and retrying...", flush=True)
+                wait_for_device()
+                continue
+            break
         assert proc.returncode == 0, (
             f"phase {phase} rc={proc.returncode}:\n{proc.stdout[-3000:]}"
             f"\n{proc.stderr[-2000:]}"
@@ -108,13 +165,26 @@ def main() -> int:
         return proc.stdout, wall, events
 
     # ---- phase A: capped run writes the checkpoint
-    stdout_a, wall_a, _ = train(
-        "a", ["--max-total-steps", str(args.phase_a_steps)]
-    )
-    assert sync.exists()
+    if args.resume_phase_c:
+        # training already ran; reconstruct from the recorded artifacts
+        assert out.exists() and (wd / "metrics_b.jsonl").exists()
+        stdout_b = (wd / "log_b.txt").read_text()
+        events_b = [
+            json.loads(line)
+            for line in (wd / "metrics_b.jsonl").read_text().splitlines()
+        ]
+        b_done = [e for e in events_b if e.get("event") == "done"]
+        # device wall from the recorded events (subprocess walls lost)
+        wall_a = -1.0
+        wall_b = b_done[-1]["wall_seconds"] if b_done else -1.0
+    else:
+        stdout_a, wall_a, _ = train(
+            "a", ["--max-total-steps", str(args.phase_a_steps)]
+        )
+        assert sync.exists()
 
-    # ---- phase B: NO step cap -> resume + natural min-LR stop
-    stdout_b, wall_b, events_b = train("b", [])
+        # ---- phase B: NO step cap -> resume + natural min-LR stop
+        stdout_b, wall_b, events_b = train("b", [])
     assert f"at step {args.phase_a_steps}" in stdout_b, stdout_b[-2000:]
     assert "resumed from" in stdout_b
     shrinks = [e for e in events_b if e.get("event") == "learning_rate_shrink"]
@@ -147,10 +217,24 @@ def main() -> int:
         "-g", "1:0.5", "-g", "2:0.5", "-d", "1:1.5", "-d", "2:2.0",
         "--report-json", str(report),
     ]
-    proc = subprocess.run(
-        cmd, env=env, cwd=wd, capture_output=True, text=True, timeout=1200
-    )
-    (wd / "log_infer.txt").write_text(proc.stdout + proc.stderr)
+    env_c = dict(env)
+    env_c["ANNONET_TPU_DEVICE_PROBE_TIMEOUT"] = "300"
+    for attempt in range(4):
+        proc = subprocess.run(
+            cmd, env=env_c, cwd=wd, capture_output=True, text=True,
+            timeout=1800,
+        )
+        (wd / "log_infer.txt").write_text(proc.stdout + proc.stderr)
+        if (
+            proc.returncode != 0
+            and "device probe did not complete" in proc.stdout
+            and attempt < 3
+        ):
+            print("phase C: startup probe hit a wedged tunnel; waiting it "
+                  "out and retrying...", flush=True)
+            wait_for_device()
+            continue
+        break
     assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-2000:]
     rep = json.loads(report.read_text())
     region = rep["confusion_per_region"]
