@@ -857,3 +857,43 @@ def test_max_rss_guard_turns_health_red(tmp_path):
         build_parser().parse_args([*base, "--max-rss-mb", "1000000"])
     )
     assert service.healthz()["status"] == "ok"
+
+
+def test_serve_reference_blend_semantics_flag(tmp_path):
+    """--reference-blend-semantics plumbs through to the TiledInferer
+    (the serve-side of the infer CLI's compat mode, PARITY.md
+    "Documented behavioral deviations")."""
+    import jax
+
+    from annonet_tpu import serialization
+    from annonet_tpu.classes import (
+        anno_classes_to_json,
+        default_anno_classes,
+    )
+    from annonet_tpu.models.segnet import (
+        SegNetConfig,
+        fold_batchnorm,
+        init_state,
+    )
+
+    config = SegNetConfig(
+        class_count=3, level_count=1, base_width=4,
+        compute_dtype="float32",
+    )
+    params, bn = init_state(jax.random.PRNGKey(0), config)
+    runtime = fold_batchnorm(params, bn, config)
+    model_path = str(tmp_path / "annonet.dnn")
+    serialization.save_model(
+        model_path, runtime, config,
+        anno_classes_to_json(default_anno_classes()), 1.0,
+    )
+    from annonet_tpu.cli.serve import _ModelService, build_parser
+
+    for flag, expected in (([], False),
+                           (["--reference-blend-semantics"], True)):
+        args = build_parser().parse_args(
+            ["--model", model_path, "--port", "0",
+             "--tile-max-width", "64", "--tile-max-height", "64", *flag]
+        )
+        service = _ModelService(args)
+        assert service.inferer.reference_blend_semantics is expected
